@@ -1,0 +1,155 @@
+"""Spark-facing function surface: Arrow-batched pandas UDFs + pure columns.
+
+Design rule (input hint: "no per-row Python"): everything expressible with
+built-in ``pyspark.sql.functions`` is a pure Column (JVM whole-stage codegen
+— haversine, cell ids, affine grid transforms); the projection/datum math
+with iterative inverses runs as **scalar pandas UDFs** over Arrow batches —
+the same SoA-vector shape as the reference's float8 kernels, with the
+projection constants folded into the UDF closure on the driver (mirroring
+the reference's host precompute, e.g. ``src/projcl_run.c:318-361``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..core.params import ProjectionParams
+from ..core.spheroid import Spheroid, get_spheroid_info
+from ..geo import datum as datum_mod
+from ..geo import geodesic as geod
+from ..proj import get_transform
+
+XY_SCHEMA = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+LONLAT_SCHEMA = StructType([StructField("lon", DoubleType()), StructField("lat", DoubleType())])
+
+
+def project_udf(proj: str, params: ProjectionParams, direction: str = "forward"):
+    """pandas UDF (a, b) → struct — forward: (lon,lat)→(x,y) meters.
+
+    Null/NaN coordinates project to null (Spark-idiomatic; the reference has
+    no null concept).
+    """
+    fn = get_transform(proj, params, direction)
+    out_schema = XY_SCHEMA if direction == "forward" else LONLAT_SCHEMA
+    c0, c1 = out_schema.fieldNames()
+
+    @F.pandas_udf(out_schema)
+    def _project(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        av = a.to_numpy(dtype=np.float64, na_value=np.nan)
+        bv = b.to_numpy(dtype=np.float64, na_value=np.nan)
+        ra, rb = fn(av, bv)
+        return pd.DataFrame({c0: ra, c1: rb})
+
+    return _project
+
+
+def datum_shift_udf(
+    src: datum_mod.Datum,
+    dst: datum_mod.Datum,
+    src_spheroid: Spheroid | None = None,
+    dst_spheroid: Spheroid | None = None,
+):
+    """Fused datum-shift pandas UDF: (lon, lat) → struct<lon, lat>."""
+
+    @F.pandas_udf(LONLAT_SCHEMA)
+    def _shift(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo, la = datum_mod.shift_datum(
+            lon.to_numpy(np.float64, na_value=np.nan),
+            lat.to_numpy(np.float64, na_value=np.nan),
+            src, dst, src_spheroid, dst_spheroid,
+        )
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    return _shift
+
+
+def vincenty_udf(spheroid: Spheroid = Spheroid.WGS_84):
+    """Ellipsoidal geodesic distance (m) as a pandas UDF (4 cols → double)."""
+
+    @F.pandas_udf(DoubleType())
+    def _vdist(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        d, _ = geod.vincenty_inverse(
+            lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+            lon2.to_numpy(np.float64), lat2.to_numpy(np.float64), spheroid,
+        )
+        return pd.Series(d)
+
+    return _vdist
+
+
+# ---------------------------------------------------------- pure columns ----
+
+EARTH_RADIUS_SPHERE = get_spheroid_info(Spheroid.SPHERE).major_axis
+
+
+def haversine_col(lon1, lat1, lon2, lat2, radius: float = EARTH_RADIUS_SPHERE) -> Column:
+    """Great-circle distance (m) as a pure column expression (JVM codegen).
+
+    Same formula as ``pl_inverse_geodesic_s`` (kernel/pl_geodesic.opencl:31-59).
+    """
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    shp = F.sin((rl2 - rl1) / 2)
+    shl = F.sin((F.radians(lon2) - F.radians(lon1)) / 2)
+    h = shp * shp + F.cos(rl1) * F.cos(rl2) * shl * shl
+    return F.lit(2.0 * radius) * F.asin(F.sqrt(F.least(F.greatest(h, F.lit(0.0)), F.lit(1.0))))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str, radius: float = EARTH_RADIUS_SPHERE) -> str:
+    """Identical haversine as ANSI SQL for the DuckDB oracles."""
+    return (
+        f"2.0 * {radius!r} * asin(sqrt(least(greatest("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2), 0.0), 1.0)))"
+    )
+
+
+def mercator_fwd_cols(lon, lat, params: ProjectionParams) -> tuple[Column, Column]:
+    """Spherical/ellipsoidal Mercator forward as pure columns (no UDF).
+
+    The one projection simple enough that staying JVM-side always wins; used
+    by the hot tiling path.  Matches ``pl_project_mercator_[se]`` exactly.
+    """
+    info = params.info()
+    scale = params.scale * info.major_axis
+    x = F.lit(params.x0) + F.lit(scale) * F.radians(lon)
+    phi = F.radians(lat)
+    y_s = F.asinh(F.tan(phi))
+    if info.is_spherical:
+        y = F.lit(params.y0) + F.lit(scale) * y_s
+    else:
+        e = info.ecc
+        y = F.lit(params.y0) + F.lit(scale) * (y_s - F.lit(e) * F.atanh(F.lit(e) * F.sin(phi)))
+    return x.alias("x"), y.alias("y")
+
+
+def mercator_fwd_sql(lon: str, lat: str, params: ProjectionParams) -> tuple[str, str]:
+    """The same Mercator forward as ANSI SQL (DuckDB oracle twin)."""
+    info = params.info()
+    scale = params.scale * info.major_axis
+    x = f"({params.x0!r} + {scale!r} * radians({lon}))"
+    y_s = f"asinh(tan(radians({lat})))"
+    if info.is_spherical:
+        y = f"({params.y0!r} + {scale!r} * {y_s})"
+    else:
+        e = info.ecc
+        y = f"({params.y0!r} + {scale!r} * ({y_s} - {e!r} * atanh({e!r} * sin(radians({lat})))))"
+    return x, y
+
+
+def affine2d_cols(x, y, m: tuple[float, float, float, float, float, float]) -> tuple[Column, Column]:
+    """2-D affine grid transform as pure columns.
+
+    Mirrors ``pl_cartesian_apply_affine_transform_2d``
+    (kernel/pl_warp.opencl:19-31): x' = m0·x+m1·y+m2, y' = m3·x+m4·y+m5.
+    """
+    return (
+        (F.lit(m[0]) * x + F.lit(m[1]) * y + F.lit(m[2])).alias("x"),
+        (F.lit(m[3]) * x + F.lit(m[4]) * y + F.lit(m[5])).alias("y"),
+    )

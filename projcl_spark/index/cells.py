@@ -1,0 +1,150 @@
+"""Discrete global grid index (S2/Z-order-style quadkeys) — engine-added.
+
+The reference has no spatial index (SURVEY.md §2 Table B); the north star
+requires an H3/S2-style cell id powering partitioning, salting, and join
+pruning.  We use an equirectangular 2^res × 2^res grid over the lon/lat
+envelope with two encodings:
+
+- ``cell_id``  = ix·2^res + iy — row-major, trivially SQL-expressible (used
+  by the DuckDB correctness oracles and as the equi-join key);
+- ``morton``   = bit-interleaved (ix, iy) — Z-order, so numerically-close ids
+  are geographically close; prefixes of it drive range partitioning and
+  salting at scale.
+
+Both are implemented twice with identical semantics: as **pure Spark Column
+expressions** (JVM whole-stage codegen — the hot path; no Python) and as
+numpy (for driver-side planning, polygon covers, and tests).  Zero native
+dependencies, deterministic across platforms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_RES = 30
+
+
+def _scale(res: int) -> int:
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    return 1 << res
+
+
+# ---------------------------------------------------------------- numpy ----
+
+def cell_xy_np(lon, lat, res: int):
+    n = _scale(res)
+    ix = np.clip(np.floor((np.asarray(lon) + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((np.asarray(lat) + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return ix, iy
+
+
+def cell_id_np(lon, lat, res: int):
+    ix, iy = cell_xy_np(lon, lat, res)
+    return ix * _scale(res) + iy
+
+
+def _spread_bits_np(v):
+    """Interleave zeros between bits (supports 31-bit inputs)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def morton_np(lon, lat, res: int):
+    ix, iy = cell_xy_np(lon, lat, res)
+    return (_spread_bits_np(ix) << np.uint64(1) | _spread_bits_np(iy)).astype(np.int64)
+
+
+def neighbors_np(cell_id: int, res: int, ring: int = 1) -> np.ndarray:
+    """All cell ids within a square (2·ring+1)² window, clipped at borders."""
+    n = _scale(res)
+    ix, iy = cell_id // n, cell_id % n
+    dx = np.arange(-ring, ring + 1)
+    gx, gy = np.meshgrid(ix + dx, iy + dx, indexing="ij")
+    ok = (gx >= 0) & (gx < n) & (gy >= 0) & (gy < n)
+    return (gx[ok] * n + gy[ok]).astype(np.int64)
+
+
+def cell_bounds_np(cell_id, res: int):
+    """(lon_min, lat_min, lon_max, lat_max) of cells."""
+    n = _scale(res)
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    ix, iy = cell_id // n, cell_id % n
+    lon0 = ix / n * 360.0 - 180.0
+    lat0 = iy / n * 180.0 - 90.0
+    return lon0, lat0, lon0 + 360.0 / n, lat0 + 180.0 / n
+
+
+# -------------------------------------------------------- Spark columns ----
+
+def cell_xy_col(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
+    n = _scale(res)
+    ix = F.least(F.greatest(F.floor((lon + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1))
+    iy = F.least(F.greatest(F.floor((lat + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1))
+    return ix.cast("long"), iy.cast("long")
+
+
+def cell_id_col(lon: Column, lat: Column, res: int) -> Column:
+    """Row-major cell id as a pure JVM-codegen column expression."""
+    ix, iy = cell_xy_col(lon, lat, res)
+    return (ix * _scale(res) + iy).alias("cell_id")
+
+
+def _spread_bits_col(v: Column) -> Column:
+    masks = (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    )
+    for shift, mask in masks:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_col(lon: Column, lat: Column, res: int) -> Column:
+    """Z-order key as a pure column expression (prefix ≈ locality)."""
+    ix, iy = cell_xy_col(lon, lat, res)
+    return (F.shiftleft(_spread_bits_col(ix), 1).bitwiseOR(_spread_bits_col(iy))).alias("morton")
+
+
+def cell_id_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """The SAME cell id as ANSI SQL — runnable by both Spark and DuckDB.
+
+    Keeps the correctness oracle and the engine bit-for-bit comparable.
+    """
+    n = _scale(res)
+    ix = f"least(greatest(CAST(floor(({lon_expr} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    iy = f"least(greatest(CAST(floor(({lat_expr} + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    return f"({ix} * {n} + {iy})"
+
+
+def ring_cells_col(cell_id: Column, res: int, ring: int = 1) -> Column:
+    """array<bigint> of the square ring around ``cell_id`` (pure SQL ops).
+
+    Used to explode query-side cells for kNN candidate pruning; border cells
+    are clipped (no wraparound — matches cell_bounds semantics).
+    """
+    n = _scale(res)
+    ix = (cell_id / n).cast("long")
+    iy = cell_id % n
+    offs = F.sequence(F.lit(-ring), F.lit(ring))
+    # flatten(transform(dx, dx -> transform(dy, dy -> id))) with border filter
+    arr = F.flatten(
+        F.transform(
+            offs,
+            lambda dx: F.transform(offs, lambda dy: F.struct((ix + dx).alias("x"), (iy + dy).alias("y"))),
+        )
+    )
+    valid = F.filter(
+        arr, lambda s: (s.x >= 0) & (s.x < n) & (s.y >= 0) & (s.y < n)
+    )
+    return F.transform(valid, lambda s: s.x * n + s.y)

@@ -1,0 +1,85 @@
+"""Point-in-polygon join — filter-refine over the cell index (engine-added).
+
+The north-star operator the reference lacks (its only join-shaped compute is
+the cross-product geodesic, ``src/projcl_run.c:654-656``).  Scale design:
+
+1. **filter**: points get a ``cell_id`` (pure column, JVM codegen); the
+   polygon layer is exploded to its covering cells and **broadcast** (small
+   dim table — no shuffle of the 10^12-row point side);
+2. **refine**: exact winding-number test in a vectorized pandas UDF.  The
+   polygon vertex arrays ride along through the broadcast join, so the UDF
+   is a self-contained (lon, lat, xs, ys) → bool with no driver lookup —
+   works regardless of how AQE re-plans the join.
+
+The refine step is branch-free numpy over Arrow batches (the reference's
+SIMD idiom) — rows are only ever filtered, never re-ordered, so span
+reassembly downstream stays deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..index.cells import cell_id_col
+
+
+def winding_contains_np(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized winding-number test: N points against ONE polygon.
+
+    Standard crossing-count formulation (boundary-exclusive on the right
+    edge); branchless numpy across points, loop only over vertices.
+    """
+    inside = np.zeros(px.shape, dtype=bool)
+    nv = len(xs)
+    j = nv - 1
+    for i in range(nv):
+        cond = (ys[i] > py) != (ys[j] > py)
+        denom = ys[j] - ys[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = xs[i] + (py - ys[i]) * (xs[j] - xs[i]) / np.where(denom == 0, 1, denom)
+        inside ^= cond & (px < x_int)
+        j = i
+    return inside
+
+
+@F.pandas_udf(BooleanType())
+def _pip_refine(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+    px = lon.to_numpy(np.float64)
+    py = lat.to_numpy(np.float64)
+    out = np.zeros(len(px), dtype=bool)
+    # group identical polygons within the Arrow batch → one vectorized test
+    # per polygon (len(xs) is tiny; batches arrive clustered by poly anyway)
+    keys = xs.map(lambda a: (len(a), float(a[0]), float(a[-1])))
+    for _, idx in keys.groupby(keys).groups.items():
+        ii = np.asarray(idx)
+        poly_x = np.asarray(xs.iloc[ii[0]], dtype=np.float64)
+        poly_y = np.asarray(ys.iloc[ii[0]], dtype=np.float64)
+        out[ii] = winding_contains_np(px[ii], py[ii], poly_x, poly_y)
+    return pd.Series(out)
+
+
+def pip_join(points: DataFrame, polygons: DataFrame, res: int = 8, how: str = "inner") -> DataFrame:
+    """points(lon, lat, …) ⋈ polygons(poly_id, xs, ys, cells) → matched rows.
+
+    ``cells`` must be the polygon's covering cell ids at ``res`` (see
+    ``sources.synth.polygon_cover_cells``).  Returns the point columns +
+    ``poly_id``.  The polygon side is broadcast; candidate pairs that fail
+    the exact test are filtered, so output rows = exact PIP semantics.
+    """
+    poly_cells = polygons.select(
+        "poly_id", "xs", "ys", F.explode("cells").alias("cell_id")
+    )
+    pts = points.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), res))
+    cand = pts.join(F.broadcast(poly_cells), "cell_id", how="inner")
+    refined = cand.filter(_pip_refine("lon", "lat", "xs", "ys"))
+    return refined.drop("xs", "ys", "cell_id")
+
+
+def pip_join_bruteforce(points: DataFrame, polygons: DataFrame) -> DataFrame:
+    """Oracle-grade exact PIP via full cross join (small inputs only)."""
+    cand = points.crossJoin(F.broadcast(polygons.select("poly_id", "xs", "ys")))
+    return cand.filter(_pip_refine("lon", "lat", "xs", "ys")).drop("xs", "ys")

@@ -1,0 +1,64 @@
+"""Cell-index tests: numpy ↔ Spark-column ↔ SQL-string parity.
+
+The engine's determinism story (SURVEY.md §4.2) rests on the cell id being
+a pure per-row function with ONE set of semantics across all three
+implementations; these tests pin that down.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from projcl_spark.index import cells as C
+
+
+def test_cell_id_bounds_inverse():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-90, 90, 1000)
+    for res in (0, 4, 8, 12):
+        cid = C.cell_id_np(lon, lat, res)
+        lo0, la0, lo1, la1 = C.cell_bounds_np(cid, res)
+        assert (lon >= lo0 - 1e-9).all() and (lon <= lo1 + 1e-9).all()
+        assert (lat >= la0 - 1e-9).all() and (lat <= la1 + 1e-9).all()
+
+
+def test_cell_id_sql_matches_numpy():
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    res = 8
+    expected = C.cell_id_np(lon, lat, res)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({a!r},{b!r})" for a, b in zip(lon, lat))
+                + ") v(lon, lat)")
+    got = con.execute(
+        f"SELECT {C.cell_id_sql('lon', 'lat', res)} FROM t"
+    ).fetchnumpy()
+    np.testing.assert_array_equal(next(iter(got.values())), expected)
+
+
+def test_morton_locality():
+    """Adjacent cells share long morton prefixes more than distant ones."""
+    a = C.morton_np(np.array([10.0]), np.array([48.0]), 16)[0]
+    b = C.morton_np(np.array([10.001]), np.array([48.001]), 16)[0]
+    c = C.morton_np(np.array([-150.0]), np.array([-48.0]), 16)[0]
+    assert abs(a - b) < abs(a - c)
+
+
+def test_neighbors_center_and_corner():
+    res = 4
+    n = 1 << res
+    center = (n // 2) * n + n // 2
+    assert len(C.neighbors_np(center, res, ring=1)) == 9
+    assert len(C.neighbors_np(0, res, ring=1)) == 4  # corner clips
+
+
+def test_spread_bits_roundtrip_property():
+    v = np.arange(0, 1 << 12, dtype=np.int64)
+    s = C._spread_bits_np(v)
+    # even bits carry v, odd bits zero
+    assert (s & np.uint64(0xAAAAAAAAAAAAAAAA) == 0).all()

@@ -1,0 +1,145 @@
+"""Spark-level operator tests: span round-trip, PIP parity, kNN parity,
+projection UDFs, datum UDF — the engine-level oracles SURVEY.md §5 adds
+beyond the reference's own harness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from projcl_spark.core.params import ProjectionParams
+from projcl_spark.core.spheroid import Spheroid
+from projcl_spark.functions import (
+    haversine_col,
+    mercator_fwd_cols,
+    project_udf,
+)
+from projcl_spark.geo import datum as dt
+from projcl_spark.geo.geodesic import haversine as hav_np
+from projcl_spark.operators.knn import knn_bruteforce, knn_join
+from projcl_spark.operators.pip import pip_join, pip_join_bruteforce
+from projcl_spark.operators.spans import explode_spans, geo_enrich, reassemble, roundtrip_check
+from projcl_spark.proj import get_transform
+from projcl_spark.sources import synth
+
+N_DOCS = 300
+
+
+def test_span_roundtrip(spark):
+    docs = synth.documents(spark, N_DOCS)
+    res = roundtrip_check(docs)
+    assert res.filter(~F.col("ok")).count() == 0
+    assert res.count() == N_DOCS
+
+
+def test_span_roundtrip_survives_projection_join(spark):
+    """North-star invariant: spans survive explode→enrich→project→reassemble."""
+    docs = synth.documents(spark, N_DOCS)
+    spans = geo_enrich(explode_spans(docs))
+    udf = project_udf("albers_equal_area",
+                      ProjectionParams(spheroid=Spheroid.WGS_84, rlat1=30.0, rlat2=60.0))
+    enriched = spans.withColumn("xy", udf("lon", "lat"))
+    rebuilt = reassemble(enriched.drop("lon", "lat", "xy"))
+    orig_n = docs.select(F.explode("spans")).count()
+    assert rebuilt.agg(F.sum("n_spans")).first()[0] == orig_n
+    ok = (
+        docs.select("doc_id", F.size("spans").alias("n0"))
+        .join(rebuilt, "doc_id")
+        .filter(F.col("n0") != F.col("n_spans"))
+    )
+    assert ok.count() == 0
+
+
+def test_project_udf_matches_numpy(spark):
+    pts = synth.geo_points(spark, N_DOCS)
+    params = ProjectionParams(spheroid=Spheroid.WGS_84, rlat1=30.0, rlat2=60.0)
+    udf = project_udf("lambert_conformal_conic", params)
+    got = (
+        pts.withColumn("xy", udf("lon", "lat"))
+        .select("lon", "lat", "xy.x", "xy.y")
+        .toPandas()
+    )
+    fwd = get_transform("lambert_conformal_conic", params, "forward")
+    ex, ey = fwd(got["lon"].to_numpy(), got["lat"].to_numpy())
+    np.testing.assert_allclose(got["x"].to_numpy(), ex, rtol=1e-12)
+    np.testing.assert_allclose(got["y"].to_numpy(), ey, rtol=1e-12)
+
+
+def test_mercator_pure_columns_match_udf(spark):
+    pts = synth.geo_points(spark, N_DOCS)
+    params = ProjectionParams(spheroid=Spheroid.WGS_84)
+    x, y = mercator_fwd_cols(F.col("lon"), F.col("lat"), params)
+    udf = project_udf("mercator", params)
+    df = pts.select(x, y, udf("lon", "lat").alias("xy")).toPandas()
+    np.testing.assert_allclose(df["x"], [r["x"] for r in df["xy"]], rtol=1e-12)
+    np.testing.assert_allclose(df["y"], [r["y"] for r in df["xy"]], rtol=1e-12)
+
+
+def test_haversine_col_matches_numpy(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 10.0, 20.0), (5.0, 50.0, -120.0, -30.0)],
+        "lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    got = df.select(haversine_col("lon1", "lat1", "lon2", "lat2").alias("d")).toPandas()
+    exp = hav_np(np.array([0.0, 5.0]), np.array([0.0, 50.0]),
+                 np.array([10.0, -120.0]), np.array([20.0, -30.0]))
+    np.testing.assert_allclose(got["d"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_pip_join_matches_bruteforce(spark):
+    pts = synth.geo_points(spark, N_DOCS)
+    polys = synth.polygons_df(spark, n_polys=16, res=8)
+    fast = pip_join(pts, polys, res=8).select("doc_id", "offset", "poly_id")
+    slow = pip_join_bruteforce(pts, polys).select("doc_id", "offset", "poly_id")
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.count() > 0  # non-degenerate
+
+
+def test_knn_matches_bruteforce(spark):
+    pts = synth.geo_points(spark, N_DOCS).withColumn(
+        "pid", F.concat_ws("#", "doc_id", "offset")
+    ).select("pid", "lon", "lat")
+    qs = spark.createDataFrame(
+        [(0, 10.0, 48.0), (1, -30.0, 20.0), (2, 0.0, 0.0)],
+        "query_id long, q_lon double, q_lat double",
+    )
+    # generous ring so pruning is lossless at this density
+    fast = knn_join(qs, pts, k=5, res=3, ring=2, point_id="pid").select(
+        "query_id", "pid", "rank"
+    )
+    slow = knn_bruteforce(qs, pts, k=5, point_id="pid").select("query_id", "pid", "rank")
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_datum_udf_roundtrip(spark):
+    from projcl_spark.functions import datum_shift_udf
+
+    pts = synth.geo_points(spark, 100).filter(
+        (F.col("lon") > -60) & (F.col("lon") < 0) & (F.col("lat") > 25) & (F.col("lat") < 50)
+    )
+    fwd = datum_shift_udf(dt.Datum.WGS_84, dt.Datum.NAD_27)
+    inv = datum_shift_udf(dt.Datum.NAD_27, dt.Datum.WGS_84)
+    df = (
+        pts.withColumn("s", fwd("lon", "lat"))
+        .withColumn("b", inv(F.col("s.lon"), F.col("s.lat")))
+        .select(
+            F.max(F.abs(F.col("b.lon") - F.col("lon"))).alias("e1"),
+            F.max(F.abs(F.col("b.lat") - F.col("lat"))).alias("e2"),
+        )
+        .first()
+    )
+    if df["e1"] is not None:
+        assert df["e1"] < 1e-7 and df["e2"] < 1e-7
+
+
+def test_synth_deterministic_across_parallelism(spark):
+    """Tile assignment / generation identical at different partitioning
+    (north rule: exact row matches across cluster sizes)."""
+    a = synth.documents(spark, 200).repartition(2)
+    b = synth.documents(spark, 200).repartition(16)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
