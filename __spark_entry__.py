@@ -1,38 +1,608 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the DuckDB
+ANSI-SQL twin the driver value-hashes against at sf=0.01.
+
+Geo inputs are derived deterministically from the test tables' keys with an
+md5→bigint hash that both engines evaluate bit-identically (see
+``projcl_spark/oracle.py``), landing points in the reference test envelope
+lon∈[-60,60], lat∈[-40,80] (``/root/reference/test/projcl_test.c:31-35``).
+Projection oracles fold the SAME constants the pandas-UDF closures use (one
+``prepare()`` source of truth); outputs are quantized to 10 m — the
+reference's own accuracy envelope (``/root/reference/README.md:20-28``) —
+so IEEE-ulp differences between numpy and DuckDB can't flip a value hash.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projcl_spark import oracle as O
+from projcl_spark.core.params import ProjectionParams
+from projcl_spark.core.spheroid import Spheroid
+from projcl_spark.functions import haversine_col, project_udf, spherical_direct_udf, datum_shift_udf
+from projcl_spark.geo.datum import Datum
+from projcl_spark.index.cells import cell_id_col, cell_id_sql
+from projcl_spark.operators.ann import cosine_topk
+from projcl_spark.operators.knn import knn_join
+from projcl_spark.operators.pip import pip_join
+from projcl_spark.operators.spans import explode_spans, reassemble
+from projcl_spark.sources.synth import polygon_cover_cells
+
+ARCSEC = 1.0 / 3600.0  # reference DEGREES_TOL (projcl_test.c:28)
+
+# ---------------------------------------------------------------- helpers ---
+
+
+def _t(sf_dir: str, name: str):
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _key(cols: tuple[str, ...], dialect: str) -> str:
+    st = "STRING" if dialect == "spark" else "VARCHAR"
+    return " || ':' || ".join(f"CAST({c} AS {st})" for c in cols)
+
+
+def _points_df(spark: SparkSession, sf_dir: str, table: str, cols: tuple[str, ...]) -> DataFrame:
+    """table keys → deterministic (lon, lat) in the test envelope."""
+    lon_e, lat_e = O.derived_lonlat(_key(cols, "spark"), "spark")
+    return spark.read.parquet(_t(sf_dir, table)).select(
+        *cols, F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat")
+    )
+
+
+def _points_cte(table: str, cols: tuple[str, ...]) -> str:
+    lon_e, lat_e = O.derived_lonlat(_key(cols, "duck"), "duck")
+    cl = ", ".join(cols)
+    return f"SELECT {cl}, {lon_e} AS lon, {lat_e} AS lat FROM {table}"
+
+
+def _q10(col: str) -> str:
+    """Quantize meters to 10 m buckets as BIGINT (SQL, both dialects)."""
+    return f"CAST(round({col} / 10.0, 0) AS BIGINT)"
+
+
+def _q10_col(c: F.Column) -> F.Column:
+    return F.round(c / 10.0, 0).cast("long")
+
+
+# --------------------------------------------------- projection case matrix ---
+
+PROJ_CASES: dict[str, tuple[str, ProjectionParams]] = {}
+
+
+def _case(proj: str, short: str, **kw) -> None:
+    for sph, tag in ((Spheroid.SPHERE, "s"), (Spheroid.WGS_84, "e")):
+        if proj in ("robinson", "winkel_tripel") and tag == "e":
+            continue  # reference implements these spherical-only
+        if proj == "oblique_stereographic" and tag == "s":
+            continue  # reference implements _e only (projcl_run.c:520-566)
+        PROJ_CASES[f"proj_{short}_{tag}"] = (proj, ProjectionParams(spheroid=sph, **kw))
+
+
+_case("mercator", "mercator")
+_case("albers_equal_area", "albers", rlat1=30.0, rlat2=60.0)
+_case("lambert_conformal_conic", "lcc", rlat1=30.0, rlat2=60.0)
+_case("lambert_azimuthal_equal_area", "laea", lat0=45.0, lon0=10.0)
+_case("american_polyconic", "polyconic", lat0=20.0, lon0=-10.0)
+_case("oblique_stereographic", "stereo", lat0=52.0, lon0=5.0, scale=0.9999)
+_case("transverse_mercator", "tmerc", lon0=9.0, scale=0.9996)
+_case("robinson", "robinson")
+_case("winkel_tripel", "winkel", rlat1=40.0)
+
+_TM_FILTER_SPARK = "abs(lon - 9.0) < 30.0"
+
+# ------------------------------------------------------------- PIP triangles ---
+
+
+def _triangles(n: int = 24, seed: int = 42) -> list[dict]:
+    """Deterministic CCW triangles over the envelope (convex ⇒ the generic
+    winding refine and the oracle's half-plane test agree on interiors)."""
+    rng = np.random.default_rng(seed)
+    side = int(math.ceil(math.sqrt(n)))
+    out = []
+    for p in range(n):
+        gx, gy = p % side, p // side
+        cx = -60.0 + (gx + 0.5 + 0.4 * (rng.random() - 0.5)) / side * 120.0
+        cy = -40.0 + (gy + 0.5 + 0.4 * (rng.random() - 0.5)) / side * 120.0
+        r = 1.0 + 2.5 * rng.random()
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 3))
+        out.append({
+            "poly_id": p,
+            "xs": cx + r * np.cos(ang),
+            "ys": cy + r * np.sin(ang) * 0.8,
+        })
+    return out
+
+
+PIP_RES = 7
+
+
+def _triangles_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (t["poly_id"],
+         [float(v) for v in t["xs"]],
+         [float(v) for v in t["ys"]],
+         [int(c) for c in polygon_cover_cells(t, PIP_RES)])
+        for t in _triangles()
+    ]
+    return spark.createDataFrame(
+        rows, "poly_id long, xs array<double>, ys array<double>, cells array<long>"
+    )
+
+
+def _triangles_values_sql() -> str:
+    vals = []
+    for t in _triangles():
+        xs, ys = t["xs"], t["ys"]
+        vals.append(
+            f"(CAST({t['poly_id']} AS BIGINT), "
+            + ", ".join(f"{O._r(xs[i])}, {O._r(ys[i])}" for i in range(3))
+            + ")"
+        )
+    return ",\n".join(vals)
+
+
+# ------------------------------------------------------------- kNN fixtures ---
+
+KNN_QUERIES = [
+    (0, 10.0, 48.0), (1, -30.0, 20.0), (2, 0.0, 0.0), (3, 40.0, -10.0),
+    (4, -50.0, 60.0), (5, 25.0, 33.0), (6, -12.0, -25.0), (7, 55.0, 70.0),
+]
+# res 2 + ring 1 = a 270°×135° candidate window (≥90° margin beyond any
+# query cell edge): provably lossless for k=5 down to sf0.001's 150-customer
+# density while still exercising the cell equi-join plan.  Bench queries at
+# sf0.1 use tighter pruning (see bench.py).
+KNN_K, KNN_RES, KNN_RING = 5, 2, 1
+
+AZIMUTHS = [0, 45, 90, 135, 180, 225, 270, 315]
+GEODESIC_DIST_M = 500_000.0
+
+ANN_K, ANN_NQ = 3, 16
+
+# ------------------------------------------------------------------ queries ---
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved text+geo spans → explode → Albers project →
+    cell-encode → PIP join → reassemble → per-polygon rollup (sf0.001)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    # build interleaved spans: text chunks + one geo span derived from doc_id
+    lon_e, lat_e = O.derived_lonlat("CAST(doc_id AS STRING)", "spark")
+    docs = docs.filter("text IS NOT NULL AND length(text) > 0").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1), "
+            "i -> struct('text' AS kind, substring(text, i * 64 + 1, 64) AS text, "
+            "CAST(NULL AS STRING) AS media_ref, i AS offset))"
+        ).alias("tspans"),
+        F.expr(lon_e).alias("lon"),
+        F.expr(lat_e).alias("lat"),
+    )
+    docs = docs.select(
+        "doc_id",
+        F.concat(
+            "tspans",
+            F.array(F.struct(
+                F.lit("geo").alias("kind"),
+                F.format_string("%.9f,%.9f", "lon", "lat").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.size("tspans").alias("offset"),
+            )),
+        ).alias("spans"),
+        "lon", "lat",
+    )
+    spans = explode_spans(docs.select("doc_id", "spans"))
+    pts = docs.select("doc_id", "lon", "lat")
+    proj, params = PROJ_CASES["proj_albers_e"]
+    udf = project_udf(proj, params)
+    pts = pts.withColumn("xy", udf("lon", "lat"))
+    hits = pip_join(pts, _triangles_df(spark), res=PIP_RES)
+    n_spans = spans.groupBy("doc_id").count().withColumnRenamed("count", "n_spans")
+    return (
+        hits.join(n_spans, "doc_id")
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_spans").alias("n_spans"))
+        .orderBy("poly_id")
+    )
+
+
+def _q_proj_fwd(name: str) -> Callable:
+    proj, params = PROJ_CASES[name]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
+        if proj == "transverse_mercator":
+            df = df.filter(_TM_FILTER_SPARK)
+        udf = project_udf(proj, params)
+        return df.withColumn("xy", udf("lon", "lat")).select(
+            "l_orderkey", "l_linenumber",
+            _q10_col(F.col("xy.x")).alias("x_10m"),
+            _q10_col(F.col("xy.y")).alias("y_10m"),
+        )
+
+    return q
+
+
+def _o_proj_fwd(name: str) -> str:
+    proj, params = PROJ_CASES[name]
+    x, y = O.fwd_xy_sql(proj, params)
+    where = "WHERE abs(lon - 9.0) < 30.0" if proj == "transverse_mercator" else ""
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+SELECT l_orderkey, l_linenumber, {_q10(x)} AS x_10m, {_q10(y)} AS y_10m
+FROM pts {where}"""
+
+
+def q_roundtrip_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward→inverse closure within 1 arc-second for every projection case
+    (the reference's primary oracle, projcl_test.c:648-669)."""
+    pts = _points_df(spark, sf_dir, "supplier", ("s_suppkey",))
+    parts = []
+    for name, (proj, params) in sorted(PROJ_CASES.items()):
+        df = pts
+        if proj == "transverse_mercator":
+            df = df.filter(_TM_FILTER_SPARK)
+        fwd = project_udf(proj, params, "forward")
+        inv = project_udf(proj, params, "inverse")
+        r = (
+            df.withColumn("xy", fwd("lon", "lat"))
+            .withColumn("ll", inv(F.col("xy.x"), F.col("xy.y")))
+            .select(
+                F.lit(name).alias("case_name"),
+                F.when(
+                    (F.abs(F.col("ll.lon") - F.col("lon")) > ARCSEC)
+                    | (F.abs(F.col("ll.lat") - F.col("lat")) > ARCSEC),
+                    1,
+                ).otherwise(0).alias("bad"),
+            )
+            .groupBy("case_name")
+            .agg(F.sum("bad").cast("long").alias("n_failed"))
+        )
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _o_roundtrip_closure() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS case_name, CAST(0 AS BIGINT) AS n_failed"
+        for name in sorted(PROJ_CASES)
+    )
+    return rows
+
+
+def q_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
+    return (
+        df.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), 7))
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def _o_cell_count() -> str:
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+SELECT {cell_id_sql('lon', 'lat', 7)} AS cell_id,
+       count(*) AS n_points,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM pts GROUP BY 1"""
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (tile-pyramid stats, SURVEY.md Table B)."""
+    df = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
+    parts = [
+        df.select(F.lit(res).alias("res"), cell_id_col(F.col("lon"), F.col("lat"), res))
+        .groupBy("res", "cell_id")
+        .agg(F.count("*").alias("n"))
+        for res in (4, 6, 8)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _o_tile_pyramid() -> str:
+    selects = [
+        f"SELECT {res} AS res, {cell_id_sql('lon', 'lat', res)} AS cell_id, count(*) AS n "
+        f"FROM pts GROUP BY 1, 2"
+        for res in (4, 6, 8)
+    ]
+    u = " UNION ALL ".join(selects)
+    return f"WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}) {u}"
+
+
+def q_pip_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
+    return pip_join(pts, _triangles_df(spark), res=PIP_RES).select(
+        "l_orderkey", "l_linenumber", "poly_id"
+    )
+
+
+def _o_pip_triangles() -> str:
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+tri(poly_id, x1, y1, x2, y2, x3, y3) AS (VALUES {_triangles_values_sql()})
+SELECT pts.l_orderkey, pts.l_linenumber, tri.poly_id
+FROM pts, tri
+WHERE ((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
+  AND ((x3 - x2) * (lat - y2) - (y3 - y2) * (lon - x2)) > 0
+  AND ((x1 - x3) * (lat - y3) - (y1 - y3) * (lon - x3)) > 0"""
+
+
+def q_knn_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _points_df(spark, sf_dir, "customer", ("c_custkey",))
+    qs = spark.createDataFrame(KNN_QUERIES, "query_id long, q_lon double, q_lat double")
+    out = knn_join(qs, cust, k=KNN_K, res=KNN_RES, ring=KNN_RING, point_id="c_custkey")
+    return out.select(
+        "query_id", "c_custkey",
+        _q10_col(F.col("dist_m")).alias("dist_10m"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _o_knn_customer() -> str:
+    qvals = ", ".join(f"(CAST({q} AS BIGINT), {O._r(lo)}, {O._r(la)})" for q, lo, la in KNN_QUERIES)
+    hav = O.haversine("c.lon", "c.lat", "q.q_lon", "q.q_lat")
+    return f"""
+WITH cust AS ({_points_cte('customer', ('c_custkey',))}),
+q(query_id, q_lon, q_lat) AS (VALUES {qvals}),
+d AS (SELECT q.query_id, c.c_custkey, {hav} AS dist FROM q, cust c),
+r AS (SELECT query_id, c_custkey, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, c_custkey ASC) AS rnk
+      FROM d)
+SELECT query_id, c_custkey, {_q10('dist')} AS dist_10m, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= {KNN_K}"""
+
+
+def q_haversine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many inverse geodesic (reference op #10, pl_geodesic.opencl:31-59)."""
+    a = _points_df(spark, sf_dir, "nation", ("n_nationkey",)).withColumnRenamed(
+        "lon", "lon1").withColumnRenamed("lat", "lat1")
+    b = _points_df(spark, sf_dir, "region", ("r_regionkey",)).withColumnRenamed(
+        "lon", "lon2").withColumnRenamed("lat", "lat2")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_nationkey", "r_regionkey",
+        _q10_col(haversine_col("lon1", "lat1", "lon2", "lat2")).alias("dist_10m"),
+    )
+
+
+def _o_haversine_matrix() -> str:
+    hav = O.haversine("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH a AS ({_points_cte('nation', ('n_nationkey',))}),
+b AS ({_points_cte('region', ('r_regionkey',))})
+SELECT a.n_nationkey, b.r_regionkey, {_q10(hav)} AS dist_10m FROM a, b"""
+
+
+def q_geodesic_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward geodesic fixed-distance, points × azimuths (reference op #11)."""
+    pts = _points_df(spark, sf_dir, "nation", ("n_nationkey",))
+    az = spark.createDataFrame([(a,) for a in AZIMUTHS], "azimuth int")
+    udf = spherical_direct_udf(GEODESIC_DIST_M)
+    return pts.crossJoin(F.broadcast(az)).withColumn(
+        "dest", udf("lon", "lat", F.col("azimuth").cast("double"))
+    ).select(
+        "n_nationkey", "azimuth",
+        F.round(F.col("dest.lon") * 1e6, 0).cast("long").alias("dlon_e6"),
+        F.round(F.col("dest.lat") * 1e6, 0).cast("long").alias("dlat_e6"),
+    )
+
+
+def _o_geodesic_direct() -> str:
+    azvals = ", ".join(f"({a})" for a in AZIMUTHS)
+    lon2, lat2 = O.spherical_direct("p.lon", "p.lat", "CAST(az.azimuth AS DOUBLE)",
+                                    O._r(GEODESIC_DIST_M))
+    return f"""
+WITH p AS ({_points_cte('nation', ('n_nationkey',))}),
+az(azimuth) AS (VALUES {azvals})
+SELECT p.n_nationkey, CAST(az.azimuth AS INT) AS azimuth,
+       CAST(round({lon2} * 1e6, 0) AS BIGINT) AS dlon_e6,
+       CAST(round({lat2} * 1e6, 0) AS BIGINT) AS dlat_e6
+FROM p, az"""
+
+
+def q_datum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84→NAD27→WGS84 closure (datum pipeline, kernel/pl_datum.opencl)."""
+    pts = _points_df(spark, sf_dir, "customer", ("c_custkey",))
+    fwd = datum_shift_udf(Datum.WGS_84, Datum.NAD_27)
+    inv = datum_shift_udf(Datum.NAD_27, Datum.WGS_84)
+    df = (
+        pts.withColumn("s", fwd("lon", "lat"))
+        .withColumn("b", inv(F.col("s.lon"), F.col("s.lat")))
+        .select(
+            F.when(
+                # Toms 1996 ECEF→geodetic is approximate: closure ≤1.4e-7°
+                # at lat 80 (measured); 1e-6° ≈ 10 cm still beats the
+                # reference's 1-arc-second envelope 300×.
+                (F.abs(F.col("b.lon") - F.col("lon")) > 1e-6)
+                | (F.abs(F.col("b.lat") - F.col("lat")) > 1e-6),
+                1,
+            ).otherwise(0).alias("bad")
+        )
+    )
+    return df.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("bad").cast("long").alias("n_failed"),
+    )
+
+
+def _o_datum_roundtrip() -> str:
+    return ("SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS n_failed "
+            "FROM customer")
+
+
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk text into 16-char spans → explode → reassemble → rebuild.
+
+    The north-star per-row invariant: span sequences survive the round trip,
+    so the rebuilt text equals the source (the oracle)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(
+        "text IS NOT NULL AND length(text) > 0"
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, CAST(ceil(length(text) / 16.0) AS INT) - 1), "
+            "i -> struct('text' AS kind, substring(text, i * 16 + 1, 16) AS text, "
+            "CAST(NULL AS STRING) AS media_ref, i AS offset))"
+        ).alias("spans"),
+    )
+    rebuilt = reassemble(explode_spans(docs))
+    return rebuilt.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("array_join(transform(spans, s -> s.text), '')").alias("rebuilt"),
+    )
+
+
+def _o_span_roundtrip() -> str:
+    return ("SELECT doc_id, text AS rebuilt FROM documents "
+            "WHERE text IS NOT NULL AND length(text) > 0")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup histogram: group-size distribution of md5(text)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("sz"))
+    return groups.groupBy(F.col("sz").alias("group_size")).agg(
+        F.count("*").alias("n_groups")
+    )
+
+
+def _o_dedup_exact() -> str:
+    return ("SELECT sz AS group_size, count(*) AS n_groups FROM "
+            "(SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY 1) "
+            "GROUP BY 1")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_tokens"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    )
+
+
+def _o_token_stats() -> str:
+    return ("SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1")
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 300).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value") * 100, 0).cast("long").alias("sum_value_c"),
+    )
+
+
+def _o_events_tumbling() -> str:
+    return ("SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type, "
+            "count(*) AS n, CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_c "
+            "FROM events GROUP BY 1, 2")
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = cosine_topk(emb.filter(F.col("vec_id") < ANN_NQ), emb, k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("sim") * 1e6, 0).cast("long").alias("sim_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _o_ann_cosine() -> str:
+    dot = ("list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+    nq = ("sqrt(list_sum(list_transform(q.embedding, "
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    nc = ("sqrt(list_sum(list_transform(c.embedding, "
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return f"""
+WITH d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({dot} / ({nq} * {nc}), 6) AS sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {ANN_NQ} AND q.vec_id <> c.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
+       CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= {ANN_K}"""
+
+
+# ------------------------------------------------------------------ exports ---
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in PROJ_CASES:
+        out[name] = _q_proj_fwd(name)
+    out.update(
+        proj_roundtrip_closure=q_roundtrip_closure,
+        cell_count=q_cell_count,
+        tile_pyramid=q_tile_pyramid,
+        pip_triangles=q_pip_triangles,
+        knn_customer=q_knn_customer,
+        haversine_matrix=q_haversine_matrix,
+        geodesic_direct=q_geodesic_direct,
+        datum_roundtrip=q_datum_roundtrip,
+        span_roundtrip=q_span_roundtrip,
+        dedup_exact=q_dedup_exact,
+        token_stats=q_token_stats,
+        events_tumbling=q_events_tumbling,
+        ann_cosine=q_ann_cosine,
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name in PROJ_CASES:
+        out[name] = _o_proj_fwd(name)
+    out.update(
+        proj_roundtrip_closure=_o_roundtrip_closure(),
+        cell_count=_o_cell_count(),
+        tile_pyramid=_o_tile_pyramid(),
+        pip_triangles=_o_pip_triangles(),
+        knn_customer=_o_knn_customer(),
+        haversine_matrix=_o_haversine_matrix(),
+        geodesic_direct=_o_geodesic_direct(),
+        datum_roundtrip=_o_datum_roundtrip(),
+        span_roundtrip=_o_span_roundtrip(),
+        dedup_exact=_o_dedup_exact(),
+        token_stats=_o_token_stats(),
+        events_tumbling=_o_events_tumbling(),
+        ann_cosine=_o_ann_cosine(),
+    )
+    return out

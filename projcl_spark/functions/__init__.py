@@ -69,6 +69,24 @@ def datum_shift_udf(
     return _shift
 
 
+def spherical_direct_udf(distance_m: float):
+    """Forward geodesic at a fixed distance (reference op #11,
+    ``kernel/pl_geodesic.opencl:61-92``): (lon, lat, azimuth_deg) →
+    struct<lon, lat> destination on the authalic sphere."""
+
+    @F.pandas_udf(LONLAT_SCHEMA)
+    def _direct(lon: pd.Series, lat: pd.Series, az: pd.Series) -> pd.DataFrame:
+        lo, la = geod.spherical_direct(
+            lon.to_numpy(np.float64, na_value=np.nan),
+            lat.to_numpy(np.float64, na_value=np.nan),
+            az.to_numpy(np.float64, na_value=np.nan),
+            distance_m,
+        )
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    return _direct
+
+
 def vincenty_udf(spheroid: Spheroid = Spheroid.WGS_84):
     """Ellipsoidal geodesic distance (m) as a pandas UDF (4 cols → double)."""
 

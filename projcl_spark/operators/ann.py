@@ -1,0 +1,138 @@
+"""Approximate/exact nearest-neighbor search over embedding columns.
+
+Engine-added (SURVEY.md Table B; the reference's only "similarity" compute
+is the geodesic distance matrix, ``src/projcl_run.c:637-692``).  Two paths:
+
+- ``cosine_topk``: brute-force exact top-k — the oracle-comparable baseline.
+  The dot product stays JVM-side (``zip_with`` + ``aggregate`` higher-order
+  functions, whole-stage codegen; no Python).  Scale shape: |Q| × |C| via
+  broadcast of the (small) query side; ranking by a quantized similarity so
+  results are reproducible across engines and parallelism levels.
+- ``cosine_topk_lsh``: the 100-TB path — random-hyperplane signatures
+  (SimHash-style) bucket the corpus so only same-bucket candidates are
+  scored.  Probe multiple bucket permutations for recall; still exact
+  re-scoring inside buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def with_norm(df: DataFrame, col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.expr(f"sqrt({DOT.format(a=col, b=col)})"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, rank).
+
+    Self-matches (same id) are excluded.  Rank orders by
+    (round(sim, quantize) DESC, neighbor_id ASC) — quantized so float
+    summation-order differences can't flip ranks across engines/runs.
+    """
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", "q_norm",
+    )
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", "c_norm",
+    )
+    dot = DOT.format(a="q_vec", b="c_vec")
+    cand = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(F.expr(dot) / (F.col("q_norm") * F.col("c_norm")), quantize))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def simhash_signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Bit-signature of a vector against fixed hyperplanes, JVM-side.
+
+    Builds sum(v[i]·p[i]) per plane with ``aggregate`` over a zipped array —
+    no Python UDF; the planes ride in as array literals.
+    """
+    bits = []
+    for row in planes:
+        lit = "array(" + ",".join(repr(float(v)) for v in row) + ")"
+        dot = DOT.format(a=vec_col, b=lit)
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)")
+    packed = " + ".join(f"CAST({b} AS BIGINT) * {1 << i}" for i, b in enumerate(bits))
+    return F.expr(f"({packed})")
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    quantize: int = 6,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k (recall < 1 by design — the scale path).
+
+    Each of ``n_tables`` independent hyperplane sets produces a bucket id;
+    query and corpus rows meet on (table, bucket) equi-join keys — a
+    shuffle-partitionable join instead of a cross product.
+    """
+    tables = [(t, _hyperplanes(dim, n_bits, seed + t)) for t in range(n_tables)]
+
+    def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+        parts = [
+            base.select(
+                id_alias, vec_alias,
+                F.lit(t).alias("tbl"),
+                simhash_signature_col(vec_alias, planes).alias("bucket"),
+            )
+            for t, planes in tables
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    q = with_norm(bucketed(queries, "query_id", "q_vec"), "q_vec", "q_norm")
+    c = with_norm(bucketed(corpus, "neighbor_id", "c_vec"), "c_vec", "c_norm")
+    dot = DOT.format(a="q_vec", b="c_vec")
+    cand = (
+        q.join(c, ["tbl", "bucket"], "inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.expr(dot) / (F.col("q_norm") * F.col("c_norm")), quantize).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1,0 +1,277 @@
+"""Oracle-SQL twins: closed-form ANSI SQL for every forward projection.
+
+The driver's correctness gate runs each Spark query side-by-side with a
+DuckDB SQL oracle (same parquet inputs) and value-hashes the results.  For
+every projection the engine executes as an Arrow-batched pandas UDF, this
+module emits the *same math* as a SQL expression with the per-projection
+constants folded in as literals — computed by the very same ``prepare()``
+the UDF closure uses, so the oracle and the engine share one source of
+truth for (n, c, rho0, Krüger α, …).
+
+Iterative inverses are not SQL-expressible; they are validated by
+round-trip-closure invariant queries instead (reference oracle style:
+``/root/reference/test/projcl_test.c:648-669``).
+
+Dialect notes (DuckDB): no ``asinh``/``atanh``/``sinh``/``cosh`` — emitted
+as ``ln``/``exp`` identities; hex→bigint is ``CAST('0x…' AS BIGINT)``
+(Spark: ``conv(…,16,10)``).  Both engines evaluate IEEE float64, so results
+match the numpy core to a few ulp; queries quantize (``round``) outputs so
+value-hashes are stable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .core.params import ProjectionParams
+from .proj import _MODULES, resolve
+from .proj.robinson import C1 as ROB_C1
+from .proj.robinson import FXC, FYC, NODES
+from .proj.robinson import RC1 as ROB_RC1
+from .proj.robinson import _X as ROB_X
+from .proj.robinson import _Y as ROB_Y
+
+U60 = float(1 << 60)
+
+# ------------------------------------------------------------ primitives ---
+
+
+def _r(v: float) -> str:
+    """Full-precision float64 literal.
+
+    Scientific notation (17 significant digits round-trips float64 exactly)
+    — the exponent forces both DuckDB and Spark to parse it as DOUBLE rather
+    than DECIMAL (DuckDB's DECIMAL(18) overflows on long plain literals).
+    """
+    return f"{float(v):.17e}"
+
+
+def asinh_s(x: str) -> str:
+    return f"ln({x} + sqrt(({x})*({x}) + 1.0))"
+
+
+def atanh_s(x: str) -> str:
+    return f"(0.5 * ln((1.0 + {x}) / (1.0 - {x})))"
+
+
+def sinh_s(x: str) -> str:
+    return f"((exp({x}) - exp(-({x}))) / 2)"
+
+
+def cosh_s(x: str) -> str:
+    return f"((exp({x}) + exp(-({x}))) / 2)"
+
+
+def hash60(key: str, dialect: str) -> str:
+    """Deterministic uniform bigint in [0, 2^60) from a string SQL expr.
+
+    Must be bit-identical across Spark SQL and DuckDB (verified in tests).
+    """
+    if dialect == "spark":
+        return f"CAST(conv(substr(md5({key}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substring(md5({key}), 1, 15)) AS BIGINT)"
+
+
+def unit(key: str, dialect: str) -> str:
+    """Uniform double in [0, 1) from a string SQL expr."""
+    return f"({hash60(key, dialect)} / {_r(U60)})"
+
+
+def derived_lonlat(key: str, dialect: str,
+                   lon_rng=(-60.0, 60.0), lat_rng=(-40.0, 80.0)) -> tuple[str, str]:
+    """Deterministic (lon, lat) inside the reference test envelope
+    (projcl_test.c:31-35) from a row key — the geo derivation both the
+    engine queries and the DuckDB oracles share."""
+    u_lon = unit(f"'lon:' || {key}", dialect)
+    u_lat = unit(f"'lat:' || {key}", dialect)
+    lon = f"({_r(lon_rng[0])} + {_r(lon_rng[1] - lon_rng[0])} * {u_lon})"
+    lat = f"({_r(lat_rng[0])} + {_r(lat_rng[1] - lat_rng[0])} * {u_lat})"
+    return lon, lat
+
+
+def haversine(lon1: str, lat1: str, lon2: str, lat2: str, radius: float = 6370997.0) -> str:
+    """Same formula as ``pl_inverse_geodesic_s`` (kernel/pl_geodesic.opencl:31-59);
+    runs on both engines unchanged."""
+    return (
+        f"2.0 * {_r(radius)} * asin(sqrt(least(greatest("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2), 0.0), 1.0)))"
+    )
+
+
+def spherical_direct(lon: str, lat: str, az_deg: str, dist_m: str,
+                     radius: float = 6370997.0) -> tuple[str, str]:
+    """Forward geodesic, spherical (kernel/pl_geodesic.opencl:61-122) as SQL."""
+    sd = f"({dist_m} / {_r(radius)})"
+    phi1 = f"radians({lat})"
+    az = f"radians({az_deg})"
+    sinphi2 = f"(sin({phi1}) * cos({sd}) + cos({phi1}) * sin({sd}) * cos({az}))"
+    lat2 = f"degrees(asin(least(greatest({sinphi2}, -1.0), 1.0)))"
+    lon2 = (
+        f"degrees(radians({lon}) + atan2(sin({az}) * sin({sd}) * cos({phi1}), "
+        f"cos({sd}) - sin({phi1}) * {sinphi2}))"
+    )
+    return lon2, lat2
+
+
+# ------------------------------------------------- forward projection SQL ---
+
+
+def _qsfn_s(s: str, e: float, one_es: float) -> str:
+    con = f"({_r(e)} * {s})"
+    return f"({_r(one_es)} * ({s} / (1.0 - {con} * {con}) + {atanh_s(con)} / {_r(e)}))"
+
+
+def fwd_xy_sql(proj: str, params: ProjectionParams,
+               lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """(x_sql, y_sql) in DuckDB dialect for the projection's FORWARD map.
+
+    Transliterates the numpy ``forward`` of each projection module with the
+    constants from its ``prepare`` folded in as literals.
+    """
+    proj, params = resolve(proj, params)
+    C = _MODULES[proj].prepare(params)
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    phi = f"radians({lat})"
+
+    if proj == "mercator":
+        if C["spherical"]:
+            ys = asinh_s(f"tan({phi})")
+        else:
+            e = _r(C["ecc"])
+            ys = f"({asinh_s(f'tan({phi})')} - {e} * {atanh_s(f'({e} * sin({phi}))')})"
+        return f"({x0} + {sc} * radians({lon}))", f"({y0} + {sc} * {ys})"
+
+    lam = f"(radians({lon}) - {_r(C.get('lambda0', 0.0))})"
+
+    if proj in ("albers_equal_area", "lambert_conformal_conic"):
+        n, c, rho0 = _r(C["n"]), _r(C["c"]), _r(C["rho0"])
+        if proj == "albers_equal_area":
+            if C["spherical"]:
+                rho = f"sqrt({c} - 2.0 * {n} * sin({phi}))"
+            else:
+                rho = f"sqrt({c} - {n} * {_qsfn_s(f'sin({phi})', C['ecc'], C['one_ecc2'])})"
+        else:
+            if C["spherical"]:
+                rho = f"({c} * exp(-({n}) * {asinh_s(f'tan({phi})')}))"
+            else:
+                e = _r(C["ecc"])
+                rho = (f"({c} * exp(-({n}) * ({asinh_s(f'tan({phi})')}"
+                       f" - {e} * {atanh_s(f'({e} * sin({phi}))')})))")
+        x = f"({x0} + {sc} * {rho} * sin({lam} * {n}))"
+        y = f"({y0} + {sc} * ({rho0} - {rho} * cos({lam} * {n})))"
+        return x, y
+
+    if proj == "lambert_azimuthal_equal_area":
+        if C["spherical"]:
+            s0, c0 = _r(C["sinPhi0"]), _r(C["cosPhi0"])
+            b = f"sqrt(2.0 / (1.0 + {s0} * sin({phi}) + {c0} * cos({phi}) * cos({lam})))"
+            x = f"({x0} + {sc} * {b} * cos({phi}) * sin({lam}))"
+            y = f"({y0} + {sc} * {b} * ({c0} * sin({phi}) - {s0} * cos({phi}) * cos({lam})))"
+        else:
+            sinB = f"({_qsfn_s(f'sin({phi})', C['ecc'], C['one_ecc2'])} / {_r(C['qp'])})"
+            cosB = f"sqrt(1.0 - {sinB} * {sinB})"
+            s1, c1 = _r(C["sinB1"]), _r(C["cosB1"])
+            b = f"sqrt(2.0 / (1.0 + {s1} * {sinB} + {c1} * {cosB} * cos({lam})))"
+            x = f"({x0} + {sc} * {_r(C['xmf'])} * {b} * {cosB} * sin({lam}))"
+            y = f"({y0} + {sc} * {_r(C['ymf'])} * {b} * ({c1} * {sinB} - {s1} * {cosB} * cos({lam})))"
+        return x, y
+
+    if proj == "american_polyconic":
+        en = C["en"]
+        sp, cp = f"sin({phi})", f"cos({phi})"
+        E = f"({lam} * {sp})"
+        if C["spherical"]:
+            cot = f"({cp} / {sp})"
+            x_g = f"({cot} * sin({E}))"
+            y_g = f"({phi} - {_r(C['phi0'])} + {cot} * sin({E}) * tan(0.5 * {E}))"
+            x_eq, y_eq = lam, _r(-C["phi0"])
+        else:
+            es = C["ecc2"]
+            ml = (f"({_r(en[0])} * {phi} - {cp} * {sp} * ({_r(en[1])} + {sp} * {sp} * ({_r(en[2])}"
+                  f" + {sp} * {sp} * ({_r(en[3])} + {sp} * {sp} * {_r(en[4])}))))")
+            ms = f"({cp} / ({sp} * sqrt(1.0 - {_r(es)} * {sp} * {sp})))"
+            x_g = f"({ms} * sin({E}))"
+            y_g = f"(({ml} - {_r(C['ml0'])}) + {ms} * sin({E}) * tan(0.5 * {E}))"
+            x_eq = f"({lam} * {cp} / sqrt(1.0 - {_r(es)} * {sp} * {sp}))"
+            y_eq = f"({ml} - {_r(C['ml0'])})"
+        eq = f"(abs({sp}) < 1e-10)"
+        x = f"({x0} + {sc} * (CASE WHEN {eq} THEN {x_eq} ELSE {x_g} END))"
+        y = f"({y0} + {sc} * (CASE WHEN {eq} THEN {y_eq} ELSE {y_g} END))"
+        return x, y
+
+    if proj == "oblique_stereographic":
+        c0 = _r(C["c0"])
+        lam_c = f"({c0} * {lam})"
+        if C["spherical"]:
+            phic = phi
+        else:
+            e = _r(C["ecc"])
+            iso = asinh_s(f"tan({phi})")
+            corr = atanh_s(f"({e} * sin({phi}))")
+            arg = f"({_r(C['log_k0'])} + {c0} * ({iso} - {e} * {corr}))"
+            phic = f"atan({sinh_s(arg)})"
+        s0, cc0 = _r(C["sinPhiC0"]), _r(C["cosPhiC0"])
+        k = f"({sc} / (1.0 + {s0} * sin({phic}) + {cc0} * cos({phic}) * cos({lam_c})))"
+        x = f"({x0} + {k} * cos({phic}) * sin({lam_c}))"
+        y = f"({y0} + {k} * ({cc0} * sin({phic}) - {s0} * cos({phic}) * cos({lam_c})))"
+        return x, y
+
+    if proj == "transverse_mercator":
+        if C["spherical"]:
+            tau = f"tan({phi})"
+            hyp = f"sqrt({tau} * {tau} + cos({lam}) * cos({lam}))"
+            y = f"({y0} + {sc} * atan2({tau}, cos({lam})))"
+            x = f"({x0} + {sc} * {asinh_s(f'(sin({lam}) / {hyp})')})"
+            return x, y
+        e = _r(C["ecc"])
+        a = C["alpha"]
+        tau = f"tan({phi})"
+        sigma = sinh_s(f"({e} * {atanh_s(f'({e} * {tau} / sqrt(1.0 + {tau} * {tau}))')})")
+        tau1 = f"({tau} * sqrt(1.0 + {sigma} * {sigma}) - {sigma} * sqrt(1.0 + {tau} * {tau}))"
+        xi = f"atan2({tau1}, cos({lam}))"
+        eta = asinh_s(f"(sin({lam}) / sqrt({tau1} * {tau1} + cos({lam}) * cos({lam})))")
+        y_terms = " + ".join(
+            f"{_r(a[i])} * sin({2 * (i + 1)} * {xi}) * {cosh_s(f'({2 * (i + 1)} * {eta})')}"
+            for i in range(4)
+        )
+        x_terms = " + ".join(
+            f"{_r(a[i])} * cos({2 * (i + 1)} * {xi}) * {sinh_s(f'({2 * (i + 1)} * {eta})')}"
+            for i in range(4)
+        )
+        return (f"({x0} + {sc} * ({eta} + {x_terms}))",
+                f"({y0} + {sc} * ({xi} + {y_terms}))")
+
+    if proj == "robinson":
+        dphi = f"abs(radians({lat}))"
+        idx = f"least(CAST(floor({dphi} * {_r(ROB_C1)}) AS BIGINT), {NODES - 1})"
+        z = f"degrees({dphi} - {_r(ROB_RC1)} * {idx})"
+
+        def table_list(tbl, col):
+            return "list_value(" + ", ".join(_r(v) for v in tbl[:, col]) + ")"
+
+        def v_poly(tbl):
+            c0 = f"({table_list(tbl, 0)}[{idx} + 1])"
+            c1 = f"({table_list(tbl, 1)}[{idx} + 1])"
+            c2 = f"({table_list(tbl, 2)}[{idx} + 1])"
+            c3 = f"({table_list(tbl, 3)}[{idx} + 1])"
+            return f"({c0} + {z} * ({c1} + {z} * ({c2} + {z} * {c3})))"
+
+        x = f"({x0} + {sc} * {v_poly(ROB_X)} * {_r(FXC)} * radians({lon}))"
+        y = (f"({y0} + {sc} * (CASE WHEN radians({lat}) >= 0 THEN 1.0 ELSE -1.0 END)"
+             f" * {v_poly(ROB_Y)} * {_r(FYC)})")
+        return x, y
+
+    if proj == "winkel_tripel":
+        lam2 = f"(0.5 * {lam})"
+        cos_d = f"(cos({phi}) * cos({lam2}))"
+        d = f"acos(least(greatest({cos_d}, -1.0), 1.0))"
+        sin_d = f"sqrt(greatest(1.0 - {cos_d} * {cos_d}, 0.0))"
+        dos = (f"(CASE WHEN {d} = 0.0 THEN 1.0 ELSE {d} /"
+               f" (CASE WHEN {sin_d} = 0.0 THEN 1.0 ELSE {sin_d} END) END)")
+        x = f"({x0} + {sc} * ({lam2} * {_r(C['cosphi1'])} + {dos} * cos({phi}) * sin({lam2})))"
+        y = f"({y0} + {sc} * 0.5 * ({phi} + {dos} * sin({phi})))"
+        return x, y
+
+    raise KeyError(f"no SQL oracle for projection {proj!r}")

@@ -1,0 +1,109 @@
+"""Driver-gate rehearsal: run every ``queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet, compare row count,
+schema (column names) and values (column-name-sorted, row-sorted) — the
+same shape as the driver's CORRECTNESS check.
+
+Runs at sf0.001 for speed; ``python tests/test_oracle_parity.py /root/testdata/sf0.01``
+runs the full sf0.01 rehearsal standalone.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df, duck_df) -> list[str]:
+    errs = []
+    s, d = _normalize(spark_df), _normalize(duck_df)
+    if list(s.columns) != list(d.columns):
+        errs.append(f"{name}: columns {list(s.columns)} != {list(d.columns)}")
+        return errs
+    if len(s) != len(d):
+        errs.append(f"{name}: rows {len(s)} != {len(d)}")
+        return errs
+    for c in s.columns:
+        a, b = s[c].to_numpy(), d[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ok = np.allclose(a.astype(np.float64), b.astype(np.float64),
+                             rtol=0, atol=0, equal_nan=True)
+        else:
+            ok = (a == b).all()
+        if not ok:
+            bad = np.nonzero(a != b)[0][:3] if a.dtype == b.dtype else []
+            errs.append(f"{name}: col {c} mismatch (e.g. rows {list(bad)}: "
+                        f"{[(a[i], b[i]) for i in bad[:3]]})")
+    return errs
+
+
+NAMES = sorted(E.queries().keys())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, name):
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert name in os_, f"{name} has no oracle"
+    con = _duck(SF_DIR)
+    spark_pdf = qs[name](spark, SF_DIR).toPandas()
+    duck_pdf = con.execute(os_[name]).fetchdf()
+    errs = compare(name, spark_pdf, duck_pdf)
+    assert not errs, "\n".join(errs)
+    assert len(spark_pdf) > 0, f"{name}: empty result"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["poly_id", "n_docs", "n_spans"]
+    assert len(rows) >= 0
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
+    from projcl_spark.session import get_spark
+
+    spark = get_spark("parity", cores=8)
+    con = _duck(sf_dir)
+    qs, os_ = E.queries(), E.oracle_sql()
+    failed = 0
+    for name in sorted(qs):
+        try:
+            s = qs[name](spark, sf_dir).toPandas()
+            d = con.execute(os_[name]).fetchdf()
+            errs = compare(name, s, d)
+            if errs:
+                failed += 1
+                print(f"FAIL {name}: " + "; ".join(errs)[:300])
+            else:
+                print(f"ok   {name} ({len(s)} rows)")
+        except Exception as ex:  # noqa: BLE001
+            failed += 1
+            print(f"ERROR {name}: {str(ex)[:300]}")
+    print("failed:", failed)
+    sys.exit(1 if failed else 0)
