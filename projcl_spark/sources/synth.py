@@ -115,19 +115,24 @@ def geo_points(spark: SparkSession, n_docs: int, hotspot: bool = False) -> DataF
     )
 
 
-def points_fixture(spark: SparkSession, n: int = 200_000) -> DataFrame:
+def points_fixture(spark: SparkSession, n: int = 200_000,
+                   num_partitions: int | None = None) -> DataFrame:
     """The reference benchmark fixture: half 500-wide grid, half circle.
 
     Recipe from ``test/projcl_test.c:460-467`` (grid over the test envelope,
     circle of radius 40°), generated distributed from ``spark.range``.
+    ``num_partitions`` pins the input layout independently of cluster size
+    (a real table's file count doesn't change when executors are added) —
+    shuffle-free, unlike a repartition.
     """
     half = n // 2
-    grid = spark.range(half).select(
+    kw = {"numPartitions": num_partitions} if num_partitions else {}
+    grid = spark.range(0, half, 1, **kw).select(
         F.col("id").alias("pid"),
         (F.lit(LON_MIN) + (F.lit(LON_MAX) - F.lit(LON_MIN)) * (F.col("id") % 500) / 499.0).alias("lon"),
         (F.lit(LAT_MIN) + (F.lit(LAT_MAX) - F.lit(LAT_MIN)) * F.floor(F.col("id") / 500) / ((half / 500) - 1)).alias("lat"),
     )
-    circle = spark.range(half).select(
+    circle = spark.range(0, half, 1, **kw).select(
         (F.col("id") + half).alias("pid"),
         (-40.0 * F.cos(F.lit(2 * math.pi) * F.col("id") / (half - 1))).alias("lon"),
         (-40.0 * F.sin(F.lit(2 * math.pi) * F.col("id") / (half - 1))).alias("lat"),
