@@ -170,6 +170,139 @@ GEODESIC_DIST_M = 500_000.0
 
 ANN_K, ANN_NQ = 3, 16
 
+# ------------------------------------------------------------------- warp ---
+
+TILE_W = TILE_H = 64
+TILES_ACROSS = TILES_DOWN = 4
+IMG_W, IMG_H = TILES_ACROSS * TILE_W, TILES_DOWN * TILE_H
+GRID_W, GRID_H = 64, 48
+GRID_X0, GRID_Y0 = -2.0, -2.0  # slightly out of range → exercises edge clamp
+GRID_SX, GRID_SY = 260.0, 252.0
+
+WARP_DST = ("mercator", ProjectionParams())  # spherical: inverse is closed-form SQL
+WARP_SRC = ("albers_equal_area", ProjectionParams(spheroid=Spheroid.WGS_84, rlat1=30.0, rlat2=60.0))
+WARP_BOUNDS = (-4.4e6, -4.2e6, 4.4e6, 7.3e6)  # dst mercator meters
+WARP_SRC_ORIGIN = (-4.5e6, 2.5e6)
+WARP_SRC_PXSIZE = (40_000.0, 30_000.0)
+
+
+def _grid_cte() -> str:
+    """DuckDB twin of warp.grid_df over the sampler test grid."""
+    return (
+        f"SELECT CAST(floor(id / {GRID_W}) AS BIGINT) AS gi, "
+        f"CAST(id % {GRID_W} AS BIGINT) AS gj, "
+        f"({O._r(GRID_X0)} + {O._r(GRID_SX)} * (id % {GRID_W}) / {GRID_W - 1}) AS x, "
+        f"({O._r(GRID_Y0)} + {O._r(GRID_SY)} * floor(id / {GRID_W}) / {GRID_H - 1}) AS y "
+        f"FROM range({GRID_W * GRID_H}) t(id)"
+    )
+
+
+def _cubic_w_sql(t: str) -> list[str]:
+    return [
+        f"(0.5 * (-({t}) + 2.0*{t}*{t} - {t}*{t}*{t}))",
+        f"(0.5 * (2.0 - 5.0*{t}*{t} + 3.0*{t}*{t}*{t}))",
+        f"(0.5 * ({t} + 4.0*{t}*{t} - 3.0*{t}*{t}*{t}))",
+        f"(0.5 * (-({t}*{t}) + {t}*{t}*{t}))",
+    ]
+
+
+def _lin_w_sql(t: str) -> list[str]:
+    return [f"(1.0 - {t})", f"({t})"]
+
+
+def _tapsum_sql(filt: str, x: str = "x", y: str = "y") -> str:
+    """Analytic weighted tap sum — the oracle twin of warp.sample_tiles
+    (pixel values from oracle.pixel_sql; no tile table needed)."""
+    from projcl_spark.operators.warp import _taps
+
+    if filt == "nearest":
+        bx = f"CAST(floor({x} + 0.5) AS BIGINT)"
+        by = f"CAST(floor({y} + 0.5) AS BIGINT)"
+        fx = fy = None
+    else:
+        bx = f"CAST(floor({x}) AS BIGINT)"
+        by = f"CAST(floor({y}) AS BIGINT)"
+        fx = f"({x} - floor({x}))"
+        fy = f"({y} - floor({y}))"
+    terms = []
+    for dx, dy, kind in _taps(filt):
+        if kind == "one":
+            w = "1.0"
+        elif kind == "lin":
+            w = f"({_lin_w_sql(fx)[dx]} * {_lin_w_sql(fy)[dy]})"
+        elif kind == "cub":
+            w = f"({_cubic_w_sql(fx)[dx + 1]} * {_cubic_w_sql(fy)[dy + 1]})"
+        else:
+            w = f"({_lin_w_sql(fx)[dx]} * {_cubic_w_sql(fy)[dy + 1]})"
+        px = f"least(greatest({bx} + {dx}, 0), {IMG_W - 1})"
+        py = f"least(greatest({by} + {dy}, 0), {IMG_H - 1})"
+        terms.append(f"{w} * {O.pixel_sql(px, py)}")
+    s = "(" + " + ".join(terms) + ")"
+    if filt in ("bicubic", "quasi_bicubic"):
+        s = f"least(greatest({s}, 0.0), 255.0)"
+    return s
+
+
+def _q_warp_sample(filt: str) -> Callable:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from projcl_spark.operators.warp import grid_df, sample_tiles
+        from projcl_spark.sources.synth import tiles_df
+
+        tiles = tiles_df(spark, TILES_ACROSS, TILES_DOWN, TILE_W, TILE_H)
+        g = grid_df(spark, GRID_W, GRID_H, GRID_X0, GRID_Y0, GRID_SX, GRID_SY)
+        out = sample_tiles(g, tiles, TILE_W, TILE_H, TILES_ACROSS, TILES_DOWN, filter=filt)
+        return out.select(
+            "gi", "gj", F.round(F.col("value") * 1e6, 0).cast("long").alias("value_e6")
+        )
+
+    return q
+
+
+def _o_warp_sample(filt: str) -> str:
+    return (f"WITH g AS ({_grid_cte()}) "
+            f"SELECT gi, gj, CAST(round({_tapsum_sql(filt)} * 1e6, 0) AS BIGINT) AS value_e6 "
+            f"FROM g")
+
+
+def q_warp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full warp recipe (reference op #27): Mercator dst grid → inverse →
+    Albers forward → pixel coords → bilinear mosaic sample."""
+    from projcl_spark.operators.warp import warp as warp_op
+    from projcl_spark.sources.synth import tiles_df
+
+    tiles = tiles_df(spark, TILES_ACROSS, TILES_DOWN, TILE_W, TILE_H)
+    out = warp_op(
+        spark, tiles, GRID_W, GRID_H, WARP_BOUNDS,
+        WARP_DST[0], WARP_DST[1], WARP_SRC[0], WARP_SRC[1],
+        WARP_SRC_ORIGIN, WARP_SRC_PXSIZE,
+        TILE_W, TILE_H, TILES_ACROSS, TILES_DOWN, filter="bilinear",
+    )
+    return out.select(
+        "gi", "gj", F.round(F.col("value") * 1e6, 0).cast("long").alias("value_e6")
+    )
+
+
+def _o_warp_pipeline() -> str:
+    x0, y0, x1, y1 = WARP_BOUNDS
+    grid = (
+        f"SELECT CAST(floor(id / {GRID_W}) AS BIGINT) AS gi, "
+        f"CAST(id % {GRID_W} AS BIGINT) AS gj, "
+        f"({O._r(x0)} + {O._r(x1 - x0)} * (id % {GRID_W}) / {GRID_W - 1}) AS mx, "
+        f"({O._r(y0)} + {O._r(y1 - y0)} * floor(id / {GRID_W}) / {GRID_H - 1}) AS my "
+        f"FROM range({GRID_W * GRID_H}) t(id)"
+    )
+    lon, lat = O.mercator_inv_sql(WARP_DST[1], "mx", "my")
+    ax, ay = O.fwd_xy_sql(WARP_SRC[0], WARP_SRC[1], lon="lon", lat="lat")
+    ox, oy = WARP_SRC_ORIGIN
+    psx, psy = WARP_SRC_PXSIZE
+    return f"""
+WITH g AS ({grid}),
+ll AS (SELECT gi, gj, {lon} AS lon, {lat} AS lat FROM g),
+src AS (SELECT gi, gj, {ax} AS ax, {ay} AS ay FROM ll),
+pc AS (SELECT gi, gj, ((ax - {O._r(ox)}) / {O._r(psx)}) AS x, ((ay - {O._r(oy)}) / {O._r(psy)}) AS y FROM src)
+SELECT gi, gj, CAST(round({_tapsum_sql("bilinear")} * 1e6, 0) AS BIGINT) AS value_e6 FROM pc"""
+
+
 # ------------------------------------------------------------------ queries ---
 
 
@@ -582,7 +715,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token_stats=q_token_stats,
         events_tumbling=q_events_tumbling,
         ann_cosine=q_ann_cosine,
+        warp_pipeline=q_warp_pipeline,
     )
+    for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
+        out[f"warp_{filt}"] = _q_warp_sample(filt)
     return out
 
 
@@ -604,5 +740,8 @@ def oracle_sql() -> dict[str, str]:
         token_stats=_o_token_stats(),
         events_tumbling=_o_events_tumbling(),
         ann_cosine=_o_ann_cosine(),
+        warp_pipeline=_o_warp_pipeline(),
     )
+    for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
+        out[f"warp_{filt}"] = _o_warp_sample(filt)
     return out

@@ -115,6 +115,29 @@ def spherical_direct(lon: str, lat: str, az_deg: str, dist_m: str,
     return lon2, lat2
 
 
+def pixel_sql(px: str, py: str, dialect: str = "duck") -> str:
+    """The synthetic mosaic's pixel intensity as SQL — the analytic twin of
+    ``sources.synth.pixel_value`` (value depends only on GLOBAL coords, so
+    oracles verify tiled sampling without reconstructing the tile table)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    key = f"'px:' || CAST({px} AS {s}) || ':' || CAST({py} AS {s})"
+    return f"(({px} * 3 + {py} * 7 + ({hash60(key, dialect)} % 32)) % 256)"
+
+
+def mercator_inv_sql(params: ProjectionParams, x: str, y: str) -> tuple[str, str]:
+    """Spherical-Mercator INVERSE as SQL (closed-form, unlike the iterative
+    ellipsoidal inverses) — lets the warp-pipeline oracle chain
+    dst-inverse → src-forward entirely in DuckDB."""
+    from .proj import mercator
+
+    C = mercator.prepare(params)
+    if not C["spherical"]:
+        raise ValueError("only the spherical Mercator inverse is closed-form SQL")
+    xs = f"(({x} - {_r(C['x0'])}) / {_r(C['scale'])})"
+    ys = f"(({y} - {_r(C['y0'])}) / {_r(C['scale'])})"
+    return f"degrees({xs})", f"degrees(atan({sinh_s(ys)}))"
+
+
 # ------------------------------------------------- forward projection SQL ---
 
 

@@ -196,6 +196,19 @@ def polygons_df(spark: SparkSession, n_polys: int = 64, seed: int = 42, res: int
 
 # ------------------------------------------------------------------ tiles ---
 
+def pixel_value(px: F.Column, py: F.Column) -> F.Column:
+    """Deterministic pixel intensity as a pure function of GLOBAL image
+    coordinates: gradient + md5 noise, in [0, 255].
+
+    Because the value depends only on (px, py) — not on the tile layout —
+    a DuckDB oracle can verify any tiled-sampling result analytically
+    without reconstructing the tile table (see ``oracle.pixel_sql``).
+    """
+    key = F.concat(F.lit("px:"), px.cast("string"), F.lit(":"), py.cast("string"))
+    noise = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 32
+    return ((px * 3 + py * 7 + noise) % 256).cast("int")
+
+
 def tiles_df(
     spark: SparkSession,
     tiles_across: int = 4,
@@ -206,7 +219,7 @@ def tiles_df(
     """Raster tile table mirroring ``PLImageArrayBuffer``
     (``include/projcl/projcl_warp.h:22-28``): one row per tile,
     tile_id = row·across + col (row-first, projcl_warp.h:51-52), pixels =
-    row-major packed RGBA ints with a deterministic gradient + hash noise.
+    row-major ints from ``pixel_value`` over global coordinates.
     """
     t = spark.range(tiles_across * tiles_down).select(
         F.col("id").alias("tile_id"),
@@ -217,13 +230,9 @@ def tiles_df(
     )
     px = F.transform(
         F.sequence(F.lit(0), F.lit(width * height - 1)),
-        lambda i: (
-            (
-                (F.col("tile_col") * width + i % width) * 3  # R: x gradient
-                + (F.col("tile_row") * height + (i / width).cast("int")) * 7  # G-ish
-                + _h(F.concat(F.col("tile_id"), F.lit("/"), i.cast("string")), "px") % 32
-            )
-            % 256
-        ).cast("int"),
+        lambda i: pixel_value(
+            (F.col("tile_col") * width + i % width).cast("long"),
+            (F.col("tile_row") * height + F.floor(i / width)).cast("long"),
+        ),
     )
     return t.select("tile_id", "tile_row", "tile_col", "width", "height", px.alias("pixels"))

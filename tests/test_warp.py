@@ -1,0 +1,78 @@
+"""Warp-path unit tests (grid gen, affine, samplers vs direct numpy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from projcl_spark.operators.warp import affine_grid, grid_df, sample_tiles
+from projcl_spark.sources.synth import tiles_df
+
+
+def test_grid_linspace_semantics(spark):
+    """x = origin + size·j/(n−1) exactly (pl_warp.opencl:15-16)."""
+    g = grid_df(spark, 5, 3, 10.0, -4.0, 8.0, 6.0).toPandas().sort_values(["gi", "gj"])
+    assert len(g) == 15
+    np.testing.assert_allclose(
+        g[g.gi == 0]["x"].to_numpy(), 10.0 + 8.0 * np.arange(5) / 4.0, rtol=0
+    )
+    np.testing.assert_allclose(
+        g[g.gj == 0]["y"].to_numpy(), -4.0 + 6.0 * np.arange(3) / 2.0, rtol=0
+    )
+
+
+def test_affine_grid(spark):
+    g = grid_df(spark, 3, 2, 0.0, 0.0, 2.0, 1.0)
+    m = (2.0, 0.5, 10.0, -1.0, 3.0, 5.0)
+    out = affine_grid(g, m).toPandas().sort_values(["gi", "gj"])
+    src = g.toPandas().sort_values(["gi", "gj"])
+    np.testing.assert_allclose(out["x"], 2.0 * src["x"] + 0.5 * src["y"] + 10.0)
+    np.testing.assert_allclose(out["y"], -1.0 * src["x"] + 3.0 * src["y"] + 5.0)
+
+
+def test_nearest_sampler_exact_pixels(spark):
+    """Integer coords hit the pixel exactly; sum of all values matches a
+    direct numpy evaluation of the analytic pixel function."""
+    tiles = tiles_df(spark, 2, 2, 8, 8)
+    g = grid_df(spark, 4, 4, 0.0, 0.0, 12.0, 12.0)  # integer coords 0,4,8,12
+    out = sample_tiles(g, tiles, 8, 8, 2, 2, filter="nearest").toPandas()
+    pix = {(r.gi, r.gj): r.value for r in out.itertuples()}
+    import hashlib
+
+    def pixel(px, py):
+        h = int(hashlib.md5(f"px:{px}:{py}".encode()).hexdigest()[:15], 16)
+        return (px * 3 + py * 7 + h % 32) % 256
+
+    for gi in range(4):
+        for gj in range(4):
+            px, py = min(gj * 4, 15), min(gi * 4, 15)
+            assert pix[(gi, gj)] == pixel(px, py), (gi, gj)
+
+
+def test_bilinear_interpolates_between_pixels(spark):
+    """At half-pixel offsets the result is the mean of the 4 neighbors."""
+    tiles = tiles_df(spark, 2, 2, 8, 8)
+    g = spark.createDataFrame([(0, 0, 3.5, 5.5)], "gi int, gj int, x double, y double")
+    out = sample_tiles(g, tiles, 8, 8, 2, 2, filter="bilinear").toPandas()
+    import hashlib
+
+    def pixel(px, py):
+        h = int(hashlib.md5(f"px:{px}:{py}".encode()).hexdigest()[:15], 16)
+        return (px * 3 + py * 7 + h % 32) % 256
+
+    expect = np.mean([pixel(3, 5), pixel(4, 5), pixel(3, 6), pixel(4, 6)])
+    assert abs(out["value"][0] - expect) < 1e-9
+
+
+def test_bicubic_reproduces_at_nodes(spark):
+    """Catmull-Rom interpolates through the data: at integer coords the
+    result equals the pixel value (within clamp range)."""
+    tiles = tiles_df(spark, 2, 2, 8, 8)
+    g = spark.createDataFrame([(0, 0, 5.0, 6.0)], "gi int, gj int, x double, y double")
+    out = sample_tiles(g, tiles, 8, 8, 2, 2, filter="bicubic").toPandas()
+    import hashlib
+
+    h = int(hashlib.md5(b"px:5:6").hexdigest()[:15], 16)
+    expect = (5 * 3 + 6 * 7 + h % 32) % 256
+    assert abs(out["value"][0] - expect) < 1e-9
