@@ -694,6 +694,27 @@ SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
 FROM r WHERE rnk <= {ANN_K}"""
 
 
+# ------------------------------------------------------- text/dedup suite ---
+
+
+def _q_text(name: str) -> Callable:
+    from projcl_spark.operators.text import text_queries_sql
+
+    sql = text_queries_sql("spark")[name]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.read.parquet(_t(sf_dir, "documents")).createOrReplaceTempView("documents")
+        return spark.sql(sql)
+
+    return q
+
+
+def _text_names() -> list[str]:
+    from projcl_spark.operators.text import text_queries_sql
+
+    return sorted(text_queries_sql("duck").keys())
+
+
 # ------------------------------------------------------------------ exports ---
 
 
@@ -719,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
+    for name in _text_names():
+        out[name] = _q_text(name)
     return out
 
 
@@ -744,4 +767,7 @@ def oracle_sql() -> dict[str, str]:
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)
+    from projcl_spark.operators.text import text_queries_sql
+
+    out.update(text_queries_sql("duck"))
     return out

@@ -1,0 +1,303 @@
+"""Training-data text operators: dedup (exact, MinHash+LSH, SimHash,
+n-gram Jaccard), language-ID, quality scoring, winnowing fingerprints.
+
+Engine-added (nothing text-shaped exists in the reference); these are the
+document-pipeline counterparts the 100-TB engine needs alongside the
+geospatial core.  Every operator is expressed as ONE dialect-templated SQL
+string: the Spark query runs the ``spark`` rendering (pure built-in
+higher-order array functions — whole-stage codegen, no Python), the DuckDB
+correctness oracle runs the ``duck`` rendering, so both engines execute the
+same algorithm by construction.
+
+Hashes are md5→bigint (deterministic, identical across engines; see
+``oracle.hash60``) — never engine-native hash functions.
+
+Scale notes: MinHash/SimHash/fingerprints are per-row map work (no
+shuffle); the LSH candidate join shuffles on (band, band_key) — bounded
+bucket sizes by construction; pair dedup via ``a.doc_id < b.doc_id``.
+"""
+
+from __future__ import annotations
+
+from ..oracle import hash60
+
+K_MINHASH = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+SIMHASH_BITS = 16
+SHINGLE_N = 3
+WINNOW_K = 8   # char k-grams
+WINNOW_W = 4   # winnowing window
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "de", "y", "una"),
+}
+
+
+# ------------------------------------------------------- dialect helpers ---
+
+
+def _d(dialect: str) -> dict:
+    if dialect == "spark":
+        return dict(
+            T="transform", FILT="filter", MIN="array_min", SIZE="size",
+            DIST="array_distinct", SUML="aggregate({x}, CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+            STR="STRING",
+        )
+    return dict(
+        T="list_transform", FILT="list_filter", MIN="list_min", SIZE="len",
+        DIST="list_distinct", SUML="list_sum({x})", STR="VARCHAR",
+    )
+
+
+def _seq(a, b, dialect: str) -> str:
+    """Integer list [a..b] inclusive.
+
+    CAUTION: for b < a Spark's ``sequence`` yields a DESCENDING range while
+    DuckDB's ``range`` yields an empty list — callers must guarantee b ≥ a
+    (the query templates filter short documents up front)."""
+    if dialect == "spark":
+        return f"sequence({a}, {b})"
+    return f"range({a}, ({b}) + 1)"
+
+
+def _slice(x, start, n, dialect: str) -> str:
+    """n elements of x from 1-based position ``start``."""
+    if dialect == "spark":
+        return f"slice({x}, {start}, {n})"
+    return f"list_slice({x}, {start}, ({start}) + ({n}) - 1)"
+
+
+def _get(x, i, dialect: str) -> str:
+    """1-based element access."""
+    return f"element_at({x}, {i})" if dialect == "spark" else f"({x})[{i}]"
+
+
+def _join_str(x, sep, dialect: str) -> str:
+    return (f"array_join({x}, '{sep}')" if dialect == "spark"
+            else f"array_to_string({x}, '{sep}')")
+
+
+def tokens(text: str, dialect: str) -> str:
+    return f"split({text}, ' ')" if dialect == "spark" else f"string_split({text}, ' ')"
+
+
+def _h60_of(expr: str, salt: str, dialect: str) -> str:
+    return hash60(f"'{salt}:' || {expr}", dialect)
+
+
+# ------------------------------------------------------------- operators ---
+
+
+def shingles_sql(toks: str, dialect: str, n: int = SHINGLE_N) -> str:
+    """Token n-gram strings (empty list for docs shorter than n tokens)."""
+    D = _d(dialect)
+    seq = _seq("0", f"{D['SIZE']}({toks}) - {n}", dialect)
+    gram = _join_str(_slice(toks, "i + 1", n, dialect), " ", dialect)
+    return f"{D['T']}({seq}, i -> {gram})"
+
+
+def minhash_sql(sh: str, dialect: str, k: int = K_MINHASH) -> str:
+    """k-component MinHash signature (array<bigint>) of a shingle list."""
+    D = _d(dialect)
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    inner = _h60_of(f"CAST(j AS {s}) || ':' || s", "mh", dialect)
+    per_j = f"{D['MIN']}({D['T']}({sh}, s -> {inner}))"
+    return f"{D['T']}({_seq('0', str(k - 1), dialect)}, j -> {per_j})"
+
+
+def band_keys_sql(sig: str, dialect: str,
+                  bands: int = LSH_BANDS, k: int = K_MINHASH) -> str:
+    """LSH band keys: md5 of each (k/bands)-row slice of the signature."""
+    D = _d(dialect)
+    rows = k // bands
+    sl = _slice(sig, f"b * {rows} + 1", rows, dialect)
+    cast = f"{D['T']}({sl}, v -> CAST(v AS {D['STR']}))"
+    return (f"{D['T']}({_seq('0', str(bands - 1), dialect)}, "
+            f"b -> md5({_join_str(cast, '|', dialect)}))")
+
+
+def sig_match_sql(sa: str, sb: str, dialect: str, k: int = K_MINHASH) -> str:
+    """Number of equal components between two signatures."""
+    D = _d(dialect)
+    eq = f"CASE WHEN {_get(sa, 'i', dialect)} = {_get(sb, 'i', dialect)} THEN 1 ELSE 0 END"
+    lst = f"{D['T']}({_seq('1', str(k), dialect)}, i -> CAST({eq} AS BIGINT))"
+    return D["SUML"].format(x=lst)
+
+
+def simhash_sql(toks: str, dialect: str, bits: int = SIMHASH_BITS) -> str:
+    """SimHash: bit b set iff sum over tokens of ±1 (by bit b of the token
+    hash) is ≥ 0.  Packed into a BIGINT.
+
+    Bit extraction uses integer shift operators in both dialects — never
+    floating division (Spark truncates double→int casts, DuckDB rounds)."""
+    D = _d(dialect)
+    th = _h60_of("t", "simhash", dialect)
+    if dialect == "spark":
+        bit_b = f"(shiftright({th}, b) & 1)"
+        pow_b = "shiftleft(CAST(1 AS BIGINT), b)"
+    else:
+        bit_b = f"(({th} >> b) & 1)"
+        pow_b = "(CAST(1 AS BIGINT) << b)"
+    pm = f"CASE WHEN {bit_b} = 1 THEN 1 ELSE -1 END"
+    tot = D["SUML"].format(x=f"{D['T']}({toks}, t -> CAST({pm} AS BIGINT))")
+    bit = f"CASE WHEN {tot} >= 0 THEN {pow_b} ELSE CAST(0 AS BIGINT) END"
+    lst = f"{D['T']}({_seq('0', str(bits - 1), dialect)}, b -> {bit})"
+    return D["SUML"].format(x=lst)
+
+
+def jaccard_sql(sha: str, shb: str, dialect: str) -> str:
+    """Exact Jaccard of DISTINCT shingle sets ×1e6 (BIGINT)."""
+    D = _d(dialect)
+    if dialect == "spark":
+        inter = f"size(array_intersect({sha}, {shb}))"
+        union = f"size(array_union({sha}, {shb}))"
+    else:
+        inter = f"len(list_intersect({sha}, {shb}))"
+        union = (f"(len(list_distinct({sha})) + len(list_distinct({shb})) "
+                 f"- len(list_intersect({sha}, {shb})))")
+    return (f"CAST(round(CAST({inter} AS DOUBLE) / "
+            f"(CASE WHEN {union} = 0 THEN 1 ELSE {union} END) * 1e6, 0) AS BIGINT)")
+
+
+def stopword_score_sql(toks: str, lang: str, dialect: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    D = _d(dialect)
+    if dialect == "spark":
+        cond = f"array_contains(array({words}), t)"
+    else:
+        cond = f"list_contains([{words}], t)"
+    return f"{D['SIZE']}({D['FILT']}({toks}, t -> {cond}))"
+
+
+def winnow_sql(text: str, dialect: str, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """Winnowing fingerprints: char k-gram hashes → per-window minima →
+    distinct list (standard MOSS-style document fingerprint).
+
+    Precondition: length(text) ≥ k + w (callers filter; Spark's ``sequence``
+    would otherwise produce a DESCENDING range instead of an empty list)."""
+    D = _d(dialect)
+    size = D["SIZE"]
+    gram = f"substring({text}, i + 1, {k})"
+    seq_h = _seq("0", f"length({text}) - {k}", dialect)
+    hashes = f"{D['T']}({seq_h}, i -> {_h60_of(gram, 'fp', dialect)})"
+    ph = "__HLIST__"
+    win_min = f"{D['MIN']}({_slice(ph, 'i + 1', w, dialect)})"
+    seq_w = _seq("0", f"{size}({ph}) - {w}", dialect)
+    wins = f"{D['T']}({seq_w}, i -> {win_min})"
+    return f"{D['DIST']}({wins})".replace(ph, f"({hashes})")
+
+
+# -------------------------------------------------------- query templates ---
+
+
+def text_queries_sql(dialect: str) -> dict[str, str]:
+    """The six text/dedup queries, rendered for one dialect.
+
+    The Spark engine executes the ``spark`` rendering over a ``documents``
+    temp view; the DuckDB oracle executes the ``duck`` rendering over the
+    pre-registered ``documents`` view — same algorithm by construction.
+    Near-dup pairs are made non-degenerate by synthesizing a mutated copy
+    (first token dropped) of every 5th document inside the query itself.
+    """
+    instr = "instr(text, ' ')" if dialect == "spark" else "strpos(text, ' ')"
+    toks = tokens("text", dialect)
+    sh = shingles_sql(toks, dialect)
+    dsh = _d(dialect)["DIST"] + f"({sh})"
+
+    base = ("SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL AND length(text) >= 48")
+    mut = (f"SELECT doc_id + 10000000 AS doc_id, substring(text, {instr} + 1) AS text "
+           f"FROM base WHERE doc_id % 5 = 0")
+
+    minhash_pairs = f"""
+WITH base AS ({base}),
+mut AS ({mut}),
+all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+sig AS (SELECT doc_id, {minhash_sql(sh, dialect)} AS sig,
+               {band_keys_sql(minhash_sql(sh, dialect), dialect)} AS keys
+        FROM all_docs),
+bandrows AS (
+  SELECT doc_id, 0 AS band_idx, {_get('keys', 1, dialect)} AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, {_get('keys', 2, dialect)} FROM sig
+  UNION ALL SELECT doc_id, 2, {_get('keys', 3, dialect)} FROM sig
+  UNION ALL SELECT doc_id, 3, {_get('keys', 4, dialect)} FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b, {sig_match_sql('x.sig', 'y.sig', dialect)} AS n_match
+FROM pairs p
+JOIN sig x ON x.doc_id = p.doc_a
+JOIN sig y ON y.doc_id = p.doc_b"""
+
+    simhash = f"""
+WITH base AS ({base})
+SELECT doc_id, {simhash_sql(toks, dialect)} AS simhash FROM base"""
+
+    jaccard = f"""
+WITH base AS ({base}),
+mut AS ({mut})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {jaccard_sql(dsh.replace('text', 'a.text'), dsh.replace('text', 'b.text'), dialect)} AS jac_e6
+FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+UNION ALL
+SELECT a.doc_id AS doc_a, m.doc_id AS doc_b,
+       {jaccard_sql(dsh.replace('text', 'a.text'), dsh.replace('text', 'm.text'), dialect)} AS jac_e6
+FROM base a JOIN mut m ON m.doc_id = a.doc_id + 10000000"""
+
+    scores = {lg: stopword_score_sql("toks", lg, dialect) for lg in STOPWORDS}
+    pred = (f"CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            f"WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            f"WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END")
+    langid = f"""
+WITH base AS (SELECT doc_id, lang, {toks} AS toks FROM documents
+              WHERE text IS NOT NULL AND length(text) >= 48),
+scored AS (SELECT doc_id, lang, {scores['en']} AS s_en, {scores['de']} AS s_de,
+                  {scores['fr']} AS s_fr, {scores['es']} AS s_es FROM base)
+SELECT lang, {pred} AS predicted, count(*) AS n
+FROM scored GROUP BY 1, 2"""
+
+    feats = quality_features_sql("text", toks, dialect)
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in feats.items())
+    quality = f"WITH base AS ({base}) SELECT doc_id, {cols} FROM base"
+
+    fps = winnow_sql("text", dialect)
+    D = _d(dialect)
+    fingerprint = f"""
+WITH base AS ({base}),
+fp AS (SELECT doc_id, {fps} AS fps FROM base)
+SELECT doc_id, CAST({D['SIZE']}(fps) AS BIGINT) AS n_fp,
+       {D['MIN']}(fps) AS min_fp
+FROM fp"""
+
+    return {
+        "dedup_minhash": minhash_pairs,
+        "dedup_simhash": simhash,
+        "dedup_jaccard": jaccard,
+        "lang_id": langid,
+        "doc_quality": quality,
+        "doc_fingerprint": fingerprint,
+    }
+
+
+def quality_features_sql(text: str, toks: str, dialect: str) -> dict[str, str]:
+    """Quantized per-doc quality features (all integers → exact parity)."""
+    D = _d(dialect)
+    n_tok = f"{D['SIZE']}({toks})"
+    n_chars = f"length({text})"
+    distinct_ratio = (f"CAST(round(CAST({D['SIZE']}({D['DIST']}({toks})) AS DOUBLE) / "
+                      f"(CASE WHEN {n_tok} = 0 THEN 1 ELSE {n_tok} END) * 1e6, 0) AS BIGINT)")
+    mean_tok_len = (f"CAST(round(CAST({n_chars} AS DOUBLE) / "
+                    f"(CASE WHEN {n_tok} = 0 THEN 1 ELSE {n_tok} END) * 1e3, 0) AS BIGINT)")
+    stop_ratio = (f"CAST(round(CAST({stopword_score_sql(toks, 'en', dialect)} AS DOUBLE) / "
+                  f"(CASE WHEN {n_tok} = 0 THEN 1 ELSE {n_tok} END) * 1e6, 0) AS BIGINT)")
+    return {
+        "n_tokens": f"CAST({n_tok} AS BIGINT)",
+        "distinct_ratio_e6": distinct_ratio,
+        "mean_tok_len_e3": mean_tok_len,
+        "stopword_ratio_e6": stop_ratio,
+    }

@@ -1,0 +1,141 @@
+"""Stage-level checkpointing with per-partition lineage + metrics (north
+rule: every pipeline stage checkpoints so runs resume mid-pipeline).
+
+The reference has no persistence at all (its "sink" is a blocking device
+read-back, ``src/projcl_run.c:273-285``); this is engine-added scaffolding
+for 10^12-row pipelines where any stage can die and re-running finished
+stages is unaffordable.
+
+Layout (table-format-agnostic: parquet dirs in the sandbox; the same call
+sites target Iceberg tables via ``df.writeTo(...)`` on a real cluster —
+swap ``_write``/``_read``):
+
+    {root}/{run_id}/{stage}/data/        stage output (parquet)
+    {root}/{run_id}/{stage}/_lineage/    per-partition rows:
+        (run_id, stage, partition_id, n_rows, wall_ms, inputs, finished_at)
+    {root}/{run_id}/{stage}/_OK          commit marker (atomic rename)
+
+Resume contract: a stage re-runs iff its ``_OK`` marker is absent; finished
+stages are served from their checkpoint, so a driver crash between stages
+loses at most the in-flight stage.  Lineage rows are computed from the data
+actually written (count per ``spark_partition_id``), not from what the
+planner intended — they double as row-count audit records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, root: str, run_id: str):
+        self.spark = spark
+        self.root = root
+        self.run_id = run_id
+        self._stages: list[str] = []
+        self.ran: list[str] = []      # stages executed this invocation
+        self.resumed: list[str] = []  # stages served from checkpoint
+
+    # ----------------------------------------------------------- storage ---
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, self.run_id, stage)
+
+    def _ok(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "_OK")
+
+    def is_done(self, stage: str) -> bool:
+        return os.path.exists(self._ok(stage))
+
+    def _write(self, df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").parquet(path)
+
+    def _read(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    # ------------------------------------------------------------ stages ---
+
+    def stage(
+        self,
+        name: str,
+        fn: Callable[..., DataFrame],
+        inputs: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Run (or resume) one named stage.
+
+        ``fn`` receives the checkpointed DataFrames of ``inputs`` and must
+        return the stage's output DataFrame.  Output is checkpointed before
+        anything downstream sees it — downstream stages therefore re-read a
+        stable, re-partitionable parquet snapshot instead of recomputing the
+        upstream plan (also breaks lineage for very deep plans).
+        """
+        if name in self._stages:
+            raise ValueError(f"duplicate stage {name!r}")
+        self._stages.append(name)
+        data_path = os.path.join(self._dir(name), "data")
+        if self.is_done(name):
+            self.resumed.append(name)
+            return self._read(data_path)
+
+        t0 = time.time()
+        out = fn(*[self._read(os.path.join(self._dir(i), "data")) for i in inputs])
+        self._write(out, data_path)
+        wall_ms = int((time.time() - t0) * 1000)
+
+        # lineage from what was actually written
+        written = self._read(data_path)
+        lineage = (
+            written.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("n_rows"))
+            .select(
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(name).alias("stage"),
+                "partition_id",
+                "n_rows",
+                F.lit(wall_ms).alias("wall_ms"),
+                F.lit(",".join(inputs)).alias("inputs"),
+                F.current_timestamp().alias("finished_at"),
+            )
+        )
+        self._write(lineage, os.path.join(self._dir(name), "_lineage"))
+        with open(self._ok(name), "w") as f:
+            json.dump({"stage": name, "wall_ms": wall_ms,
+                       "inputs": list(inputs)}, f)
+        self.ran.append(name)
+        return written
+
+    # ----------------------------------------------------------- queries ---
+
+    def lineage(self) -> DataFrame:
+        """All lineage rows of this run (every committed stage)."""
+        paths = [
+            os.path.join(self._dir(s), "_lineage")
+            for s in self._stages
+            if self.is_done(s)
+        ]
+        dfs = [self._read(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionAll(d)
+        return out
+
+    def metrics(self) -> dict:
+        """Per-stage wall/row metrics from the commit markers + lineage."""
+        out = {}
+        for s in self._stages:
+            if not self.is_done(s):
+                continue
+            with open(self._ok(s)) as f:
+                meta = json.load(f)
+            n = self._read(os.path.join(self._dir(s), "_lineage")).agg(
+                F.sum("n_rows")
+            ).first()[0]
+            out[s] = {"wall_ms": meta["wall_ms"], "n_rows": int(n or 0),
+                      "inputs": meta["inputs"]}
+        return out

@@ -1,0 +1,94 @@
+"""Checkpoint/lineage pipeline tests: resume-from-checkpoint semantics,
+per-partition lineage rows, metrics — the north rule's persistence story."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from projcl_spark.plans.checkpoint import Pipeline
+
+
+def _build(spark, root, run_id, counter):
+    p = Pipeline(spark, root, run_id)
+
+    def s1():
+        counter["s1"] += 1
+        return spark.range(1000).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        )
+
+    def s2(df):
+        counter["s2"] += 1
+        return df.groupBy("k").agg(F.count("*").alias("n"))
+
+    def s3(df):
+        counter["s3"] += 1
+        return df.agg(F.sum("n").alias("total"))
+
+    p.stage("gen", s1)
+    p.stage("agg", s2, inputs=("gen",))
+    out = p.stage("total", s3, inputs=("agg",))
+    return p, out
+
+
+def test_pipeline_runs_and_resumes(spark, tmp_path):
+    root, run_id = str(tmp_path), f"run-{uuid.uuid4().hex[:8]}"
+    counter = {"s1": 0, "s2": 0, "s3": 0}
+
+    p1, out1 = _build(spark, root, run_id, counter)
+    assert out1.first()["total"] == 1000
+    assert p1.ran == ["gen", "agg", "total"] and not p1.resumed
+    assert counter == {"s1": 1, "s2": 1, "s3": 1}
+
+    # same run id → every stage resumes from checkpoint, zero recompute
+    p2, out2 = _build(spark, root, run_id, counter)
+    assert out2.first()["total"] == 1000
+    assert p2.resumed == ["gen", "agg", "total"] and not p2.ran
+    assert counter == {"s1": 1, "s2": 1, "s3": 1}
+
+
+def test_pipeline_resumes_mid_run(spark, tmp_path):
+    """Crash after stage 2 → re-run recomputes ONLY stage 3."""
+    root, run_id = str(tmp_path), f"run-{uuid.uuid4().hex[:8]}"
+    counter = {"s1": 0, "s2": 0, "s3": 0}
+
+    # simulate a partial run: execute only the first two stages
+    p = Pipeline(spark, root, run_id)
+    p.stage("gen", lambda: (counter.__setitem__("s1", counter["s1"] + 1),
+                            spark.range(1000).select("id", (F.col("id") % 7).alias("k")))[1])
+    p.stage("agg", lambda df: (counter.__setitem__("s2", counter["s2"] + 1),
+                               df.groupBy("k").agg(F.count("*").alias("n")))[1],
+            inputs=("gen",))
+
+    p2, out = _build(spark, root, run_id, counter)
+    assert out.first()["total"] == 1000
+    assert p2.resumed == ["gen", "agg"] and p2.ran == ["total"]
+    assert counter == {"s1": 1, "s2": 1, "s3": 1}
+
+
+def test_lineage_and_metrics(spark, tmp_path):
+    root, run_id = str(tmp_path), f"run-{uuid.uuid4().hex[:8]}"
+    counter = {"s1": 0, "s2": 0, "s3": 0}
+    p, _ = _build(spark, root, run_id, counter)
+
+    lin = p.lineage().toPandas()
+    assert set(lin.columns) == {"run_id", "stage", "partition_id", "n_rows",
+                                "wall_ms", "inputs", "finished_at"}
+    assert set(lin["stage"]) == {"gen", "agg", "total"}
+    assert lin[lin.stage == "gen"]["n_rows"].sum() == 1000
+    assert lin[lin.stage == "total"]["n_rows"].sum() == 1
+
+    m = p.metrics()
+    assert m["gen"]["n_rows"] == 1000
+    assert m["agg"]["inputs"] == ["gen"]
+    assert all(v["wall_ms"] >= 0 for v in m.values())
+
+
+def test_duplicate_stage_rejected(spark, tmp_path):
+    p = Pipeline(spark, str(tmp_path), "r1")
+    p.stage("a", lambda: spark.range(3))
+    with pytest.raises(ValueError):
+        p.stage("a", lambda: spark.range(3))
