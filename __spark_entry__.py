@@ -48,21 +48,24 @@ def _t(sf_dir: str, name: str):
     return f"{sf_dir}/{name}.parquet"
 
 
-def _key(cols: tuple[str, ...], dialect: str) -> str:
+def _key(table: str, cols: tuple[str, ...], dialect: str) -> str:
+    """Table-salted row key — distinct tables never derive coincident
+    coordinates (nation 0 vs region 0 would otherwise collide)."""
     st = "STRING" if dialect == "spark" else "VARCHAR"
-    return " || ':' || ".join(f"CAST({c} AS {st})" for c in cols)
+    parts = " || ':' || ".join(f"CAST({c} AS {st})" for c in cols)
+    return f"'{table}:' || {parts}"
 
 
 def _points_df(spark: SparkSession, sf_dir: str, table: str, cols: tuple[str, ...]) -> DataFrame:
     """table keys → deterministic (lon, lat) in the test envelope."""
-    lon_e, lat_e = O.derived_lonlat(_key(cols, "spark"), "spark")
+    lon_e, lat_e = O.derived_lonlat(_key(table, cols, "spark"), "spark")
     return spark.read.parquet(_t(sf_dir, table)).select(
         *cols, F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat")
     )
 
 
 def _points_cte(table: str, cols: tuple[str, ...]) -> str:
-    lon_e, lat_e = O.derived_lonlat(_key(cols, "duck"), "duck")
+    lon_e, lat_e = O.derived_lonlat(_key(table, cols, "duck"), "duck")
     cl = ", ".join(cols)
     return f"SELECT {cl}, {lon_e} AS lon, {lat_e} AS lat FROM {table}"
 
@@ -554,6 +557,69 @@ SELECT p.n_nationkey, CAST(az.azimuth AS INT) AS azimuth,
 FROM p, az"""
 
 
+GEODESIC_DISTANCES = [50_000.0 * i for i in range(1, 9)]
+
+
+def q_geodesic_fixed_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward geodesic fixed-angle: ONE origin × many distances along one
+    azimuth (reference op #12, kernel/pl_geodesic.opencl:94-122) — great-
+    circle sampling."""
+    from projcl_spark.functions import spherical_direct_udf
+
+    dists = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(GEODESIC_DISTANCES)], "i int, dist double"
+    )
+    parts = []
+    for az in (30.0, 150.0):
+        udf = spherical_direct_udf(None)  # distance passed per-row
+        parts.append(
+            dists.select(
+                "i", F.lit(az).alias("azimuth"),
+                udf(F.lit(10.0), F.lit(48.0), F.lit(az), F.col("dist")).alias("dest"),
+            )
+        )
+    out = parts[0].unionAll(parts[1])
+    return out.select(
+        "i", F.col("azimuth").cast("int").alias("azimuth"),
+        F.round(F.col("dest.lon") * 1e6, 0).cast("long").alias("dlon_e6"),
+        F.round(F.col("dest.lat") * 1e6, 0).cast("long").alias("dlat_e6"),
+    )
+
+
+def _o_geodesic_fixed_angle() -> str:
+    dvals = ", ".join(f"({i}, {O._r(d)})" for i, d in enumerate(GEODESIC_DISTANCES))
+    selects = []
+    for az in (30.0, 150.0):
+        lon2, lat2 = O.spherical_direct(O._r(10.0), O._r(48.0), O._r(az), "d.dist")
+        selects.append(
+            f"SELECT d.i, CAST({az:.0f} AS INT) AS azimuth, "
+            f"CAST(round({lon2} * 1e6, 0) AS BIGINT) AS dlon_e6, "
+            f"CAST(round({lat2} * 1e6, 0) AS BIGINT) AS dlat_e6 "
+            f"FROM dists d"
+        )
+    u = " UNION ALL ".join(selects)
+    return f"WITH dists(i, dist) AS (VALUES {dvals}) {u}"
+
+
+def q_geodesic_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal (Vincenty) inverse geodesic — present-but-DISABLED in the
+    reference (kernel/pl_geodesic.opencl:139-209 is commented out; TODO:2);
+    live here.  No SQL oracle (iterative): the driver records a rows-only
+    check; accuracy is pinned by tests/test_geo_numpy.py (GA test line) and
+    the direct∘inverse closure test."""
+    from projcl_spark.functions import vincenty_udf
+
+    a = _points_df(spark, sf_dir, "nation", ("n_nationkey",))
+    b = _points_df(spark, sf_dir, "region", ("r_regionkey",)).select(
+        "r_regionkey", F.col("lon").alias("lon2"), F.col("lat").alias("lat2")
+    )
+    v = vincenty_udf()
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_nationkey", "r_regionkey",
+        F.round(v("lon", "lat", "lon2", "lat2"), 3).alias("dist_m"),
+    )
+
+
 def q_datum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WGS84→NAD27→WGS84 closure (datum pipeline, kernel/pl_datum.opencl)."""
     pts = _points_df(spark, sf_dir, "customer", ("c_custkey",))
@@ -694,6 +760,67 @@ SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
 FROM r WHERE rnk <= {ANN_K}"""
 
 
+# ------------------------------------------------------------ media suite ---
+
+N_MEDIA = 400
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media payloads → typed metadata via pandas UDF (real byte
+    parsing on the Spark side; the oracle re-derives the fields
+    analytically from the generator formulas)."""
+    from projcl_spark.operators.media import decode_meta, synth_media
+
+    m = synth_media(spark, N_MEDIA)
+    return m.select("media_ref", decode_meta("data").alias("meta")).select(
+        "media_ref",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def _media_meta_cte(dialect: str = "duck") -> str:
+    s = "VARCHAR"
+    h = O.hash60(f"'dim:' || CAST(id AS {s})", dialect)
+    kind = "(CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END)"
+    return f"""
+SELECT 'm://' || md5(CAST(id AS {s})) AS media_ref,
+       {kind} AS kind,
+       CAST({h} % 960 + 64 AS INT) AS width,
+       CAST(({h} >> 10) % 960 + 64 AS INT) AS height,
+       CAST(CASE WHEN {kind} = 'image' THEN 1 ELSE ({h} >> 20) % 240 + 1 END AS INT) AS n_frames
+FROM range({N_MEDIA}) t(id)"""
+
+
+def _o_media_decode() -> str:
+    header = ("'PCLMEDIA|' || kind || '|' || CAST(width AS VARCHAR) || '|' || "
+              "CAST(height AS VARCHAR) || '|' || CAST(n_frames AS VARCHAR) || '|'")
+    return (f"WITH m AS ({_media_meta_cte()}) "
+            f"SELECT media_ref, kind, width, height, n_frames, "
+            f"CAST(length({header}) + 32 AS BIGINT) AS n_bytes FROM m")
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-index sampling for video payloads (decode → explode)."""
+    from projcl_spark.operators.media import decode_meta, frame_sample, synth_media
+
+    m = synth_media(spark, N_MEDIA)
+    meta = m.select("media_ref", decode_meta("data").alias("meta")).select(
+        "media_ref", F.col("meta.n_frames").alias("n_frames")
+    )
+    return frame_sample(meta, stride=10)
+
+
+def _o_media_frames() -> str:
+    return (f"WITH m AS ({_media_meta_cte()}) "
+            f"SELECT media_ref, CAST(f.frame_idx AS INT) AS frame_idx "
+            f"FROM m, unnest(range(0, n_frames, 10)) f(frame_idx) "
+            f"WHERE n_frames > 1")
+
+
 # ------------------------------------------------------- text/dedup suite ---
 
 
@@ -730,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_customer=q_knn_customer,
         haversine_matrix=q_haversine_matrix,
         geodesic_direct=q_geodesic_direct,
+        geodesic_fixed_angle=q_geodesic_fixed_angle,
+        geodesic_vincenty=q_geodesic_vincenty,
         datum_roundtrip=q_datum_roundtrip,
         span_roundtrip=q_span_roundtrip,
         dedup_exact=q_dedup_exact,
@@ -737,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_tumbling=q_events_tumbling,
         ann_cosine=q_ann_cosine,
         warp_pipeline=q_warp_pipeline,
+        media_decode=q_media_decode,
+        media_frames=q_media_frames,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -757,6 +888,8 @@ def oracle_sql() -> dict[str, str]:
         knn_customer=_o_knn_customer(),
         haversine_matrix=_o_haversine_matrix(),
         geodesic_direct=_o_geodesic_direct(),
+        geodesic_fixed_angle=_o_geodesic_fixed_angle(),
+        # geodesic_vincenty: iterative, not SQL-expressible → rows-only check
         datum_roundtrip=_o_datum_roundtrip(),
         span_roundtrip=_o_span_roundtrip(),
         dedup_exact=_o_dedup_exact(),
@@ -764,6 +897,8 @@ def oracle_sql() -> dict[str, str]:
         events_tumbling=_o_events_tumbling(),
         ann_cosine=_o_ann_cosine(),
         warp_pipeline=_o_warp_pipeline(),
+        media_decode=_o_media_decode(),
+        media_frames=_o_media_frames(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

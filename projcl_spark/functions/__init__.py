@@ -69,18 +69,35 @@ def datum_shift_udf(
     return _shift
 
 
-def spherical_direct_udf(distance_m: float):
-    """Forward geodesic at a fixed distance (reference op #11,
-    ``kernel/pl_geodesic.opencl:61-92``): (lon, lat, azimuth_deg) →
-    struct<lon, lat> destination on the authalic sphere."""
+def spherical_direct_udf(distance_m: float | None):
+    """Forward geodesic on the authalic sphere.
+
+    ``distance_m`` set → fixed-distance form, UDF(lon, lat, azimuth_deg)
+    (reference op #11, ``kernel/pl_geodesic.opencl:61-92``).
+    ``distance_m=None`` → per-row distances, UDF(lon, lat, azimuth_deg,
+    dist_m) (covers the fixed-angle form, op #12, ``:94-122``)."""
+
+    if distance_m is not None:
+
+        @F.pandas_udf(LONLAT_SCHEMA)
+        def _direct_fixed(lon: pd.Series, lat: pd.Series, az: pd.Series) -> pd.DataFrame:
+            lo, la = geod.spherical_direct(
+                lon.to_numpy(np.float64, na_value=np.nan),
+                lat.to_numpy(np.float64, na_value=np.nan),
+                az.to_numpy(np.float64, na_value=np.nan),
+                distance_m,
+            )
+            return pd.DataFrame({"lon": lo, "lat": la})
+
+        return _direct_fixed
 
     @F.pandas_udf(LONLAT_SCHEMA)
-    def _direct(lon: pd.Series, lat: pd.Series, az: pd.Series) -> pd.DataFrame:
+    def _direct(lon: pd.Series, lat: pd.Series, az: pd.Series, dist: pd.Series) -> pd.DataFrame:
         lo, la = geod.spherical_direct(
             lon.to_numpy(np.float64, na_value=np.nan),
             lat.to_numpy(np.float64, na_value=np.nan),
             az.to_numpy(np.float64, na_value=np.nan),
-            distance_m,
+            dist.to_numpy(np.float64, na_value=np.nan),
         )
         return pd.DataFrame({"lon": lo, "lat": la})
 

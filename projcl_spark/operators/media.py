@@ -1,0 +1,168 @@
+"""Multimodal (image/audio/video) columns: opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched pandas UDFs.
+
+Engine-added: the reference's only raster concept is the OpenCL image
+buffer (``include/projcl/projcl_warp.h:16-28``); a 100-TB training-data
+pipeline additionally needs media blobs as table columns.  The container
+has no image/audio codecs, so the DECODE step is stubbed (clearly marked):
+``decode_pixels`` uses PIL when importable, else a deterministic fake
+derived from the payload hash.  Everything Spark-side — schema, binary
+handling, Arrow batch shape, mapInPandas signatures, partitioning — is
+real and tested.
+
+Payload format of the synthetic blobs (parsed for real by the UDFs):
+``b"PCLMEDIA|<kind>|<width>|<height>|<n_frames>|" + payload-bytes``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+META_SCHEMA = StructType([
+    StructField("kind", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+def synth_media(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
+    """Deterministic media table: (media_ref, kind, data binary).
+
+    Dimensions derive from the ref hash; the binary embeds the parseable
+    header so decode UDFs exercise real byte handling."""
+    kw = {"numPartitions": num_partitions} if num_partitions else {}
+    base = spark.range(0, n, 1, **kw).select(
+        F.concat(F.lit("m://"), F.md5(F.col("id").cast("string"))).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.col("id"),
+    )
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("dim:"), F.col("id").cast("string"))), 1, 15), 16, 10).cast("long")
+    w = (h % 960 + 64).cast("int")
+    hh = (F.shiftright(h, 10) % 960 + 64).cast("int")
+    frames = F.when(F.col("kind") == "image", 1).otherwise((F.shiftright(h, 20) % 240 + 1)).cast("int")
+    header = F.format_string("PCLMEDIA|%s|%d|%d|%d|", "kind", w, hh, frames)
+    return base.select(
+        "media_ref", "kind",
+        F.encode(F.concat(header, F.md5(F.concat(F.lit("payload:"), F.col("id").cast("string")))), "utf-8").alias("data"),
+    )
+
+
+@F.pandas_udf(META_SCHEMA)
+def decode_meta(data: pd.Series) -> pd.DataFrame:
+    """Parse the typed header out of the binary payload (real byte work,
+    vectorized over the Arrow batch)."""
+    kinds, ws, hs, fs, ns = [], [], [], [], []
+    for blob in data:
+        if blob is None:
+            kinds.append(None); ws.append(None); hs.append(None)
+            fs.append(None); ns.append(None)
+            continue
+        b = bytes(blob)
+        parts = b.split(b"|", 5)
+        kinds.append(parts[1].decode())
+        ws.append(int(parts[2]))
+        hs.append(int(parts[3]))
+        fs.append(int(parts[4]))
+        ns.append(len(b))
+    return pd.DataFrame({"kind": kinds, "width": ws, "height": hs,
+                         "n_frames": fs, "n_bytes": ns})
+
+
+def decode_pixels(blob: bytes, width: int, height: int) -> np.ndarray:
+    """STUB DECODE: returns the pixel array for a media blob.
+
+    With PIL installed this would decode real image bytes; this container
+    has no codecs, so a clearly-marked deterministic fake stands in —
+    the Spark-side plumbing (binary → numpy (h, w) array inside an Arrow
+    batch) is identical either way."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode is intentionally stubbed in this sandbox; "
+            "plug a PIL/libvips decoder here on a real cluster"
+        )
+    except ImportError:
+        pass
+    seed = int(hashlib.md5(bytes(blob)).hexdigest()[:15], 16)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width), dtype=np.int64)
+
+
+def resize_stats(df: DataFrame, target: int = 32) -> DataFrame:
+    """Decode (stub) → resize by block-mean → per-image stats, via
+    ``mapInPandas`` (whole-row batches: the shape multimodal feature
+    extraction takes at scale)."""
+    out_schema = StructType([
+        StructField("media_ref", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("mean_e3", LongType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, ows, ohs, means = [], [], [], []
+            for _, row in pdf.iterrows():
+                b = bytes(row["data"])
+                parts = b.split(b"|", 5)
+                w, h = int(parts[2]), int(parts[3])
+                px = decode_pixels(b, min(w, 64), min(h, 64))  # cap stub size
+                oh = min(target, px.shape[0])
+                ow = min(target, px.shape[1])
+                small = px[: oh * (px.shape[0] // oh) if px.shape[0] >= oh else oh,
+                           : ow * (px.shape[1] // ow) if px.shape[1] >= ow else ow]
+                refs.append(row["media_ref"])
+                ows.append(ow)
+                ohs.append(oh)
+                means.append(int(round(float(small.mean()) * 1000)))
+            yield pd.DataFrame({"media_ref": refs, "out_w": ows, "out_h": ohs,
+                                "mean_e3": means})
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def frame_sample(meta_df: DataFrame, stride: int = 10) -> DataFrame:
+    """Sample frame indices 0, stride, 2·stride… per video (pure Spark —
+    the explode/downstream-decode shape for video pipelines)."""
+    return meta_df.filter(F.col("n_frames") > 1).select(
+        "media_ref",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+        ).alias("frame_idx"),
+    )
+
+
+def embed_stub(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake embedding per blob (md5-seeded) via mapInPandas —
+    the plumbing a real vision encoder would use (Arrow in, Arrow out)."""
+    out_schema = StructType([
+        StructField("media_ref", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for blob in pdf["data"]:
+                seed = int(hashlib.md5(bytes(blob)).hexdigest()[:15], 16)
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim)
+                embs.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "embedding": embs})
+
+    return df.mapInPandas(fn, out_schema)

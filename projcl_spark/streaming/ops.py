@@ -1,0 +1,159 @@
+"""Structured Streaming operators (engine-added; the reference is strictly
+batch — SURVEY.md §2 Table B "Streaming: none").
+
+Two shapes a geo/event pipeline needs:
+
+- ``stream_cell_counts``: file-source stream → derive (cell, window) →
+  watermark + tumbling-window count.  At scale this is the live tile-
+  heatmap path; watermark bounds state, cells shard the aggregation.
+- ``sessionize``: custom stateful operator via ``applyInPandasWithState``
+  — per-user sessions split on inactivity gaps (the pattern for any
+  bespoke streaming state the built-ins can't express).
+
+Tests drive both with ``trigger(availableNow=True)`` over parquet inputs
+and compare against the equivalent batch computation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from ..index.cells import cell_id_col
+from ..oracle import derived_lonlat
+
+
+def event_points(df: DataFrame) -> DataFrame:
+    """events(event_id, ts, …) → (event_id, ts, lon, lat, cell_id) with the
+    engine's deterministic geo derivation (same formula as the batch side)."""
+    lon_e, lat_e = derived_lonlat("'events:' || CAST(event_id AS STRING)", "spark")
+    out = df.select(
+        "event_id",
+        # testdata timestamps are TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"),
+    )
+    return out.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), 6))
+
+
+def stream_cell_counts(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Tumbling-window per-cell event counts with late-data handling."""
+    pts = event_points(stream)
+    return (
+        pts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "cell_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "cell_id", "n")
+    )
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("status", StringType()),
+])
+
+_STATE_SCHEMA = "start_ts double, last_ts double, n long"
+GAP_SECONDS = 1800.0
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session assembly: a session closes after a 30-min gap (or
+    on state timeout).  Emits closed sessions; the open one stays in state."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_ts, last_ts, n = state.get
+        state.remove()
+        yield pd.DataFrame({
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(round(start_ts * 1e6), unit="us")],
+            "session_end": [pd.Timestamp(round(last_ts * 1e6), unit="us")],
+            "n_events": [n],
+            "status": ["timeout"],
+        })
+        return
+
+    ts = sorted(
+        t.timestamp()
+        for pdf in pdfs
+        for t in pd.to_datetime(pdf["ts"])
+    )
+    if state.exists:
+        start_ts, last_ts, n = state.get
+    else:
+        start_ts, last_ts, n = ts[0], ts[0], 0
+
+    closed = []
+    for t in ts:
+        if t - last_ts > GAP_SECONDS:
+            closed.append((start_ts, last_ts, n))
+            start_ts, n = t, 0
+        last_ts = t
+        n += 1
+    state.update((start_ts, last_ts, n))
+    state.setTimeoutDuration(int(GAP_SECONDS * 1000))
+    if closed:
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(closed),
+            # float-seconds carry sub-µs noise; round to exact µs or the
+            # Arrow ns→us cast refuses the batch
+            "session_start": [pd.Timestamp(round(s * 1e6), unit="us") for s, _, _ in closed],
+            "session_end": [pd.Timestamp(round(e * 1e6), unit="us") for _, e, _ in closed],
+            "n_events": [n_ for _, _, n_ in closed],
+            "status": ["closed"] * len(closed),
+        })
+
+
+def sessionize(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user inactivity sessions via
+    ``applyInPandasWithState`` (Arrow-batched state machine, no per-row
+    Python beyond the grouped batches)."""
+    return (
+        stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch_oracle(df: DataFrame) -> DataFrame:
+    """Batch twin of ``sessionize`` (closed sessions only) for tests:
+    lag-gap window → session ids → per-session aggregates."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = df.select("user_id", "ts").withColumn(
+        "new_session",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+         > GAP_SECONDS).cast("int"),
+    ).withColumn(
+        "session_no",
+        F.sum(F.coalesce("new_session", F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return gaps.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,121 @@
+"""Streaming ops (windowed cell counts, stateful sessionize) vs their batch
+twins, and multimodal plumbing (decode/resize/frames/embed)."""
+
+from __future__ import annotations
+
+import uuid
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from projcl_spark.operators import media
+from projcl_spark.streaming.ops import (
+    event_points,
+    sessionize,
+    sessionize_batch_oracle,
+    stream_cell_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("events_in"))
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def test_stream_cell_counts_matches_batch(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = stream_cell_counts(stream)
+    name = f"cells_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    batch = (
+        event_points(spark.read.parquet(events_dir))
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "cell_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "cell_id", "n")
+        .toPandas()
+    )
+    key = ["win_start", "cell_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    # append-mode emits only watermark-closed windows → subset of batch
+    merged = g.merge(b, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(g) and (merged["n_s"] == merged["n_b"]).all()
+    assert len(g) > 0
+
+
+def test_sessionize_matches_batch_oracle(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    oracle = sessionize_batch_oracle(spark.read.parquet(events_dir)).toPandas()
+
+    # streamed CLOSED sessions must appear in the batch oracle with
+    # identical boundaries and event counts
+    okey = {(r.user_id, r.session_start, r.session_end): r.n_events
+            for r in oracle.itertuples()}
+    assert len(got) > 0
+    for r in got.itertuples():
+        k = (r.user_id, r.session_start, r.session_end)
+        assert k in okey and okey[k] == r.n_events, k
+
+
+def test_media_decode_roundtrip(spark):
+    m = media.synth_media(spark, 50)
+    meta = m.select("media_ref", "kind", media.decode_meta("data").alias("meta"))
+    bad = meta.filter(F.col("kind") != F.col("meta.kind")).count()
+    assert bad == 0
+    rows = meta.select("meta.width", "meta.height", "meta.n_frames").toPandas()
+    assert ((rows["width"] >= 64) & (rows["width"] < 1024)).all()
+    assert ((rows["n_frames"] >= 1) & (rows["n_frames"] <= 240)).all()
+
+
+def test_media_resize_stats_deterministic(spark):
+    m = media.synth_media(spark, 20)
+    a = media.resize_stats(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    b = media.resize_stats(m.repartition(5)).toPandas().sort_values("media_ref").reset_index(drop=True)
+    assert (a["mean_e3"] == b["mean_e3"]).all()
+    assert ((a["out_w"] <= 32) & (a["out_h"] <= 32)).all()
+
+
+def test_media_embed_stub_normalized(spark):
+    m = media.synth_media(spark, 20)
+    e = media.embed_stub(m, dim=16).toPandas()
+    assert len(e) == 20
+    norms = np.array([np.linalg.norm(v) for v in e["embedding"]])
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_lsh_ann_recall(spark):
+    """LSH-bucketed ANN finds most of the exact top-3 (scale path recall)."""
+    from projcl_spark.operators.ann import cosine_topk, cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 24)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, emb, k=3).collect()}
+    # random synthetic embeddings are near-orthogonal (top-3 cosine ~0.3),
+    # the hardest case for hyperplane LSH — short signatures + many tables
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk_lsh(q, emb, k=3, n_bits=3, n_tables=8).collect()}
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.5, recall
