@@ -49,6 +49,23 @@ def project_udf(proj: str, params: ProjectionParams, direction: str = "forward")
     return _project
 
 
+def project_fwd_cols(proj: str, params: ProjectionParams,
+                     lon: str = "lon", lat: str = "lat") -> tuple[Column, Column]:
+    """FORWARD projection as pure JVM column expressions (whole-stage
+    codegen — zero Python in the hot path).
+
+    Every reference forward is closed-form, so this path exists for all 9
+    projections; the pandas-UDF path (``project_udf``) remains for the
+    iterative inverses and for float32 parity mode.  Generated from the
+    same constant-folded transliteration the DuckDB oracles use
+    (``oracle.fwd_xy_sql``) — one source of truth, three consumers.
+    """
+    from .. import oracle as _o
+
+    x, y = _o.fwd_xy_sql(proj, params, lon=lon, lat=lat, dialect="spark")
+    return F.expr(x).alias("x"), F.expr(y).alias("y")
+
+
 def datum_shift_udf(
     src: datum_mod.Datum,
     dst: datum_mod.Datum,

@@ -147,11 +147,17 @@ def _qsfn_s(s: str, e: float, one_es: float) -> str:
 
 
 def fwd_xy_sql(proj: str, params: ProjectionParams,
-               lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
-    """(x_sql, y_sql) in DuckDB dialect for the projection's FORWARD map.
+               lon: str = "lon", lat: str = "lat",
+               dialect: str = "duck") -> tuple[str, str]:
+    """(x_sql, y_sql) for the projection's FORWARD map.
 
     Transliterates the numpy ``forward`` of each projection module with the
-    constants from its ``prepare`` folded in as literals.
+    constants from its ``prepare`` folded in as literals.  ``dialect="duck"``
+    feeds the correctness oracles; ``dialect="spark"`` is the engine's
+    JVM-codegen fast path (``functions.project_fwd_cols`` wraps it in
+    ``F.expr``) — every forward is closed-form, so it never needs Python.
+    The only dialect divergence is array-literal indexing (Robinson's
+    coefficient tables); the trig/ln math is common SQL.
     """
     proj, params = resolve(proj, params)
     C = _MODULES[proj].prepare(params)
@@ -272,13 +278,15 @@ def fwd_xy_sql(proj: str, params: ProjectionParams,
         z = f"degrees({dphi} - {_r(ROB_RC1)} * {idx})"
 
         def table_list(tbl, col):
-            return "list_value(" + ", ".join(_r(v) for v in tbl[:, col]) + ")"
+            vals = ", ".join(_r(v) for v in tbl[:, col])
+            return (f"array({vals})" if dialect == "spark" else f"list_value({vals})")
+
+        def elem(lst):
+            return (f"element_at({lst}, CAST({idx} AS INT) + 1)" if dialect == "spark"
+                    else f"({lst}[{idx} + 1])")
 
         def v_poly(tbl):
-            c0 = f"({table_list(tbl, 0)}[{idx} + 1])"
-            c1 = f"({table_list(tbl, 1)}[{idx} + 1])"
-            c2 = f"({table_list(tbl, 2)}[{idx} + 1])"
-            c3 = f"({table_list(tbl, 3)}[{idx} + 1])"
+            c0, c1, c2, c3 = (elem(table_list(tbl, c)) for c in range(4))
             return f"({c0} + {z} * ({c1} + {z} * ({c2} + {z} * {c3})))"
 
         x = f"({x0} + {sc} * {v_poly(ROB_X)} * {_r(FXC)} * radians({lon}))"

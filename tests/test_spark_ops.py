@@ -143,3 +143,21 @@ def test_synth_deterministic_across_parallelism(spark):
     b = synth.documents(spark, 200).repartition(16)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_project_fwd_cols_matches_udf_all_projections(spark):
+    """JVM-codegen forward columns == pandas-UDF forward (≤1e-6 m) for every
+    projection case in the entry matrix."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+    from projcl_spark.functions import project_fwd_cols
+
+    pts = synth.geo_points(spark, 200).filter(F.abs(F.col("lon")) < 25)
+    for name, (proj, params) in E.PROJ_CASES.items():
+        xc, yc = project_fwd_cols(proj, params)
+        udf = project_udf(proj, params)
+        df = pts.select(xc, yc, udf("lon", "lat").alias("xy")).toPandas()
+        dx = max(abs(a - b["x"]) for a, b in zip(df["x"], df["xy"]))
+        dy = max(abs(a - b["y"]) for a, b in zip(df["y"], df["xy"]))
+        assert dx < 1e-6 and dy < 1e-6, (name, dx, dy)
