@@ -43,13 +43,19 @@ def resolve(proj: str, params: ProjectionParams) -> tuple[str, ProjectionParams]
 
 
 def get_transform(
-    proj: str, params: ProjectionParams, direction: str = "forward"
+    proj: str, params: ProjectionParams, direction: str = "forward",
+    dtype=np.float64,
 ) -> Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]:
     """Pure-numpy (a, b) -> (c, d) transform with constants folded in.
 
     ``direction``: ``forward`` (lon,lat → x,y meters) or ``inverse``.
     Constants are precomputed here, once, on the driver, in float64 —
     mirroring the reference's host precompute stage.
+
+    ``dtype=np.float32`` is the like-for-like parity mode: inputs are
+    downcast so the vector math runs single-precision, reproducing the
+    reference's accuracy envelope (≤10 m projected / ≤1″ geodetic,
+    ``README.md:20-28``); float64 is the default and strictly better.
     """
     proj, params = resolve(proj, params)
     if proj not in _MODULES:
@@ -61,8 +67,9 @@ def get_transform(
         raise ValueError(f"direction must be forward|inverse, got {direction!r}")
 
     def transform(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        a = np.asarray(a, dtype=np.float64)
-        b = np.asarray(b, dtype=np.float64)
-        return fn(a, b, consts)
+        a = np.asarray(a, dtype=dtype)
+        b = np.asarray(b, dtype=dtype)
+        c, d = fn(a, b, consts)
+        return np.asarray(c, dtype=np.float64), np.asarray(d, dtype=np.float64)
 
     return transform

@@ -151,3 +151,28 @@ def test_differential_vs_pyproj_if_available():
     xr, yr = tr.transform(lon, lat)
     assert np.abs(x - xr).max() < 10.0  # reference METERS_TOL (projcl_test.c:29)
     assert np.abs(y - yr).max() < 10.0
+
+
+FLOAT32_CASES = [
+    ("mercator", ProjectionParams(spheroid=Spheroid.WGS_84)),
+    ("albers_equal_area", ProjectionParams(spheroid=Spheroid.WGS_84, rlat1=30.0, rlat2=60.0)),
+    ("lambert_conformal_conic", ProjectionParams(spheroid=Spheroid.WGS_84, rlat1=30.0, rlat2=60.0)),
+    ("transverse_mercator", ProjectionParams(spheroid=Spheroid.WGS_84, lon0=9.0, scale=0.9996)),
+]
+
+
+@pytest.mark.parametrize("proj,params", FLOAT32_CASES, ids=[c[0] for c in FLOAT32_CASES])
+def test_float32_parity_mode_meets_reference_envelope(proj, params):
+    """dtype=float32 reproduces the reference's single-precision accuracy
+    contract: round-trip within 1 arc-second (README.md:20-28,
+    projcl_test.c:28) — the like-for-like benchmarking mode."""
+    lon, lat = fixture_points(4000)
+    if proj == "transverse_mercator":
+        keep = np.abs(lon - params.lon0) < 30.0
+        lon, lat = lon[keep], lat[keep]
+    fwd = get_transform(proj, params, "forward", dtype=np.float32)
+    inv = get_transform(proj, params, "inverse", dtype=np.float32)
+    x, y = fwd(lon, lat)
+    lon2, lat2 = inv(x, y)
+    assert np.abs(lon2 - lon).max() < ARCSEC
+    assert np.abs(lat2 - lat).max() < ARCSEC
