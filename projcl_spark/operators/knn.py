@@ -63,6 +63,77 @@ def knn_join(
     )
 
 
+R_SPHERE = 6370997.0  # authalic sphere major axis (projcl_spheroid.c:20)
+
+
+def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
+    """Conservative lower bound (meters) on the distance from a query point
+    to anything OUTSIDE its (2·ring+1)² cell window.
+
+    Any geodesic leaving the window first crosses a lat edge (≥ meridional
+    distance to that edge) or a lon edge segment inside the lat window
+    (≥ Δlon·R·cos(max |lat| of the window)).  Edges clipped at the map
+    boundary are unbounded (no escape that way).
+    """
+    import math
+
+    n = 1 << res
+    w_lon, w_lat = 360.0 / n, 180.0 / n
+    ix = F.least(F.greatest(F.floor((q_lon + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1))
+    iy = F.least(F.greatest(F.floor((q_lat + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1))
+    lon_lo = (ix - ring) * w_lon - 180.0
+    lon_hi = (ix + ring + 1) * w_lon - 180.0
+    lat_lo = (iy - ring) * w_lat - 90.0
+    lat_hi = (iy + ring + 1) * w_lat - 90.0
+    deg = math.pi / 180.0 * R_SPHERE
+    inf = F.lit(float("inf"))
+    cos_max = F.cos(F.radians(F.greatest(F.abs(lat_lo), F.abs(lat_hi))))
+    d_n = F.when(lat_hi >= 90.0, inf).otherwise((lat_hi - q_lat) * deg)
+    d_s = F.when(lat_lo <= -90.0, inf).otherwise((q_lat - lat_lo) * deg)
+    d_e = F.when(lon_hi >= 180.0, inf).otherwise((lon_hi - q_lon) * deg * cos_max)
+    d_w = F.when(lon_lo <= -180.0, inf).otherwise((q_lon - lon_lo) * deg * cos_max)
+    return F.least(d_n, d_s, d_e, d_w)
+
+
+def knn_join_exact(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    res: int = 6,
+    ring: int = 1,
+    metric: str = "haversine",
+    query_id: str = "query_id",
+    point_id: str = "doc_id",
+) -> DataFrame:
+    """Exact kNN at any density: pruned pass + provable escalation.
+
+    Runs the cell-pruned ``knn_join``; a query's result is accepted only if
+    it found k candidates AND its k-th distance is strictly inside the
+    window's safe radius (so nothing outside the window can beat it).
+    The (few) unproven queries re-run against the full corpus.  At healthy
+    (res, ring) for the data density the escalation set is empty and the
+    extra cost is one tiny aggregate.
+    """
+    pruned = knn_join(queries, points, k, res, ring, metric, query_id, point_id)
+    per_q = pruned.groupBy(query_id).agg(
+        F.max("dist_m").alias("_kth"), F.count("*").alias("_nf")
+    )
+    qx = queries.join(per_q, query_id, "left").withColumn(
+        "_safe", _safe_radius_col(F.col("q_lon"), F.col("q_lat"), res, ring)
+    )
+    bad = qx.filter(
+        F.col("_nf").isNull() | (F.col("_nf") < k) | (F.col("_kth") >= F.col("_safe"))
+    ).select(queries.columns)
+    bad_rows = bad.count()  # driver decision: escalation set is tiny by design
+    good = pruned.join(
+        bad.select(query_id), query_id, "left_anti"
+    )
+    if bad_rows == 0:
+        return good
+    rescued = knn_bruteforce(bad, points, k, metric, query_id, point_id)
+    return good.unionByName(rescued.select(good.columns))
+
+
 def knn_bruteforce(
     queries: DataFrame,
     points: DataFrame,

@@ -161,3 +161,29 @@ def test_project_fwd_cols_matches_udf_all_projections(spark):
         dx = max(abs(a - b["x"]) for a, b in zip(df["x"], df["xy"]))
         dy = max(abs(a - b["y"]) for a, b in zip(df["y"], df["xy"]))
         assert dx < 1e-6 and dy < 1e-6, (name, dx, dy)
+
+
+def test_knn_exact_rescues_lossy_ring(spark):
+    """At a deliberately lossy (res, ring) for sparse data, plain pruned kNN
+    drops true neighbors but knn_join_exact still equals brute force."""
+    from projcl_spark.operators.knn import knn_join_exact
+
+    pts = synth.geo_points(spark, 60).withColumn(
+        "pid", F.concat_ws("#", "doc_id", "offset")
+    ).select("pid", "lon", "lat")
+    qs = spark.createDataFrame(
+        [(0, 10.0, 48.0), (1, -30.0, 20.0), (2, 0.0, 0.0), (3, 45.0, -30.0)],
+        "query_id long, q_lon double, q_lat double",
+    )
+    exact = knn_join_exact(qs, pts, k=5, res=6, ring=1, point_id="pid").select(
+        "query_id", "pid", "rank"
+    )
+    slow = knn_bruteforce(qs, pts, k=5, point_id="pid").select("query_id", "pid", "rank")
+    assert exact.exceptAll(slow).count() == 0
+    assert slow.exceptAll(exact).count() == 0
+    # sanity: the plain pruned join at this (res, ring) IS lossy here,
+    # so the escalation path genuinely ran
+    plain = knn_join(qs, pts, k=5, res=6, ring=1, point_id="pid").select(
+        "query_id", "pid", "rank"
+    )
+    assert plain.exceptAll(slow).count() > 0 or slow.exceptAll(plain).count() > 0
