@@ -725,6 +725,71 @@ def _o_events_tumbling() -> str:
             "FROM events GROUP BY 1, 2")
 
 
+def q_doc_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / cube (SURVEY Table B): per (lang, source) rollup
+    grid with subtotals — the tile-pyramid-stats shape."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def _o_doc_cube() -> str:
+    return ("SELECT lang, source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY CUBE (lang, source)")
+
+
+def q_cell_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY Table B): cells covered by customers vs
+    suppliers — intersect / both-only diffs, the tile-assignment-diff shape."""
+    res = 5
+    c = _points_df(spark, sf_dir, "customer", ("c_custkey",)).select(
+        cell_id_col(F.col("lon"), F.col("lat"), res)
+    ).distinct()
+    s = _points_df(spark, sf_dir, "supplier", ("s_suppkey",)).select(
+        cell_id_col(F.col("lon"), F.col("lat"), res)
+    ).distinct()
+    return (
+        c.intersect(s).agg(F.count("*").alias("n")).select(F.lit("both").alias("side"), "n")
+        .unionAll(c.exceptAll(s).agg(F.count("*").alias("n")).select(F.lit("customer_only").alias("side"), "n"))
+        .unionAll(s.exceptAll(c).agg(F.count("*").alias("n")).select(F.lit("supplier_only").alias("side"), "n"))
+    )
+
+
+def _o_cell_setops() -> str:
+    res = 5
+    ccell = cell_id_sql("lon", "lat", res)
+    return f"""
+WITH c AS (SELECT DISTINCT {ccell} AS cell_id FROM ({_points_cte('customer', ('c_custkey',))})),
+s AS (SELECT DISTINCT {ccell} AS cell_id FROM ({_points_cte('supplier', ('s_suppkey',))}))
+SELECT 'both' AS side, count(*) AS n FROM (SELECT cell_id FROM c INTERSECT SELECT cell_id FROM s)
+UNION ALL
+SELECT 'customer_only', count(*) FROM (SELECT cell_id FROM c EXCEPT SELECT cell_id FROM s)
+UNION ALL
+SELECT 'supplier_only', count(*) FROM (SELECT cell_id FROM s EXCEPT SELECT cell_id FROM c)"""
+
+
+def q_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit (SURVEY Table B): global top-20 events by value with a
+    deterministic event_id tie-break (never a global sort at scale — the
+    planner takes TakeOrderedAndProject)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        ev.select("event_id", "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long").alias("value_c"))
+        .orderBy(F.col("value_c").desc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+def _o_events_topn() -> str:
+    return ("SELECT event_id, event_type, "
+            "CAST(round(value * 100, 0) AS BIGINT) AS value_c "
+            "FROM events ORDER BY value_c DESC, event_id ASC LIMIT 20")
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     out = cosine_topk(emb.filter(F.col("vec_id") < ANN_NQ), emb, k=ANN_K)
@@ -864,6 +929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact=q_dedup_exact,
         token_stats=q_token_stats,
         events_tumbling=q_events_tumbling,
+        doc_cube=q_doc_cube,
+        cell_setops=q_cell_setops,
+        events_topn=q_events_topn,
         ann_cosine=q_ann_cosine,
         warp_pipeline=q_warp_pipeline,
         media_decode=q_media_decode,
@@ -895,6 +963,9 @@ def oracle_sql() -> dict[str, str]:
         dedup_exact=_o_dedup_exact(),
         token_stats=_o_token_stats(),
         events_tumbling=_o_events_tumbling(),
+        doc_cube=_o_doc_cube(),
+        cell_setops=_o_cell_setops(),
+        events_topn=_o_events_topn(),
         ann_cosine=_o_ann_cosine(),
         warp_pipeline=_o_warp_pipeline(),
         media_decode=_o_media_decode(),
