@@ -102,8 +102,23 @@ _case("oblique_stereographic", "stereo", lat0=52.0, lon0=5.0, scale=0.9999)
 _case("transverse_mercator", "tmerc", lon0=9.0, scale=0.9996)
 _case("robinson", "robinson")
 _case("winkel_tripel", "winkel", rlat1=40.0)
-
-_TM_FILTER_SPARK = "abs(lon - 9.0) < 30.0"
+# off-center / southern-hemisphere cases from the reference matrix
+# (projcl_test.c:54-336: south parallels, false easting/northing, scaled)
+PROJ_CASES["proj_mercator_scaled_e"] = (
+    "mercator", ProjectionParams(spheroid=Spheroid.WGS_84, scale=2.0, x0=1000.0, y0=-2000.0))
+PROJ_CASES["proj_albers_south_e"] = (
+    "albers_equal_area",
+    ProjectionParams(spheroid=Spheroid.WGS_84, rlat1=-50.0, rlat2=-10.0, lon0=20.0, lat0=10.0))
+PROJ_CASES["proj_lcc_south_e"] = (
+    "lambert_conformal_conic",
+    ProjectionParams(spheroid=Spheroid.WGS_84, rlat1=-50.0, rlat2=-20.0,
+                     lon0=-20.0, lat0=-15.0, x0=500.0, y0=700.0))
+PROJ_CASES["proj_lcc_pathological_s"] = (
+    "lambert_conformal_conic",  # degenerate → plan-time Mercator rewrite
+    ProjectionParams(rlat1=30.0, rlat2=-30.0, lat0=10.0))
+PROJ_CASES["proj_tmerc_offset_e"] = (
+    "transverse_mercator",
+    ProjectionParams(spheroid=Spheroid.WGS_84, lon0=-45.0, lat0=10.0, x0=500000.0))
 
 # ------------------------------------------------------------- PIP triangles ---
 
@@ -360,7 +375,7 @@ def _q_proj_fwd(name: str) -> Callable:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
         if proj == "transverse_mercator":
-            df = df.filter(_TM_FILTER_SPARK)
+            df = df.filter(f"abs(lon - {params.lon0!r}) < 30.0")
         udf = project_udf(proj, params)
         return df.withColumn("xy", udf("lon", "lat")).select(
             "l_orderkey", "l_linenumber",
@@ -374,7 +389,8 @@ def _q_proj_fwd(name: str) -> Callable:
 def _o_proj_fwd(name: str) -> str:
     proj, params = PROJ_CASES[name]
     x, y = O.fwd_xy_sql(proj, params)
-    where = "WHERE abs(lon - 9.0) < 30.0" if proj == "transverse_mercator" else ""
+    where = (f"WHERE abs(lon - {params.lon0!r}) < 30.0"
+             if proj == "transverse_mercator" else "")
     return f"""
 WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
 SELECT l_orderkey, l_linenumber, {_q10(x)} AS x_10m, {_q10(y)} AS y_10m
@@ -389,7 +405,7 @@ def q_roundtrip_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, (proj, params) in sorted(PROJ_CASES.items()):
         df = pts
         if proj == "transverse_mercator":
-            df = df.filter(_TM_FILTER_SPARK)
+            df = df.filter(f"abs(lon - {params.lon0!r}) < 30.0")
         fwd = project_udf(proj, params, "forward")
         inv = project_udf(proj, params, "inverse")
         r = (

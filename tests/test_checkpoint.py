@@ -92,3 +92,24 @@ def test_duplicate_stage_rejected(spark, tmp_path):
     p.stage("a", lambda: spark.range(3))
     with pytest.raises(ValueError):
         p.stage("a", lambda: spark.range(3))
+
+
+def test_flagship_pipeline_runs_and_resumes(spark, tmp_path):
+    """The real docs→spans→project→PIP→rollup flow, checkpointed: a second
+    invocation resumes every stage; a partial run resumes mid-pipeline."""
+    from projcl_spark.plans.flagship import flagship_pipeline
+
+    root, run_id = str(tmp_path), "flag-1"
+    p1, out1 = flagship_pipeline(spark, root, run_id, n_docs=400)
+    r1 = {r["poly_id"]: (r["n_hits"], r["n_docs"]) for r in out1.collect()}
+    assert p1.ran == ["docs", "spans", "projected", "pip", "rollup"]
+    assert len(r1) > 0
+
+    p2, out2 = flagship_pipeline(spark, root, run_id, n_docs=400)
+    r2 = {r["poly_id"]: (r["n_hits"], r["n_docs"]) for r in out2.collect()}
+    assert p2.resumed == ["docs", "spans", "projected", "pip", "rollup"]
+    assert not p2.ran
+    assert r1 == r2
+
+    lin = p2.lineage().groupBy("stage").count().count()
+    assert lin == 5
