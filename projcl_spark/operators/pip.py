@@ -47,15 +47,24 @@ def winding_contains_np(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.n
 
 
 @F.pandas_udf(BooleanType())
-def _pip_refine(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+def _pip_refine(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series,
+                poly_id: pd.Series) -> pd.Series:
+    """Exact winding test, vectorized per polygon group.
+
+    Grouping uses the integer ``poly_id`` with a numpy stable sort — no
+    per-row Python (the refine runs on every candidate pair; at 10^12 rows
+    this is the hot loop)."""
     px = lon.to_numpy(np.float64)
     py = lat.to_numpy(np.float64)
+    pid = poly_id.to_numpy(np.int64)
     out = np.zeros(len(px), dtype=bool)
-    # group identical polygons within the Arrow batch → one vectorized test
-    # per polygon (len(xs) is tiny; batches arrive clustered by poly anyway)
-    keys = xs.map(lambda a: (len(a), float(a[0]), float(a[-1])))
-    for _, idx in keys.groupby(keys).groups.items():
-        ii = np.asarray(idx)
+    order = np.argsort(pid, kind="stable")
+    sorted_pid = pid[order]
+    # contiguous group boundaries after sort
+    starts = np.flatnonzero(np.r_[True, sorted_pid[1:] != sorted_pid[:-1]])
+    ends = np.r_[starts[1:], len(sorted_pid)]
+    for s, e in zip(starts, ends):
+        ii = order[s:e]
         poly_x = np.asarray(xs.iloc[ii[0]], dtype=np.float64)
         poly_y = np.asarray(ys.iloc[ii[0]], dtype=np.float64)
         out[ii] = winding_contains_np(px[ii], py[ii], poly_x, poly_y)
@@ -75,11 +84,11 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 8, how: str = "i
     )
     pts = points.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), res))
     cand = pts.join(F.broadcast(poly_cells), "cell_id", how="inner")
-    refined = cand.filter(_pip_refine("lon", "lat", "xs", "ys"))
+    refined = cand.filter(_pip_refine("lon", "lat", "xs", "ys", "poly_id"))
     return refined.drop("xs", "ys", "cell_id")
 
 
 def pip_join_bruteforce(points: DataFrame, polygons: DataFrame) -> DataFrame:
     """Oracle-grade exact PIP via full cross join (small inputs only)."""
     cand = points.crossJoin(F.broadcast(polygons.select("poly_id", "xs", "ys")))
-    return cand.filter(_pip_refine("lon", "lat", "xs", "ys")).drop("xs", "ys")
+    return cand.filter(_pip_refine("lon", "lat", "xs", "ys", "poly_id")).drop("xs", "ys")
