@@ -806,6 +806,41 @@ def _o_events_topn() -> str:
             "FROM events ORDER BY value_c DESC, event_id ASC LIMIT 20")
 
 
+NEARDUP_SIM = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brief: dedup suite) — all pairs with
+    quantized cosine ≥ threshold, deterministic (a < b) ordering."""
+    from projcl_spark.operators.ann import DOT, with_norm
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    a = with_norm(emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va")),
+                  "va", "na")
+    b = with_norm(emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb")),
+                  "vb", "nb")
+    dot = DOT.format(a="va", b="vb")
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(F.expr(dot) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("sim") >= NEARDUP_SIM)
+        .select("a", "b", F.round(F.col("sim") * 1e6, 0).cast("long").alias("sim_e6"))
+    )
+
+
+def _o_embedding_neardup() -> str:
+    dot = ("list_sum(list_transform(list_zip(x.embedding, y.embedding), "
+           "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    nx = "sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    ny = "sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    return f"""
+WITH d AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, round({dot} / ({nx} * {ny}), 6) AS sim
+  FROM embeddings x, embeddings y WHERE x.vec_id < y.vec_id)
+SELECT a, b, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6
+FROM d WHERE sim >= {NEARDUP_SIM!r}"""
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     out = cosine_topk(emb.filter(F.col("vec_id") < ANN_NQ), emb, k=ANN_K)
@@ -948,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_cube=q_doc_cube,
         cell_setops=q_cell_setops,
         events_topn=q_events_topn,
+        embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         warp_pipeline=q_warp_pipeline,
         media_decode=q_media_decode,
@@ -982,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         doc_cube=_o_doc_cube(),
         cell_setops=_o_cell_setops(),
         events_topn=_o_events_topn(),
+        embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         warp_pipeline=_o_warp_pipeline(),
         media_decode=_o_media_decode(),
