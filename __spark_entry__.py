@@ -636,6 +636,33 @@ def q_geodesic_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84→NAD27 shift, per-row VALUE-checked (reference ops #14-17):
+    the engine runs the fused pandas UDF; the oracle runs the staged
+    closed-form SQL (same constant-folded transliteration the codegen
+    column path uses)."""
+    pts = _points_df(spark, sf_dir, "customer", ("c_custkey",))
+    udf = datum_shift_udf(Datum.WGS_84, Datum.NAD_27)
+    return pts.withColumn("s", udf("lon", "lat")).select(
+        "c_custkey",
+        F.round(F.col("s.lon") * 1e6, 0).cast("long").alias("dlon_e6"),
+        F.round(F.col("s.lat") * 1e6, 0).cast("long").alias("dlat_e6"),
+    )
+
+
+def _o_datum_shift() -> str:
+    stages = O.datum_shift_stages_sql(Datum.WGS_84, Datum.NAD_27)
+    ctes = [f"pts AS ({_points_cte('customer', ('c_custkey',))})"]
+    prev = "pts"
+    for name, stage in stages:
+        cols = ", ".join(f"{sql} AS {n}" for n, sql in stage.items())
+        ctes.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT c_custkey, CAST(round(dlon * 1e6, 0) AS BIGINT) AS dlon_e6, "
+            f"CAST(round(dlat * 1e6, 0) AS BIGINT) AS dlat_e6 FROM {prev}")
+
+
 def q_datum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WGS84→NAD27→WGS84 closure (datum pipeline, kernel/pl_datum.opencl)."""
     pts = _points_df(spark, sf_dir, "customer", ("c_custkey",))
@@ -975,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         geodesic_direct=q_geodesic_direct,
         geodesic_fixed_angle=q_geodesic_fixed_angle,
         geodesic_vincenty=q_geodesic_vincenty,
+        datum_shift=q_datum_shift,
         datum_roundtrip=q_datum_roundtrip,
         span_roundtrip=q_span_roundtrip,
         dedup_exact=q_dedup_exact,
@@ -1010,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         geodesic_direct=_o_geodesic_direct(),
         geodesic_fixed_angle=_o_geodesic_fixed_angle(),
         # geodesic_vincenty: iterative, not SQL-expressible → rows-only check
+        datum_shift=_o_datum_shift(),
         datum_roundtrip=_o_datum_roundtrip(),
         span_roundtrip=_o_span_roundtrip(),
         dedup_exact=_o_dedup_exact(),

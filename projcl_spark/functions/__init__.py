@@ -66,6 +66,21 @@ def project_fwd_cols(proj: str, params: ProjectionParams,
     return F.expr(x).alias("x"), F.expr(y).alias("y")
 
 
+def datum_shift_cols(df, src, dst):
+    """Composed datum shift as pure JVM column expressions (codegen fast
+    path; see ``oracle.datum_shift_stages_sql`` — one transliteration feeds
+    this AND the DuckDB oracle).  Requires ``lon``/``lat`` input columns;
+    appends ``dlon``/``dlat``."""
+    from .. import oracle as _o
+
+    out = df
+    for _, stage in _o.datum_shift_stages_sql(src, dst):
+        out = out.select(
+            "*", *[F.expr(sql).alias(name) for name, sql in stage.items()]
+        )
+    return out.drop("ex", "ey", "ez", "tx", "ty", "tz")
+
+
 def datum_shift_udf(
     src: datum_mod.Datum,
     dst: datum_mod.Datum,

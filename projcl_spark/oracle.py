@@ -138,6 +138,59 @@ def mercator_inv_sql(params: ProjectionParams, x: str, y: str) -> tuple[str, str
     return f"degrees({xs})", f"degrees(atan({sinh_s(ys)}))"
 
 
+# ----------------------------------------------------------- datum shift ---
+
+
+def datum_shift_stages_sql(src, dst) -> list[tuple[str, dict[str, str]]]:
+    """The composed datum shift (reference ops #14–17) as THREE staged SQL
+    select-lists — dialect-common (trig/sqrt/atan2/CASE only), consumed by
+    both the Spark codegen path (``functions.datum_shift_cols``) and the
+    DuckDB oracle.  Matrix entries and spheroid constants are folded in as
+    literals (the reference's host-side LAPACK/BLAS precompose,
+    ``src/projcl_run.c:823-909``, happens here via numpy).
+
+    Input columns: lon, lat (degrees).  Stages:
+      1. geodetic→ECEF on the source spheroid (h = 0);
+      2. precomposed 4×4 Helmert;
+      3. ECEF→geodetic, Toms 1996 (kernel/pl_datum.opencl:57-108 semantics).
+    """
+    from .geo.datum import AD_C, DATUM_SPHEROID, combined_matrix
+    from .core.spheroid import Spheroid, get_spheroid_info
+
+    src_info = get_spheroid_info(DATUM_SPHEROID.get(src, Spheroid.WGS_84))
+    dst_info = get_spheroid_info(DATUM_SPHEROID.get(dst, Spheroid.WGS_84))
+    M = combined_matrix(src, dst)
+
+    sp = "sin(radians(lat))"
+    cp = "cos(radians(lat))"
+    r = f"({_r(src_info.major_axis)} / sqrt(1.0 - {_r(src_info.ecc2)} * {sp} * {sp}))"
+    s1 = {
+        "ex": f"({r} * {cp} * cos(radians(lon)))",
+        "ey": f"({r} * {cp} * sin(radians(lon)))",
+        "ez": f"({r} * {_r(src_info.one_ecc2)} * {sp})",
+    }
+
+    def row(i: int) -> str:
+        return (f"({_r(M[i, 0])} * ex + {_r(M[i, 1])} * ey + "
+                f"{_r(M[i, 2])} * ez + {_r(M[i, 3])})")
+
+    s2 = {"tx": row(0), "ty": row(1), "tz": row(2)}
+
+    a, b = _r(dst_info.major_axis), _r(dst_info.minor_axis)
+    es, one_es = dst_info.ecc2, dst_info.one_ecc2
+    w = "sqrt(tx * tx + ty * ty)"
+    s0 = f"sqrt((tz * {_r(AD_C)}) * (tz * {_r(AD_C)}) + {w} * {w})"
+    sin_b0 = f"((tz * {_r(AD_C)}) / {s0})"
+    cos_b0 = f"({w} / {s0})"
+    t1 = f"(tz + {b} * {_r(es / one_es)} * {sin_b0} * {sin_b0} * {sin_b0})"
+    total = f"({w} - {a} * {_r(es)} * {cos_b0} * {cos_b0} * {cos_b0})"
+    s3 = {
+        "dlon": "degrees(atan2(ty, tx))",
+        "dlat": f"degrees(atan2({t1}, {total}))",
+    }
+    return [("ecef", s1), ("helmert", s2), ("geodetic", s3)]
+
+
 # ------------------------------------------------- forward projection SQL ---
 
 

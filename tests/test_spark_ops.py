@@ -187,3 +187,17 @@ def test_knn_exact_rescues_lossy_ring(spark):
         "query_id", "pid", "rank"
     )
     assert plain.exceptAll(slow).count() > 0 or slow.exceptAll(plain).count() > 0
+
+
+def test_datum_shift_cols_matches_udf(spark):
+    """JVM-codegen datum chain == fused pandas UDF (≤1e-12°)."""
+    from projcl_spark.functions import datum_shift_cols, datum_shift_udf
+
+    pts = synth.geo_points(spark, 150)
+    cols = datum_shift_cols(pts, dt.Datum.WGS_84, dt.Datum.NAD_27)
+    udf = datum_shift_udf(dt.Datum.WGS_84, dt.Datum.NAD_27)
+    both = cols.withColumn("s", udf("lon", "lat")).select(
+        F.max(F.abs(F.col("dlon") - F.col("s.lon"))).alias("e1"),
+        F.max(F.abs(F.col("dlat") - F.col("s.lat"))).alias("e2"),
+    ).first()
+    assert both["e1"] < 1e-12 and both["e2"] < 1e-12
