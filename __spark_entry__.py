@@ -903,6 +903,68 @@ SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
 FROM r WHERE rnk <= {ANN_K}"""
 
 
+LSH_BITS, LSH_TABLES = 4, 2
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 100-TB similarity path): hyperplane-signature
+    buckets → equi-join → exact re-score → top-k.  Oracle rebuilds the
+    buckets bit-for-bit from the same folded plane literals."""
+    from projcl_spark.operators.ann import cosine_topk_lsh
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < ANN_NQ), emb,
+        k=ANN_K, n_bits=LSH_BITS, n_tables=LSH_TABLES, dim=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("sim") * 1e6, 0).cast("long").alias("sim_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _o_ann_lsh() -> str:
+    from projcl_spark.operators.ann import _hyperplanes, signature_sql
+
+    buckets = []
+    for t in range(LSH_TABLES):
+        sig = signature_sql("embedding", _hyperplanes(64, LSH_BITS, 42 + t), "duck")
+        buckets.append((t, sig))
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {sig} AS bucket FROM q" for t, sig in buckets
+    )
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {sig} AS bucket FROM embeddings" for t, sig in buckets
+    )
+    dot = ("list_sum(list_transform(list_zip(x.embedding, y.embedding), "
+           "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    nx = "sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    ny = "sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),
+qb AS ({qb}),
+cb AS ({cb}),
+pairs AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+   AND qb.vec_id <> cb.vec_id),
+d AS (
+  SELECT p.query_id, p.neighbor_id,
+         round({dot} / ({nx} * {ny}), 6) AS sim
+  FROM pairs p
+  JOIN embeddings x ON x.vec_id = p.query_id
+  JOIN embeddings y ON y.vec_id = p.neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM d)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
+       CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= {ANN_K}"""
+
+
 # ------------------------------------------------------------ media suite ---
 
 N_MEDIA = 400
@@ -1013,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_topn=q_events_topn,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
+        ann_lsh=q_ann_lsh,
         warp_pipeline=q_warp_pipeline,
         media_decode=q_media_decode,
         media_frames=q_media_frames,
@@ -1049,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         events_topn=_o_events_topn(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
+        ann_lsh=_o_ann_lsh(),
         warp_pipeline=_o_warp_pipeline(),
         media_decode=_o_media_decode(),
         media_frames=_o_media_frames(),

@@ -83,6 +83,26 @@ def simhash_signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
     return F.expr(f"({packed})")
 
 
+def signature_sql(vec_col: str, planes: np.ndarray, dialect: str) -> str:
+    """The SAME packed hyperplane signature as ``simhash_signature_col``,
+    rendered for either dialect — lets the DuckDB oracle rebuild LSH buckets
+    bit-for-bit (plane literals are folded in)."""
+    from ..oracle import _r
+
+    bits = []
+    for row in planes:
+        lit = "[" + ",".join(_r(v) for v in row) + "]" if dialect == "duck" else \
+              "array(" + ",".join(repr(float(v)) for v in row) + ")"
+        if dialect == "duck":
+            dot = (f"list_sum(list_transform(list_zip({vec_col}, {lit}), "
+                   f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        else:
+            dot = DOT.format(a=vec_col, b=lit)
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)")
+    packed = " + ".join(f"CAST({b} AS BIGINT) * {1 << i}" for i, b in enumerate(bits))
+    return f"({packed})"
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
