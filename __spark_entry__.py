@@ -720,6 +720,55 @@ def _o_span_roundtrip() -> str:
             "WHERE text IS NOT NULL AND length(text) > 0")
 
 
+def q_span_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media+geo spans (the driver input-hint shape):
+    build spans (kind, text, media_ref, offset) → explode → reassemble →
+    verify the FULL per-row invariant: kind sequence, media refs, and text
+    payloads all survive in order.
+
+    Output: per doc the reassembled kind chain, media_ref chain and text
+    hash — the oracle computes the expected values directly from the
+    generator formulas (never from a round trip)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(
+        "text IS NOT NULL AND length(text) >= 48"
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            # interleave: text chunk, then an image span every 2nd slot
+            "flatten(transform(sequence(0, 2), i -> array("
+            "  struct('text' AS kind, substring(text, i * 16 + 1, 16) AS text,"
+            "         CAST(NULL AS STRING) AS media_ref, i * 2 AS offset),"
+            "  struct('image' AS kind, CAST(NULL AS STRING) AS text,"
+            "         'm://' || md5(doc_id || ':' || CAST(i AS STRING)) AS media_ref,"
+            "         i * 2 + 1 AS offset))))"
+        ).alias("spans"),
+    )
+    rebuilt = reassemble(explode_spans(docs))
+    return rebuilt.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("array_join(transform(spans, s -> s.kind), ',')").alias("kinds"),
+        F.expr("array_join(transform(filter(spans, s -> s.media_ref IS NOT NULL),"
+               " s -> s.media_ref), ',')").alias("media_refs"),
+        F.md5(F.expr("array_join(transform(filter(spans, s -> s.text IS NOT NULL),"
+                     " s -> s.text), '')")).alias("text_hash"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+def _o_span_interleaved() -> str:
+    refs = (
+        "array_to_string(list_transform(range(0, 3), "
+        "i -> 'm://' || md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))), ',')"
+    )
+    return f"""
+SELECT doc_id,
+       'text,image,text,image,text,image' AS kinds,
+       {refs} AS media_refs,
+       md5(substring(text, 1, 48)) AS text_hash,
+       CAST(6 AS BIGINT) AS n_spans
+FROM documents WHERE text IS NOT NULL AND length(text) >= 48"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup histogram: group-size distribution of md5(text)."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
@@ -903,6 +952,51 @@ SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
 FROM r WHERE rnk <= {ANN_K}"""
 
 
+def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, value-checked: file-source stream → watermarked
+    5-min tumbling per-cell counts (availableNow), append mode.
+
+    Append-mode emission is deterministic: exactly the windows whose end is
+    ≤ the final watermark (max event time − 10 min) — which is what the
+    DuckDB oracle computes in plain SQL (verified stable across runs)."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from projcl_spark.streaming.ops import stream_cell_counts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"projcl_stream_in_{tag}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    name = f"stream_cells_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_cell_counts(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(
+        f"SELECT unix_timestamp(win_start) AS win_s, cell_id, n FROM {name}"
+    )
+
+
+def _o_stream_cells() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)", "duck")
+    cell = cell_id_sql("lon", "lat", 6)
+    return f"""
+WITH pts AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, {lon_e} AS lon, {lat_e} AS lat
+  FROM events),
+cells AS (SELECT CAST(floor(es / 300) * 300 AS BIGINT) AS win_s, {cell} AS cell_id FROM pts),
+agg AS (SELECT win_s, cell_id, count(*) AS n FROM cells GROUP BY 1, 2)
+SELECT win_s, cell_id, n FROM agg
+WHERE win_s + 300 <= (SELECT max(es) FROM pts) - 600"""
+
+
 LSH_BITS, LSH_TABLES = 4, 2
 
 
@@ -1067,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         datum_shift=q_datum_shift,
         datum_roundtrip=q_datum_roundtrip,
         span_roundtrip=q_span_roundtrip,
+        span_interleaved=q_span_interleaved,
         dedup_exact=q_dedup_exact,
         token_stats=q_token_stats,
         events_tumbling=q_events_tumbling,
@@ -1076,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
+        stream_cells=q_stream_cells,
         warp_pipeline=q_warp_pipeline,
         media_decode=q_media_decode,
         media_frames=q_media_frames,
@@ -1104,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         datum_shift=_o_datum_shift(),
         datum_roundtrip=_o_datum_roundtrip(),
         span_roundtrip=_o_span_roundtrip(),
+        span_interleaved=_o_span_interleaved(),
         dedup_exact=_o_dedup_exact(),
         token_stats=_o_token_stats(),
         events_tumbling=_o_events_tumbling(),
@@ -1113,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),
+        stream_cells=_o_stream_cells(),
         warp_pipeline=_o_warp_pipeline(),
         media_decode=_o_media_decode(),
         media_frames=_o_media_frames(),
