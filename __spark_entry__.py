@@ -1124,7 +1124,29 @@ def _o_media_frames() -> str:
 
 
 def _q_text(name: str) -> Callable:
-    from projcl_spark.operators.text import text_queries_sql
+    from projcl_spark.operators.text import minhash_split_sql, text_queries_sql
+
+    if name == "dedup_minhash":
+        sig_sql, pairs_sql = minhash_split_sql("spark")
+
+        def q_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # materialize signatures ONCE as a parquet checkpoint: Spark
+            # inlines CTEs (6× recompute of the md5 minhash) and
+            # .cache()'s InMemoryRelation is pathologically slow for the
+            # array columns (measured 232 s vs 1.8 s via parquet at sf0.1)
+            import hashlib
+            import tempfile
+
+            spark.read.parquet(_t(sf_dir, "documents")).repartition(
+                spark.sparkContext.defaultParallelism * 2
+            ).createOrReplaceTempView("documents")
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            d = os.path.join(tempfile.gettempdir(), f"projcl_mh_sig_{tag}")
+            spark.sql(sig_sql).write.mode("overwrite").parquet(d)
+            spark.read.parquet(d).createOrReplaceTempView("minhash_sig")
+            return spark.sql(pairs_sql.replace("__SIG__", "minhash_sig"))
+
+        return q_mh
 
     sql = text_queries_sql("spark")[name]
 

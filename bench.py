@@ -136,6 +136,14 @@ def build_queries(spark, sf_dir):
         _force(cosine_topk(emb.limit(64), emb, k=3))
         return 64 * nq
 
+    def q_warp_bilinear():
+        _force(E._q_warp_sample("bilinear")(spark, sf_dir))
+        return E.GRID_W * E.GRID_H * 4  # taps gathered
+
+    def q_dedup_minhash():
+        _force(E._q_text("dedup_minhash")(spark, sf_dir))
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -146,6 +154,8 @@ def build_queries(spark, sf_dir):
         "span_pipeline": q_span_pipeline,
         "tile_pyramid": q_tile_pyramid,
         "ann": q_ann,
+        "warp_bilinear": q_warp_bilinear,
+        "dedup_minhash": q_dedup_minhash,
     }
 
 

@@ -193,6 +193,46 @@ def winnow_sql(text: str, dialect: str, k: int = WINNOW_K, w: int = WINNOW_W) ->
 # -------------------------------------------------------- query templates ---
 
 
+def minhash_split_sql(dialect: str) -> tuple[str, str]:
+    """(sig_stage_sql, pairs_sql_with_VIEW_placeholder) — the Spark engine
+    materializes the signature stage (cache + temp view) before the
+    band-join, avoiding 6× recomputation of the md5 minhash under Spark's
+    CTE inlining.  ``pairs`` references the relation ``__SIG__``."""
+    instr = "instr(text, ' ')" if dialect == "spark" else "strpos(text, ' ')"
+    toks = tokens("text", dialect)
+    sh = shingles_sql(toks, dialect)
+    base = ("SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL AND length(text) >= 48")
+    mut = (f"SELECT doc_id + 10000000 AS doc_id, substring(text, {instr} + 1) AS text "
+           f"FROM base WHERE doc_id % 5 = 0")
+    sig_stage = f"""
+WITH base AS ({base}),
+mut AS ({mut}),
+all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM mut)
+SELECT doc_id, {minhash_sql(sh, dialect)} AS sig
+FROM all_docs"""
+    # band keys derive from the (materialized) signature — the expensive
+    # shingle→minhash work happens exactly once per doc
+    keys = band_keys_sql("sig", dialect)
+    pairs = f"""
+WITH keyed AS (SELECT doc_id, {keys} AS keys FROM __SIG__),
+bandrows AS (
+  SELECT doc_id, 0 AS band_idx, {_get('keys', 1, dialect)} AS band_key FROM keyed
+  UNION ALL SELECT doc_id, 1, {_get('keys', 2, dialect)} FROM keyed
+  UNION ALL SELECT doc_id, 2, {_get('keys', 3, dialect)} FROM keyed
+  UNION ALL SELECT doc_id, 3, {_get('keys', 4, dialect)} FROM keyed),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b, {sig_match_sql('x.sig', 'y.sig', dialect)} AS n_match
+FROM pairs p
+JOIN __SIG__ x ON x.doc_id = p.doc_a
+JOIN __SIG__ y ON y.doc_id = p.doc_b"""
+    return sig_stage, pairs
+
+
 def text_queries_sql(dialect: str) -> dict[str, str]:
     """The six text/dedup queries, rendered for one dialect.
 
@@ -212,27 +252,13 @@ def text_queries_sql(dialect: str) -> dict[str, str]:
     mut = (f"SELECT doc_id + 10000000 AS doc_id, substring(text, {instr} + 1) AS text "
            f"FROM base WHERE doc_id % 5 = 0")
 
-    minhash_pairs = f"""
-WITH base AS ({base}),
-mut AS ({mut}),
-all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
-sig AS (SELECT doc_id, {minhash_sql(sh, dialect)} AS sig,
-               {band_keys_sql(minhash_sql(sh, dialect), dialect)} AS keys
-        FROM all_docs),
-bandrows AS (
-  SELECT doc_id, 0 AS band_idx, {_get('keys', 1, dialect)} AS band_key FROM sig
-  UNION ALL SELECT doc_id, 1, {_get('keys', 2, dialect)} FROM sig
-  UNION ALL SELECT doc_id, 2, {_get('keys', 3, dialect)} FROM sig
-  UNION ALL SELECT doc_id, 3, {_get('keys', 4, dialect)} FROM sig),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bandrows a JOIN bandrows b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id)
-SELECT p.doc_a, p.doc_b, {sig_match_sql('x.sig', 'y.sig', dialect)} AS n_match
-FROM pairs p
-JOIN sig x ON x.doc_id = p.doc_a
-JOIN sig y ON y.doc_id = p.doc_b"""
+    # single-statement form (DuckDB oracle; the Spark engine materializes
+    # the sig stage instead — see minhash_split_sql)
+    sig_stage, pairs = minhash_split_sql(dialect)
+    minhash_pairs = (
+        f"WITH sig AS ({sig_stage.strip()}) "
+        + pairs.replace("WITH keyed", ", keyed", 1).replace("__SIG__", "sig").lstrip()
+    )
 
     simhash = f"""
 WITH base AS ({base})
