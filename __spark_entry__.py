@@ -526,6 +526,22 @@ SELECT query_id, c_custkey, {_q10('dist')} AS dist_10m, CAST(rnk AS INT) AS rank
 FROM r WHERE rnk <= {KNN_K}"""
 
 
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN with DELIBERATELY tight pruning (res 5, ring 1 — lossy at sf0.01
+    density) through ``knn_join_exact``: the safe-radius escalation must
+    restore exact results, which is precisely what the oracle checks."""
+    from projcl_spark.operators.knn import knn_join_exact
+
+    cust = _points_df(spark, sf_dir, "customer", ("c_custkey",))
+    qs = spark.createDataFrame(KNN_QUERIES, "query_id long, q_lon double, q_lat double")
+    out = knn_join_exact(qs, cust, k=KNN_K, res=5, ring=1, point_id="c_custkey")
+    return out.select(
+        "query_id", "c_custkey",
+        _q10_col(F.col("dist_m")).alias("dist_10m"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_haversine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Many-to-many inverse geodesic (reference op #10, pl_geodesic.opencl:31-59)."""
     a = _points_df(spark, sf_dir, "nation", ("n_nationkey",)).withColumnRenamed(
@@ -1176,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tile_pyramid=q_tile_pyramid,
         pip_triangles=q_pip_triangles,
         knn_customer=q_knn_customer,
+        knn_exact=q_knn_exact,
         haversine_matrix=q_haversine_matrix,
         geodesic_direct=q_geodesic_direct,
         geodesic_fixed_angle=q_geodesic_fixed_angle,
@@ -1215,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
         tile_pyramid=_o_tile_pyramid(),
         pip_triangles=_o_pip_triangles(),
         knn_customer=_o_knn_customer(),
+        knn_exact=_o_knn_customer(),  # same true-kNN semantics, same oracle
         haversine_matrix=_o_haversine_matrix(),
         geodesic_direct=_o_geodesic_direct(),
         geodesic_fixed_angle=_o_geodesic_fixed_angle(),
