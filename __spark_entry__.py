@@ -968,6 +968,57 @@ SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
 FROM r WHERE rnk <= {ANN_K}"""
 
 
+def q_warp_datum_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp WITH the datum-shift step (reference op #20 + full #27 recipe):
+    Mercator dst grid → inverse → WGS84→NAD27 shift → Albers forward →
+    pixel coords → bilinear mosaic sample.  The oracle chains the staged
+    closed-form datum SQL between the two projections."""
+    from projcl_spark.operators.warp import warp as warp_op
+    from projcl_spark.sources.synth import tiles_df
+
+    tiles = tiles_df(spark, TILES_ACROSS, TILES_DOWN, TILE_W, TILE_H)
+    out = warp_op(
+        spark, tiles, GRID_W, GRID_H, WARP_BOUNDS,
+        WARP_DST[0], WARP_DST[1], WARP_SRC[0], WARP_SRC[1],
+        WARP_SRC_ORIGIN, WARP_SRC_PXSIZE,
+        TILE_W, TILE_H, TILES_ACROSS, TILES_DOWN, filter="bilinear",
+        datum_shift_udf=datum_shift_udf(Datum.WGS_84, Datum.NAD_27),
+    )
+    return out.select(
+        "gi", "gj", F.round(F.col("value") * 1e6, 0).cast("long").alias("value_e6")
+    )
+
+
+def _o_warp_datum_pipeline() -> str:
+    x0, y0, x1, y1 = WARP_BOUNDS
+    grid = (
+        f"SELECT CAST(floor(id / {GRID_W}) AS BIGINT) AS gi, "
+        f"CAST(id % {GRID_W} AS BIGINT) AS gj, "
+        f"({O._r(x0)} + {O._r(x1 - x0)} * (id % {GRID_W}) / {GRID_W - 1}) AS mx, "
+        f"({O._r(y0)} + {O._r(y1 - y0)} * floor(id / {GRID_W}) / {GRID_H - 1}) AS my "
+        f"FROM range({GRID_W * GRID_H}) t(id)"
+    )
+    lon, lat = O.mercator_inv_sql(WARP_DST[1], "mx", "my")
+    ctes = [f"g AS ({grid})",
+            f"ll AS (SELECT gi, gj, {lon} AS lon, {lat} AS lat FROM g)"]
+    prev = "ll"
+    for name, stage in O.datum_shift_stages_sql(Datum.WGS_84, Datum.NAD_27):
+        cols = ", ".join(f"{sql} AS {n}" for n, sql in stage.items())
+        ctes.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+    ax, ay = O.fwd_xy_sql(WARP_SRC[0], WARP_SRC[1], lon="dlon", lat="dlat")
+    ox, oy = WARP_SRC_ORIGIN
+    psx, psy = WARP_SRC_PXSIZE
+    ctes.append(f"src AS (SELECT gi, gj, {ax} AS sx2, {ay} AS sy2 FROM {prev})")
+    ctes.append(
+        f"pc AS (SELECT gi, gj, ((sx2 - {O._r(ox)}) / {O._r(psx)}) AS x, "
+        f"((sy2 - {O._r(oy)}) / {O._r(psy)}) AS y FROM src)"
+    )
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT gi, gj, CAST(round({_tapsum_sql('bilinear')} * 1e6, 0) AS BIGINT) "
+            f"AS value_e6 FROM pc")
+
+
 def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming, value-checked: file-source stream → watermarked
     5-min tumbling per-cell counts (availableNow), append mode.
@@ -1212,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_lsh=q_ann_lsh,
         stream_cells=q_stream_cells,
         warp_pipeline=q_warp_pipeline,
+        warp_datum_pipeline=q_warp_datum_pipeline,
         media_decode=q_media_decode,
         media_frames=q_media_frames,
     )
@@ -1252,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         ann_lsh=_o_ann_lsh(),
         stream_cells=_o_stream_cells(),
         warp_pipeline=_o_warp_pipeline(),
+        warp_datum_pipeline=_o_warp_datum_pipeline(),
         media_decode=_o_media_decode(),
         media_frames=_o_media_frames(),
     )

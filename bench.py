@@ -144,6 +144,18 @@ def build_queries(spark, sf_dir):
         _force(E._q_text("dedup_minhash")(spark, sf_dir))
         return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    def q_warp_large():
+        # scale-shaped warp: 1M destination pixels → 4M bilinear taps
+        from projcl_spark.operators.warp import grid_df, sample_tiles
+        from projcl_spark.sources.synth import tiles_df
+
+        tiles = tiles_df(spark, E.TILES_ACROSS, E.TILES_DOWN, E.TILE_W, E.TILE_H)
+        g = grid_df(spark, 1024, 1024, 0.0, 0.0, 255.0, 255.0,
+                    num_partitions=cpus * 2)
+        _force(sample_tiles(g, tiles, E.TILE_W, E.TILE_H, E.TILES_ACROSS,
+                            E.TILES_DOWN, filter="bilinear"))
+        return 1024 * 1024
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -155,6 +167,7 @@ def build_queries(spark, sf_dir):
         "tile_pyramid": q_tile_pyramid,
         "ann": q_ann,
         "warp_bilinear": q_warp_bilinear,
+        "warp_large": q_warp_large,
         "dedup_minhash": q_dedup_minhash,
     }
 
