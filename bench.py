@@ -184,7 +184,7 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     times, thr = {}, {}
     for name, fn in qs.items():
         best, rows = float("inf"), -1
-        for _ in range(2):  # best-of-2: single-JVM runs are GC-noisy
+        for _ in range(3):  # best-of-3: single-JVM runs are GC-noisy
             spark.catalog.clearCache()
             t0 = time.time()
             rows = fn()
