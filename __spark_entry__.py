@@ -816,6 +816,48 @@ def _o_token_stats() -> str:
             "FROM documents GROUP BY 1")
 
 
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (brief: token counting beyond whitespace):
+    word-or-punct tokens per doc, alongside the whitespace count."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter("text IS NOT NULL")
+    return docs.select(
+        "doc_id",
+        F.expr("size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0))")
+        .cast("long").alias("n_regex_tokens"),
+        F.expr("size(split(text, ' '))").cast("long").alias("n_ws_tokens"),
+    )
+
+
+def _o_token_regex() -> str:
+    return (r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_regex_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents WHERE text IS NOT NULL""")
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the events' JSON props and
+    aggregate the extracted field per event type."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def _o_events_json() -> str:
+    return ("""SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1""")
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(_t(sf_dir, "events"))
     return ev.groupBy(
@@ -1255,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact=q_dedup_exact,
         token_stats=q_token_stats,
         events_tumbling=q_events_tumbling,
+        token_regex=q_token_regex,
+        events_json=q_events_json,
         doc_cube=q_doc_cube,
         cell_setops=q_cell_setops,
         events_topn=q_events_topn,
@@ -1296,6 +1340,8 @@ def oracle_sql() -> dict[str, str]:
         dedup_exact=_o_dedup_exact(),
         token_stats=_o_token_stats(),
         events_tumbling=_o_events_tumbling(),
+        token_regex=_o_token_regex(),
+        events_json=_o_events_json(),
         doc_cube=_o_doc_cube(),
         cell_setops=_o_cell_setops(),
         events_topn=_o_events_topn(),
