@@ -190,6 +190,42 @@ def sample_tiles(
     return out
 
 
+def assemble_tiles(
+    pixels: DataFrame,
+    tile_width: int,
+    tile_height: int,
+    tiles_across: int,
+    value_col: str = "value",
+) -> DataFrame:
+    """Inverse of the sampling direction: destination pixel rows
+    (gi, gj, value) → a tile table (the reference's output side is
+    ``clEnqueueReadImage`` into a host image, ``src/projcl_warp.c:367,429``;
+    ours is a tile-row sink, completing raster↔vector in BOTH directions).
+
+    Pixels land in row-major order inside each tile via an explicit
+    positional sort (``array_sort`` on (pos, value) structs) — deterministic
+    at any parallelism.  Missing pixels are an error by contract (the
+    caller warps a full grid); tile dims must divide the grid.
+    """
+    pos = (F.col("gi") % tile_height) * tile_width + (F.col("gj") % tile_width)
+    keyed = pixels.select(
+        F.floor(F.col("gi") / tile_height).cast("int").alias("tile_row"),
+        F.floor(F.col("gj") / tile_width).cast("int").alias("tile_col"),
+        F.struct(pos.cast("int").alias("pos"), F.col(value_col).alias("v")).alias("pv"),
+    )
+    return (
+        keyed.groupBy("tile_row", "tile_col")
+        .agg(F.array_sort(F.collect_list("pv")).alias("pvs"))
+        .select(
+            (F.col("tile_row") * tiles_across + F.col("tile_col")).cast("long").alias("tile_id"),
+            "tile_row", "tile_col",
+            F.lit(tile_width).alias("width"),
+            F.lit(tile_height).alias("height"),
+            F.expr("transform(pvs, s -> s.v)").alias("pixels"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- pipeline ---
 
 

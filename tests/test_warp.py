@@ -76,3 +76,23 @@ def test_bicubic_reproduces_at_nodes(spark):
     h = int(hashlib.md5(b"px:5:6").hexdigest()[:15], 16)
     expect = (5 * 3 + 6 * 7 + h % 32) % 256
     assert abs(out["value"][0] - expect) < 1e-9
+
+
+def test_assemble_tiles_identity_roundtrip(spark):
+    """tiles → nearest-sample at integer coords → assemble_tiles == source
+    (raster→vector→raster identity)."""
+    from projcl_spark.operators.warp import assemble_tiles
+
+    tiles = tiles_df(spark, 2, 2, 8, 8)
+    # grid hitting every source pixel exactly once
+    g = grid_df(spark, 16, 16, 0.0, 0.0, 15.0, 15.0)
+    sampled = sample_tiles(g, tiles, 8, 8, 2, 2, filter="nearest")
+    rebuilt = assemble_tiles(
+        sampled.select("gi", "gj", F.col("value").cast("int").alias("value")),
+        8, 8, 2,
+    )
+    src = {r["tile_id"]: r["pixels"] for r in tiles.collect()}
+    out = {r["tile_id"]: r["pixels"] for r in rebuilt.collect()}
+    assert set(src) == set(out)
+    for tid in src:
+        assert src[tid] == out[tid], f"tile {tid} differs"
