@@ -63,6 +63,83 @@ def cosine_topk(
     )
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    quantize: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (driver-side k-means over a sample)
+    buckets the corpus into inverted lists; queries probe their ``n_probe``
+    nearest centroids and re-score exactly inside those lists.
+
+    Scale shape: centroid table is tiny (broadcast with the closure); the
+    corpus is scanned once to attach ``ivf_cell`` (pure JVM argmax over
+    centroid dot products); the query↔corpus meet is an equi-join on
+    ``ivf_cell`` — shuffle-partitionable, never a cross product.
+    Deterministic: k-means is seeded and runs a fixed iteration count.
+    """
+    sample = corpus.select(id_col, vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    pdf = sample.toPandas().sort_values(id_col)  # partition-order independent
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means, fixed rounds
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = X[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+
+    def cell_expr(vec: str, top: int) -> F.Column:
+        """array of the ``top`` centroid ids by dot product (JVM-side)."""
+        dots = [
+            F.expr(DOT.format(a=vec, b="array(" + ",".join(repr(float(v)) for v in row) + ")"))
+            for row in C
+        ]
+        arr = F.array(*[
+            F.struct(d.alias("d"), F.lit(j).alias("j")) for j, d in enumerate(dots)
+        ])
+        ranked = F.reverse(F.array_sort(arr))
+        return F.slice(F.transform(ranked, lambda s: s.j), 1, top)
+
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", "c_norm",
+    ).withColumn("ivf_cell", F.element_at(cell_expr("c_vec", 1), 1))
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", "q_norm",
+    ).withColumn("ivf_cell", F.explode(cell_expr("q_vec", n_probe)))
+    dot = DOT.format(a="q_vec", b="c_vec")
+    cand = (
+        q.join(c, "ivf_cell", "inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.expr(dot) / (F.col("q_norm") * F.col("c_norm")), quantize).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim))

@@ -119,3 +119,29 @@ def test_lsh_ann_recall(spark):
            for r in cosine_topk_lsh(q, emb, k=3, n_bits=3, n_tables=8).collect()}
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_ivf_ann_recall(spark):
+    """IVF-bucketed ANN (driver-side spherical k-means + inverted lists)
+    recovers most exact top-3 neighbors with n_probe=6 of 16 cells."""
+    from projcl_spark.operators.ann import cosine_topk, cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 24)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, emb, k=3).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk_ivf(q, emb, k=3, n_cells=16, n_probe=6).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_ivf_deterministic(spark):
+    from projcl_spark.operators.ann import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    a = cosine_topk_ivf(q, emb, k=3).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = cosine_topk_ivf(q.repartition(3), emb.repartition(7), k=3).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert (a["neighbor_id"] == b["neighbor_id"]).all()
