@@ -71,19 +71,26 @@ def _pip_refine(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series,
     return pd.Series(out)
 
 
-def pip_join(points: DataFrame, polygons: DataFrame, res: int = 8, how: str = "inner") -> DataFrame:
+def pip_join(points: DataFrame, polygons: DataFrame, res: int = 8, how: str = "inner",
+             broadcast_polygons: bool = True) -> DataFrame:
     """points(lon, lat, …) ⋈ polygons(poly_id, xs, ys, cells) → matched rows.
 
     ``cells`` must be the polygon's covering cell ids at ``res`` (see
     ``sources.synth.polygon_cover_cells``).  Returns the point columns +
-    ``poly_id``.  The polygon side is broadcast; candidate pairs that fail
-    the exact test are filtered, so output rows = exact PIP semantics.
+    ``poly_id``.  Candidate pairs that fail the exact winding test are
+    filtered, so output rows = exact PIP semantics.
+
+    ``broadcast_polygons=True`` (default) never shuffles the point side —
+    right while the exploded polygon×cell table fits an executor (<~8 GB,
+    i.e. millions of polygons).  Beyond that, set False: a plain cell
+    equi-join — both sides shuffle on cell_id, AQE splits skewed cells.
     """
     poly_cells = polygons.select(
         "poly_id", "xs", "ys", F.explode("cells").alias("cell_id")
     )
     pts = points.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), res))
-    cand = pts.join(F.broadcast(poly_cells), "cell_id", how="inner")
+    right = F.broadcast(poly_cells) if broadcast_polygons else poly_cells
+    cand = pts.join(right, "cell_id", how="inner")
     refined = cand.filter(_pip_refine("lon", "lat", "xs", "ys", "poly_id"))
     return refined.drop("xs", "ys", "cell_id")
 

@@ -201,3 +201,14 @@ def test_datum_shift_cols_matches_udf(spark):
         F.max(F.abs(F.col("dlat") - F.col("s.lat"))).alias("e2"),
     ).first()
     assert both["e1"] < 1e-12 and both["e2"] < 1e-12
+
+
+def test_pip_join_shuffle_path_matches_broadcast(spark):
+    """The large-polygon-layer path (no broadcast) returns identical rows."""
+    pts = synth.geo_points(spark, 200)
+    polys = synth.polygons_df(spark, n_polys=16, res=8)
+    a = pip_join(pts, polys, res=8).select("doc_id", "offset", "poly_id")
+    b = pip_join(pts, polys, res=8, broadcast_polygons=False).select(
+        "doc_id", "offset", "poly_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
