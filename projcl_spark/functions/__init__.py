@@ -167,16 +167,6 @@ def haversine_col(lon1, lat1, lon2, lat2, radius: float = EARTH_RADIUS_SPHERE) -
     return F.lit(2.0 * radius) * F.asin(F.sqrt(F.least(F.greatest(h, F.lit(0.0)), F.lit(1.0))))
 
 
-def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str, radius: float = EARTH_RADIUS_SPHERE) -> str:
-    """Identical haversine as ANSI SQL for the DuckDB oracles."""
-    return (
-        f"2.0 * {radius!r} * asin(sqrt(least(greatest("
-        f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
-        f" + cos(radians({lat1})) * cos(radians({lat2}))"
-        f" * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2), 0.0), 1.0)))"
-    )
-
-
 def mercator_fwd_cols(lon, lat, params: ProjectionParams) -> tuple[Column, Column]:
     """Spherical/ellipsoidal Mercator forward as pure columns (no UDF).
 

@@ -163,8 +163,9 @@ def shift_datum(
     Reference driver: ``src/projcl_datum.c:114-132``.  Spheroids default to
     the datum's conventional ellipsoid (WGS 84 otherwise).
     """
-    src_sph = src_spheroid or DATUM_SPHEROID.get(src_datum, Spheroid.WGS_84)
-    dst_sph = dst_spheroid or DATUM_SPHEROID.get(dst_datum, Spheroid.WGS_84)
+    # `is not None` — Spheroid.SPHERE == 0 is falsy, `or` would discard it
+    src_sph = src_spheroid if src_spheroid is not None else DATUM_SPHEROID.get(src_datum, Spheroid.WGS_84)
+    dst_sph = dst_spheroid if dst_spheroid is not None else DATUM_SPHEROID.get(dst_datum, Spheroid.WGS_84)
     x, y, z = geodetic_to_ecef(lon, lat, src_sph)
     M = combined_matrix(src_datum, dst_datum)
     x2 = M[0, 0] * x + M[0, 1] * y + M[0, 2] * z + M[0, 3]

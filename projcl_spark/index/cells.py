@@ -134,8 +134,10 @@ def ring_cells_col(cell_id: Column, res: int, ring: int = 1) -> Column:
     are clipped (no wraparound — matches cell_bounds semantics).
     """
     n = _scale(res)
-    ix = (cell_id / n).cast("long")
-    iy = cell_id % n
+    # exact integer decomposition (n = 2^res): float division would lose
+    # precision for cell ids beyond 2^53 (res > 26)
+    ix = F.shiftright(cell_id, res)
+    iy = cell_id.bitwiseAND(F.lit(n - 1))
     offs = F.sequence(F.lit(-ring), F.lit(ring))
     # flatten(transform(dx, dx -> transform(dy, dy -> id))) with border filter
     arr = F.flatten(

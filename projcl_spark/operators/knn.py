@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import haversine_col, vincenty_udf
-from ..index.cells import cell_id_col, ring_cells_col
+from ..index.cells import cell_id_col, cell_xy_col, ring_cells_col
 
 
 def _dist(metric: str):
@@ -67,31 +67,45 @@ R_SPHERE = 6370997.0  # authalic sphere major axis (projcl_spheroid.c:20)
 
 
 def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
-    """Conservative lower bound (meters) on the distance from a query point
-    to anything OUTSIDE its (2·ring+1)² cell window.
+    """Conservative lower bound (meters) on the HAVERSINE distance from a
+    query point to anything OUTSIDE its (2·ring+1)² cell window.
 
-    Any geodesic leaving the window first crosses a lat edge (≥ meridional
-    distance to that edge) or a lon edge segment inside the lat window
-    (≥ Δlon·R·cos(max |lat| of the window)).  Edges clipped at the map
-    boundary are unbounded (no escape that way).
+    Any geodesic leaving the window first crosses a lat edge — length
+    ≥ R·Δφ (the meridional arc is the shortest curve changing latitude by
+    Δφ) — or a lon edge segment inside the lat band.  For the lon edges we
+    use the rigorous spherical bound: the haversine distance between points
+    with longitude gap Δλ is ≥ 2R·asin(√(cos φq · cos φ*) · sin(Δλ/2)),
+    where cos φ* is the MINIMUM cosine over the band (dropping the
+    always-positive Δφ term of the haversine can only shrink it).  The
+    previous linearized bound Δλ·R·cos φ* OVERestimated (asin ≤ its
+    argument scaled), which could falsely certify an inexact result.
+    Edges clipped at the map boundary are unbounded (no escape that way).
     """
     import math
 
     n = 1 << res
     w_lon, w_lat = 360.0 / n, 180.0 / n
-    ix = F.least(F.greatest(F.floor((q_lon + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1))
-    iy = F.least(F.greatest(F.floor((q_lat + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1))
+    ix, iy = cell_xy_col(q_lon, q_lat, res)
     lon_lo = (ix - ring) * w_lon - 180.0
     lon_hi = (ix + ring + 1) * w_lon - 180.0
     lat_lo = (iy - ring) * w_lat - 90.0
     lat_hi = (iy + ring + 1) * w_lat - 90.0
     deg = math.pi / 180.0 * R_SPHERE
     inf = F.lit(float("inf"))
-    cos_max = F.cos(F.radians(F.greatest(F.abs(lat_lo), F.abs(lat_hi))))
+    # minimum cosine of latitude anywhere in the window's lat band
+    cos_min = F.least(
+        F.cos(F.radians(F.greatest(F.abs(lat_lo), F.abs(lat_hi)))), F.cos(F.radians(q_lat))
+    )
+
+    def lon_edge(delta_deg):
+        half = F.radians(delta_deg) / 2.0
+        arg = F.sqrt(F.cos(F.radians(q_lat)) * cos_min) * F.sin(half)
+        return 2.0 * R_SPHERE * F.asin(F.least(F.greatest(arg, F.lit(0.0)), F.lit(1.0)))
+
     d_n = F.when(lat_hi >= 90.0, inf).otherwise((lat_hi - q_lat) * deg)
     d_s = F.when(lat_lo <= -90.0, inf).otherwise((q_lat - lat_lo) * deg)
-    d_e = F.when(lon_hi >= 180.0, inf).otherwise((lon_hi - q_lon) * deg * cos_max)
-    d_w = F.when(lon_lo <= -180.0, inf).otherwise((q_lon - lon_lo) * deg * cos_max)
+    d_e = F.when(lon_hi >= 180.0, inf).otherwise(lon_edge(lon_hi - q_lon))
+    d_w = F.when(lon_lo <= -180.0, inf).otherwise(lon_edge(q_lon - lon_lo))
     return F.least(d_n, d_s, d_e, d_w)
 
 
@@ -113,8 +127,16 @@ def knn_join_exact(
     The (few) unproven queries re-run against the full corpus.  At healthy
     (res, ring) for the data density the escalation set is empty and the
     extra cost is one tiny aggregate.
+
+    Haversine only: the safe-radius certificate is a spherical bound, and
+    an ellipsoidal (Vincenty) k-th distance cannot be compared against it
+    soundly.
     """
-    pruned = knn_join(queries, points, k, res, ring, metric, query_id, point_id)
+    if metric != "haversine":
+        raise ValueError("knn_join_exact certifies the haversine metric only")
+    # top-k per query is tiny — persist so the expensive pruned plan runs
+    # once, not once per downstream consumer (bad.count + good join)
+    pruned = knn_join(queries, points, k, res, ring, metric, query_id, point_id).persist()
     per_q = pruned.groupBy(query_id).agg(
         F.max("dist_m").alias("_kth"), F.count("*").alias("_nf")
     )

@@ -71,7 +71,7 @@ def _pip_refine(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series,
     return pd.Series(out)
 
 
-def pip_join(points: DataFrame, polygons: DataFrame, res: int = 8, how: str = "inner",
+def pip_join(points: DataFrame, polygons: DataFrame, res: int = 8,
              broadcast_polygons: bool = True) -> DataFrame:
     """points(lon, lat, …) ⋈ polygons(poly_id, xs, ys, cells) → matched rows.
 

@@ -201,8 +201,13 @@ def minhash_split_sql(dialect: str) -> tuple[str, str]:
     instr = "instr(text, ' ')" if dialect == "spark" else "strpos(text, ' ')"
     toks = tokens("text", dialect)
     sh = shingles_sql(toks, dialect)
+    ntok = ("size(split(text, ' '))" if dialect == "spark"
+            else "len(string_split(text, ' '))")
+    # token-count guard: a >=48-char doc can still have <3 tokens (URLs,
+    # CJK); Spark's sequence(0, negative) is DESCENDING and slice(…, 0, …)
+    # throws — filter identically in both dialects instead
     base = ("SELECT doc_id, text FROM documents "
-            "WHERE text IS NOT NULL AND length(text) >= 48")
+            f"WHERE text IS NOT NULL AND length(text) >= 48 AND {ntok} >= 4")
     mut = (f"SELECT doc_id + 10000000 AS doc_id, substring(text, {instr} + 1) AS text "
            f"FROM base WHERE doc_id % 5 = 0")
     sig_stage = f"""
@@ -247,8 +252,13 @@ def text_queries_sql(dialect: str) -> dict[str, str]:
     sh = shingles_sql(toks, dialect)
     dsh = _d(dialect)["DIST"] + f"({sh})"
 
+    ntok = ("size(split(text, ' '))" if dialect == "spark"
+            else "len(string_split(text, ' '))")
+    # token-count guard: a >=48-char doc can still have <3 tokens (URLs,
+    # CJK); Spark's sequence(0, negative) is DESCENDING and slice(…, 0, …)
+    # throws — filter identically in both dialects instead
     base = ("SELECT doc_id, text FROM documents "
-            "WHERE text IS NOT NULL AND length(text) >= 48")
+            f"WHERE text IS NOT NULL AND length(text) >= 48 AND {ntok} >= 4")
     mut = (f"SELECT doc_id + 10000000 AS doc_id, substring(text, {instr} + 1) AS text "
            f"FROM base WHERE doc_id % 5 = 0")
 

@@ -104,9 +104,13 @@ class Pipeline:
             )
         )
         self._write(lineage, os.path.join(self._dir(name), "_lineage"))
-        with open(self._ok(name), "w") as f:
+        # atomic commit: write-then-rename so a crash mid-write can never
+        # leave a marker that is_done() would trust
+        tmp = self._ok(name) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"stage": name, "wall_ms": wall_ms,
                        "inputs": list(inputs)}, f)
+        os.replace(tmp, self._ok(name))
         self.ran.append(name)
         return written
 

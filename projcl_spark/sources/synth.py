@@ -126,6 +126,8 @@ def points_fixture(spark: SparkSession, n: int = 200_000,
     shuffle-free, unlike a repartition.
     """
     half = n // 2
+    if half < 1000:
+        raise ValueError("points_fixture needs n >= 2000 (grid is 500 wide)")
     kw = {"numPartitions": num_partitions} if num_partitions else {}
     grid = spark.range(0, half, 1, **kw).select(
         F.col("id").alias("pid"),
