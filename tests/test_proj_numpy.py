@@ -176,3 +176,13 @@ def test_float32_parity_mode_meets_reference_envelope(proj, params):
     lon2, lat2 = inv(x, y)
     assert np.abs(lon2 - lon).max() < ARCSEC
     assert np.abs(lat2 - lat).max() < ARCSEC
+
+
+def test_krueger_quarter_meridian_known_value():
+    """External anchor: the Krüger rectifying-radius constant must reproduce
+    the published WGS84 quarter meridian, 10 001 965.7293 m (Karney 2011)."""
+    from projcl_spark.core.spheroid import get_spheroid_info
+
+    info = get_spheroid_info(Spheroid.WGS_84)
+    qm = info.krueger_A * info.major_axis * math.pi / 2
+    assert abs(qm - 10_001_965.7293) < 1e-3
