@@ -359,3 +359,72 @@ def fwd_xy_sql(proj: str, params: ProjectionParams,
         return x, y
 
     raise KeyError(f"no SQL oracle for projection {proj!r}")
+
+
+# ------------------------------------------------------ Vincenty inverse ----
+
+
+def vincenty_inverse_sql(base: str, keys: str, iters: int = 6,
+                         a: float = 6378137.0,
+                         f: float = 1.0 / 298.257223563) -> str:
+    """Vincenty-1975 inverse as a fixed-unroll staged-CTE SQL transliteration.
+
+    ``base`` is a CTE/table with columns ``{keys}, lon1, lat1, lon2, lat2``
+    (degrees); the returned fragment is a comma-joined CTE chain whose last
+    CTE ``vfin`` exposes ``{keys}, dist_m``.  The engine's numpy core
+    (``geo/geodesic.py:vincenty_inverse``) iterates the same lambda
+    recursion to 1e-12 with an early-exit mask; this oracle unrolls a fixed
+    ``iters`` steps instead — the test envelope (lon ±60, lat −40..80) is
+    provably non-antipodal (max central angle ≈134°) and converges in ≤5
+    steps, and post-convergence drift is <1e-12 rad/step, far below the
+    query's 10 m quantization.  Same fixed-unroll-to-SQL discipline as the
+    Krüger forward (reference semantics: kernel/pl_geodesic.opencl:124-209,
+    the disabled ``*_e`` kernels)."""
+    b = a * (1.0 - f)
+    ff = _r(f)
+    bc = f"{keys}, L, su1, cu1, su2, cu2"
+    ctes = [
+        (f"v0 AS (SELECT {keys}, radians(lon2) - radians(lon1) AS L, "
+         f"atan((1.0 - {ff}) * tan(radians(lat1))) AS U1, "
+         f"atan((1.0 - {ff}) * tan(radians(lat2))) AS U2 FROM {base})"),
+        (f"v1 AS (SELECT {keys}, L, sin(U1) AS su1, cos(U1) AS cu1, "
+         f"sin(U2) AS su2, cos(U2) AS cu2, L AS lam FROM v0)"),
+    ]
+    prev = "v1"
+
+    def sigma_stages(p: str, src: str) -> list[str]:
+        return [
+            (f"{p}a AS (SELECT {bc}, lam, sin(lam) AS sl, cos(lam) AS cl "
+             f"FROM {src})"),
+            (f"{p}b AS (SELECT {bc}, lam, sl, cl, "
+             f"sqrt((cu2*sl)*(cu2*sl) + (cu1*su2 - su1*cu2*cl)*(cu1*su2 - su1*cu2*cl)) AS ss, "
+             f"su1*su2 + cu1*cu2*cl AS cs FROM {p}a)"),
+            (f"{p}c AS (SELECT {bc}, lam, sl, ss, cs, atan2(ss, cs) AS sig, "
+             f"CASE WHEN ss = 0.0 THEN 0.0 ELSE cu1*cu2*sl/ss END AS sa FROM {p}b)"),
+            (f"{p}d AS (SELECT {bc}, lam, ss, cs, sig, sa, 1.0 - sa*sa AS c2a FROM {p}c)"),
+            (f"{p}e AS (SELECT {bc}, lam, ss, cs, sig, sa, c2a, "
+             f"CASE WHEN c2a = 0.0 THEN 0.0 ELSE cs - 2.0*su1*su2/c2a END AS c2m, "
+             f"{ff}/16.0*c2a*(4.0 + {ff}*(4.0 - 3.0*c2a)) AS cc FROM {p}d)"),
+        ]
+
+    for k in range(iters):
+        p = f"vi{k}"
+        ctes += sigma_stages(p, prev)
+        ctes.append(
+            f"{p} AS (SELECT {bc}, "
+            f"L + (1.0-cc)*{ff}*sa*(sig + cc*ss*(c2m + cc*cs*(-1.0 + 2.0*c2m*c2m))) AS lam "
+            f"FROM {p}e)")
+        prev = p
+
+    ctes += sigma_stages("vf", prev)
+    u2_scale = _r((a * a - b * b) / (b * b))
+    ctes += [
+        (f"vfu AS (SELECT {keys}, sig, ss, cs, c2m, c2a * {u2_scale} AS u2 FROM vfe)"),
+        (f"vfab AS (SELECT {keys}, sig, ss, cs, c2m, "
+         f"1.0 + u2/16384.0*(4096.0 + u2*(-768.0 + u2*(320.0 - 175.0*u2))) AS aa, "
+         f"u2/1024.0*(256.0 + u2*(-128.0 + u2*(74.0 - 47.0*u2))) AS bb FROM vfu)"),
+        (f"vfin AS (SELECT {keys}, {_r(b)} * aa * (sig - (bb*ss*(c2m + bb/4.0*("
+         f"cs*(-1.0 + 2.0*c2m*c2m) - bb/6.0*c2m*(-3.0 + 4.0*ss*ss)*(-3.0 + 4.0*c2m*c2m)"
+         f")))) AS dist_m FROM vfab)"),
+    ]
+    return ", ".join(ctes)
