@@ -411,6 +411,50 @@ SELECT l_orderkey, l_linenumber, {_q10(x)} AS x_10m, {_q10(y)} AS y_10m
 FROM pts {where}"""
 
 
+# closed-form (non-iterative) spherical inverses → direct value oracles
+INV_CASES = ("proj_mercator_s", "proj_laea_s")
+
+
+def _q_proj_inv(name: str) -> Callable:
+    """Direct VALUE check of a closed-form spherical inverse: forward xy via
+    the JVM-codegen columns, then the engine's inverse UDF path; the oracle
+    runs the same forward + the closed-form inverse transliteration
+    (O.inv_lonlat_sql).  Upgrades inverse coverage beyond the arcsec
+    closure query for the non-iterative subset (VERDICT r1 item 9)."""
+    proj, params = PROJ_CASES[name]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from projcl_spark.functions import project_fwd_cols
+
+        df = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
+        xc, yc = project_fwd_cols(proj, params)
+        inv = project_udf(proj, params, "inverse")
+        return (
+            df.withColumn("x", xc).withColumn("y", yc)
+            .withColumn("ll", inv("x", "y"))
+            .select(
+                "l_orderkey", "l_linenumber",
+                F.round(F.col("ll.lon") * 1e6, 0).cast("long").alias("ilon_e6"),
+                F.round(F.col("ll.lat") * 1e6, 0).cast("long").alias("ilat_e6"),
+            )
+        )
+
+    return q
+
+
+def _o_proj_inv(name: str) -> str:
+    proj, params = PROJ_CASES[name]
+    x, y = O.fwd_xy_sql(proj, params)
+    ilon, ilat = O.inv_lonlat_sql(proj, params, x="x", y="y")
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts)
+SELECT l_orderkey, l_linenumber,
+       CAST(round({ilon} * 1e6, 0) AS BIGINT) AS ilon_e6,
+       CAST(round({ilat} * 1e6, 0) AS BIGINT) AS ilat_e6
+FROM xy"""
+
+
 def q_roundtrip_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward→inverse closure within 1 arc-second for every projection case
     (the reference's primary oracle, projcl_test.c:648-669)."""
@@ -1135,6 +1179,61 @@ SELECT win_s, cell_id, n FROM agg
 WHERE win_s + 300 <= (SELECT max(es) FROM pts) - 600"""
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, value-checked:
+    applyInPandasWithState sessionization (30-min inactivity gap) over the
+    events stream, availableNow.  Emission is deterministic: the single
+    micro-batch closes every session except each user's last (which stays
+    in state; no later batch fires its timeout) — exactly what the DuckDB
+    lag-gap oracle computes."""
+    import hashlib
+    import uuid
+
+    from projcl_spark.streaming.ops import sessionize
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = _scratch_path(spark, f"projcl_stream_sess_in_{tag}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        # single file → single micro-batch → per-user events arrive together
+        spark.read.parquet(_t(sf_dir, "events")).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(
+        f"SELECT user_id, unix_timestamp(session_start) AS sess_start, "
+        f"unix_timestamp(session_end) AS sess_end, n_events FROM {name}"
+    )
+
+
+def _o_stream_sessions() -> str:
+    from projcl_spark.streaming.ops import GAP_SECONDS
+
+    return f"""
+WITH e AS (SELECT user_id, epoch(ts) AS es FROM events),
+g AS (SELECT user_id, es,
+        CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
+                  > {GAP_SECONDS:.1f} THEN 1 ELSE 0 END AS new_s
+      FROM e),
+s AS (SELECT user_id, es,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+                         ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM g),
+agg AS (SELECT user_id, sess_no,
+          CAST(floor(min(es)) AS BIGINT) AS sess_start,
+          CAST(floor(max(es)) AS BIGINT) AS sess_end,
+          count(*) AS n_events
+        FROM s GROUP BY 1, 2)
+SELECT user_id, sess_start, sess_end, n_events FROM agg
+WHERE sess_no < (SELECT max(sess_no) FROM agg a2 WHERE a2.user_id = agg.user_id)"""
+
+
 LSH_BITS, LSH_TABLES = 4, 2
 
 
@@ -1181,6 +1280,76 @@ pairs AS (
   SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
   FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
    AND qb.vec_id <> cb.vec_id),
+d AS (
+  SELECT p.query_id, p.neighbor_id,
+         round({dot} / ({nx} * {ny}), 6) AS sim
+  FROM pairs p
+  JOIN embeddings x ON x.vec_id = p.query_id
+  JOIN embeddings y ON y.vec_id = p.neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM d)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
+       CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= {ANN_K}"""
+
+
+IVF_CELLS, IVF_PROBE, IVF_SEED = 16, 4, 7
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-list path): coarse-quantizer cell per corpus row
+    (JVM argmax over folded centroid literals), queries probe their
+    IVF_PROBE nearest cells, exact re-score inside probed lists — an
+    equi-join on cell, never a cross product.  The oracle rebuilds the
+    same inverted lists from the same centroid literals (LSH-oracle
+    pattern); k-means training rides the same ``centroids=`` seam and is
+    covered by recall/determinism tests."""
+    from projcl_spark.operators.ann import cosine_topk_ivf, fixed_centroids
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < ANN_NQ), emb,
+        k=ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        centroids=fixed_centroids(64, IVF_CELLS, IVF_SEED),
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("sim") * 1e6, 0).cast("long").alias("sim_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _o_ann_ivf() -> str:
+    from projcl_spark.operators.ann import fixed_centroids
+
+    C = fixed_centroids(64, IVF_CELLS, IVF_SEED)
+    cent_rows = ", ".join(
+        f"({j}, [{','.join(O._r(v) for v in row)}])" for j, row in enumerate(C)
+    )
+    dot_c = ("list_sum(list_transform(list_zip(v.embedding, cent.c), "
+             "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    dot = ("list_sum(list_transform(list_zip(x.embedding, y.embedding), "
+           "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    nx = "sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    ny = "sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    # tie-break `cell DESC` mirrors the engine's reverse(array_sort(d, j))
+    return f"""
+WITH cent(cell, c) AS (VALUES {cent_rows}),
+cd AS (SELECT v.vec_id, cent.cell, {dot_c} AS d FROM embeddings v, cent),
+cc AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS r
+  FROM cd) WHERE r = 1),
+qc AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS r
+  FROM cd WHERE vec_id < {ANN_NQ}) WHERE r <= {IVF_PROBE}),
+pairs AS (
+  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM qc JOIN cc ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
 d AS (
   SELECT p.query_id, p.neighbor_id,
          round({dot} / ({nx} * {ny}), 6) AS sim
@@ -1307,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in PROJ_CASES:
         out[name] = _q_proj_fwd(name)
+    for name in INV_CASES:
+        out[f"{name}_inv"] = _q_proj_inv(name)
     out.update(
         proj_roundtrip_closure=q_roundtrip_closure,
         cell_count=q_cell_count,
@@ -1333,7 +1504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
+        ann_ivf=q_ann_ivf,
         stream_cells=q_stream_cells,
+        stream_sessions=q_stream_sessions,
         warp_pipeline=q_warp_pipeline,
         warp_datum_pipeline=q_warp_datum_pipeline,
         media_decode=q_media_decode,
@@ -1350,6 +1523,8 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name in PROJ_CASES:
         out[name] = _o_proj_fwd(name)
+    for name in INV_CASES:
+        out[f"{name}_inv"] = _o_proj_inv(name)
     out.update(
         proj_roundtrip_closure=_o_roundtrip_closure(),
         cell_count=_o_cell_count(),
@@ -1376,7 +1551,9 @@ def oracle_sql() -> dict[str, str]:
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),
+        ann_ivf=_o_ann_ivf(),
         stream_cells=_o_stream_cells(),
+        stream_sessions=_o_stream_sessions(),
         warp_pipeline=_o_warp_pipeline(),
         warp_datum_pipeline=_o_warp_datum_pipeline(),
         media_decode=_o_media_decode(),

@@ -71,36 +71,49 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    sample_fraction: float = 0.1,
+    max_train: int = 65536,
     seed: int = 42,
     kmeans_iters: int = 10,
     quantize: int = 6,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer (driver-side k-means over a sample)
-    buckets the corpus into inverted lists; queries probe their ``n_probe``
-    nearest centroids and re-score exactly inside those lists.
+    """IVF-style ANN: a coarse quantizer buckets the corpus into inverted
+    lists; queries probe their ``n_probe`` nearest centroids and re-score
+    exactly inside those lists.
 
     Scale shape: centroid table is tiny (broadcast with the closure); the
     corpus is scanned once to attach ``ivf_cell`` (pure JVM argmax over
     centroid dot products); the query↔corpus meet is an equi-join on
     ``ivf_cell`` — shuffle-partitionable, never a cross product.
-    Deterministic: k-means is seeded and runs a fixed iteration count.
+
+    The coarse quantizer is either supplied (``centroids``, e.g. from
+    ``fixed_centroids`` or an offline training job — nothing is collected)
+    or trained by a seeded fixed-round spherical k-means over a BOUNDED
+    sample: ``sample(fraction)`` then a deterministic ``sort(id).limit(
+    max_train)`` (TakeOrdered — no full shuffle, no full-corpus
+    ``toPandas``; at 100 TB the driver sees at most ``max_train`` rows).
     """
-    sample = corpus.select(id_col, vec_col)
-    if sample_fraction < 1.0:
-        sample = sample.sample(fraction=sample_fraction, seed=seed)
-    pdf = sample.toPandas().sort_values(id_col)  # partition-order independent
-    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
-    for _ in range(kmeans_iters):  # spherical k-means, fixed rounds
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(len(C)):
-            m = X[assign == j]
-            if len(m):
-                c = m.mean(axis=0)
-                C[j] = c / np.linalg.norm(c)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    else:
+        sample = corpus.select(id_col, vec_col)
+        if sample_fraction < 1.0:
+            sample = sample.sample(fraction=sample_fraction, seed=seed)
+        # deterministic, bounded driver collect (partition-order independent)
+        pdf = sample.sort(id_col).limit(max_train).toPandas()
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        rng = np.random.default_rng(seed)
+        C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+        for _ in range(kmeans_iters):  # spherical k-means, fixed rounds
+            assign = np.argmax(X @ C.T, axis=1)
+            for j in range(len(C)):
+                m = X[assign == j]
+                if len(m):
+                    c = m.mean(axis=0)
+                    C[j] = c / np.linalg.norm(c)
 
     def cell_expr(vec: str, top: int) -> F.Column:
         """array of the ``top`` centroid ids by dot product (JVM-side)."""
@@ -138,6 +151,18 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def fixed_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
+    """Seeded random unit centroids — a data-independent coarse quantizer.
+
+    Lets the gate query and its DuckDB oracle share the exact same IVF
+    structure as folded literals (the LSH-plane pattern); production use
+    would pass k-means output through the same ``centroids=`` seam.
+    """
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_cells, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:

@@ -428,3 +428,40 @@ def vincenty_inverse_sql(base: str, keys: str, iters: int = 6,
          f")))) AS dist_m FROM vfab)"),
     ]
     return ", ".join(ctes)
+
+
+# --------------------------------------------------- closed-form inverses ---
+
+
+def inv_lonlat_sql(proj: str, params: "ProjectionParams",
+                   x: str = "x", y: str = "y") -> tuple[str, str]:
+    """(lon_sql, lat_sql) for the CLOSED-FORM spherical inverse maps.
+
+    Only the spherical Mercator and spherical LAEA inverses are
+    non-iterative (reference kernels: pl_project_mercator.opencl reverse
+    branch, pl_project_lambert_azimuthal_equal_area.opencl reverse
+    spherical branch); the others are validated by the arcsec round-trip
+    closure query instead.  No longitude re-wrap is emitted: the test
+    envelope (lon ±60°, |lon0| ≤ 20°) never crosses ±180°.
+    """
+    proj, params = resolve(proj, params)
+    C = _MODULES[proj].prepare(params)
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    xs = f"(({x} - {x0}) / {sc})"
+    ys = f"(({y} - {y0}) / {sc})"
+
+    if proj == "mercator" and C["spherical"]:
+        return f"degrees({xs})", f"degrees(atan({sinh_s(ys)}))"
+
+    if proj == "lambert_azimuthal_equal_area" and C["spherical"]:
+        s0, c0 = _r(C["sinPhi0"]), _r(C["cosPhi0"])
+        lam0 = _r(C["lambda0"])
+        rho2 = f"({xs}*{xs} + {ys}*{ys})"
+        cosc = f"(1.0 - 0.5 * {rho2})"
+        sinc = f"sqrt(greatest(1.0 - 0.25 * {rho2}, 0.0))"
+        lat = (f"degrees(asin(least(greatest({cosc} * {s0} + {ys} * {sinc} * {c0},"
+               f" -1.0), 1.0)))")
+        lon = f"degrees(atan2({xs} * {sinc}, {c0} * {cosc} - {ys} * {s0} * {sinc}) + {lam0})"
+        return lon, lat
+
+    raise KeyError(f"no closed-form inverse SQL for {proj!r} (iterative)")
