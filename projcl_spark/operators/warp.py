@@ -18,11 +18,12 @@ Filter semantics follow the reference's tiled-array kernels exactly
 (tap positions/weights from ``kernel/pl_sample_nearest.opencl:20-45``,
 ``pl_sample_linear.opencl:20-57``, ``pl_sample_bicubic.opencl:55-118``,
 ``pl_sample_quasi_bicubic.opencl:1-50``; Catmull-Rom basis
-``kernel/peel.opencl:59-61``), with one documented divergence: taps
-outside the mosaic are clamped to the edge for ALL filters (the
-reference's nearest/linear use CLK_ADDRESS_CLAMP = border-0, its bicubic
-uses CLAMP_TO_EDGE; one consistent rule keeps results defined for every
-filter at the image rim).
+``kernel/peel.opencl:59-61``).  Border handling is selectable per call:
+``border="clamp"`` (default) clamps out-of-mosaic taps to the edge for
+ALL filters (the reference's bicubic CLAMP_TO_EDGE rule made uniform);
+``border="zero"`` reads out-of-image taps as 0 — exact parity with the
+reference's nearest/linear samplers (CLK_ADDRESS_CLAMP border color,
+``pl_sample_nearest.opencl:2-18``).
 """
 
 from __future__ import annotations
@@ -128,6 +129,7 @@ def sample_tiles(
     tiles_down: int,
     filter: str = "bilinear",
     broadcast_tiles: bool = True,
+    border: str = "clamp",
 ) -> DataFrame:
     """Gather-join sampler over a tile mosaic (reference ops #22–26).
 
@@ -136,9 +138,20 @@ def sample_tiles(
     → derive (tile_row, tile_col, intra-tile offset) exactly like the
     reference's ``idx/size`` decomposition → equi-join the tile table →
     ``element_at`` gather → weighted re-aggregation by destination pixel.
+
+    ``border`` controls taps that fall outside the mosaic:
+    - ``"clamp"`` (default): clamp to the edge pixel — the reference's
+      bicubic behavior (CLAMP_TO_EDGE) extended to all filters;
+    - ``"zero"``: out-of-image taps read as 0 — exact parity with the
+      reference's nearest/linear samplers (CLK_ADDRESS_CLAMP border color,
+      kernel/pl_sample_nearest.opencl:2-18).  Implemented as a LEFT join
+      (missing tile ⇒ null ⇒ 0) plus an in-image gate, so every
+      destination pixel still emits a row.
     """
     if filter not in FILTERS:
         raise ValueError(f"unknown filter {filter!r}; have {FILTERS}")
+    if border not in ("clamp", "zero"):
+        raise ValueError(f"unknown border {border!r}; have ('clamp', 'zero')")
     w_img, h_img = tiles_across * tile_width, tiles_down * tile_height
 
     if filter == "nearest":
@@ -162,10 +175,17 @@ def sample_tiles(
             w = _cubic_w(fx)[dx + 1] * _cubic_w(fy)[dy + 1]
         else:  # qlin: linear in x across center cols, cubic row weight in y
             w = _linear_w(fx)[dx] * _cubic_w(fy)[dy + 1]
-        px = F.least(F.greatest(base_x + dx, F.lit(0)), F.lit(w_img - 1))
-        py = F.least(F.greatest(base_y + dy, F.lit(0)), F.lit(h_img - 1))
+        if border == "clamp":
+            px = F.least(F.greatest(base_x + dx, F.lit(0)), F.lit(w_img - 1))
+            py = F.least(F.greatest(base_y + dy, F.lit(0)), F.lit(h_img - 1))
+        else:
+            px, py = base_x + dx, base_y + dy
         tap_cols.append(F.struct(px.alias("px"), py.alias("py"), w.alias("w")))
 
+    # intra-tile offsets clamped into [0, dim) so the element_at index is
+    # always legal even for out-of-image taps (border="zero" gates them out)
+    ox = F.least(F.greatest(F.col("t.px") % tile_width, F.lit(0)), F.lit(tile_width - 1))
+    oy = F.least(F.greatest(F.col("t.py") % tile_height, F.lit(0)), F.lit(tile_height - 1))
     taps = grid.select(
         "gi", "gj", F.explode(F.array(*tap_cols)).alias("t")
     ).select(
@@ -173,14 +193,25 @@ def sample_tiles(
         F.col("t.px").alias("px"), F.col("t.py").alias("py"), F.col("t.w").alias("w"),
         F.floor(F.col("t.py") / tile_height).cast("int").alias("tile_row"),
         F.floor(F.col("t.px") / tile_width).cast("int").alias("tile_col"),
-        (F.col("t.px") % tile_width).alias("ox"),
-        (F.col("t.py") % tile_height).alias("oy"),
+        ox.alias("ox"), oy.alias("oy"),
     )
     t = F.broadcast(tiles) if broadcast_tiles else tiles
-    joined = taps.join(t, ["tile_row", "tile_col"], "inner").select(
-        "gi", "gj", "w",
-        F.element_at("pixels", (F.col("oy") * tile_width + F.col("ox") + 1).cast("int")).alias("v"),
+    gather = F.element_at(
+        "pixels", (F.col("oy") * tile_width + F.col("ox") + 1).cast("int")
     )
+    if border == "zero":
+        in_img = (
+            (F.col("px") >= 0) & (F.col("px") < w_img)
+            & (F.col("py") >= 0) & (F.col("py") < h_img)
+        )
+        joined = taps.join(t, ["tile_row", "tile_col"], "left").select(
+            "gi", "gj", "w",
+            F.when(in_img, F.coalesce(gather, F.lit(0.0))).otherwise(F.lit(0.0)).alias("v"),
+        )
+    else:
+        joined = taps.join(t, ["tile_row", "tile_col"], "inner").select(
+            "gi", "gj", "w", gather.alias("v"),
+        )
     out = joined.groupBy("gi", "gj").agg(F.sum(F.col("w") * F.col("v")).alias("value"))
     if filter in ("bicubic", "quasi_bicubic"):
         # final clamp to [0,255] (pl_sample_bicubic.opencl:49-53)
@@ -248,6 +279,7 @@ def warp(
     filter: str = "bilinear",
     datum_shift_udf=None,
     num_partitions: int | None = None,
+    border: str = "clamp",
 ) -> DataFrame:
     """Full warp recipe (reference op #27, projcl_warp.h:30-82):
 
@@ -275,4 +307,4 @@ def warp(
         ((F.col("y") - oy) / sy).alias("y"),
     )
     return sample_tiles(g, tiles, tile_width, tile_height, tiles_across,
-                        tiles_down, filter=filter)
+                        tiles_down, filter=filter, border=border)

@@ -96,3 +96,60 @@ def test_assemble_tiles_identity_roundtrip(spark):
     assert set(src) == set(out)
     for tid in src:
         assert src[tid] == out[tid], f"tile {tid} differs"
+
+
+def _mosaic_image(spark, ta=2, td=2, tw=8, th=8) -> np.ndarray:
+    """Collect the synthetic tile mosaic into a (H, W) numpy image."""
+    rows = tiles_df(spark, ta, td, tw, th).collect()
+    img = np.zeros((td * th, ta * tw))
+    for r in rows:
+        px = np.array(r.pixels, dtype=np.float64).reshape(th, tw)
+        img[r.tile_row * th:(r.tile_row + 1) * th,
+            r.tile_col * tw:(r.tile_col + 1) * tw] = px
+    return img
+
+
+def _ref_sample(img: np.ndarray, x: float, y: float, filt: str, border: str) -> float:
+    """Direct reference of CLK_ADDRESS_CLAMP (border-0) vs CLAMP_TO_EDGE
+    semantics (kernel/pl_sample_nearest.opencl:2-18, pl_sample_linear.opencl)."""
+    h, w = img.shape
+
+    def at(px: int, py: int) -> float:
+        if border == "zero":
+            if px < 0 or px >= w or py < 0 or py >= h:
+                return 0.0
+            return img[py, px]
+        return img[min(max(py, 0), h - 1), min(max(px, 0), w - 1)]
+
+    if filt == "nearest":
+        return at(int(np.floor(x + 0.5)), int(np.floor(y + 0.5)))
+    bx, by = int(np.floor(x)), int(np.floor(y))
+    fx, fy = x - bx, y - by
+    v = 0.0
+    for dy, wy in ((0, 1 - fy), (1, fy)):
+        for dx, wx in ((0, 1 - fx), (1, fx)):
+            v += wx * wy * at(bx + dx, by + dy)
+    return v
+
+
+@pytest.mark.parametrize("filt", ["nearest", "bilinear"])
+@pytest.mark.parametrize("border", ["clamp", "zero"])
+def test_border_modes_at_rim(spark, filt, border):
+    """Rim/outside taps: border="zero" is exact reference parity for
+    nearest/linear; border="clamp" is the engine default."""
+    img = _mosaic_image(spark)
+    tiles = tiles_df(spark, 2, 2, 8, 8)
+    # straddle every edge and corner, plus fully-outside points
+    coords = [(-0.75, 3.2), (15.6, 3.2), (3.2, -0.75), (3.2, 15.6),
+              (-0.75, -0.75), (15.8, 15.8), (-3.0, -3.0), (20.0, 7.0),
+              (0.0, 0.0), (15.0, 15.0), (7.4, 0.1)]
+    g = spark.createDataFrame(
+        [(0, j, float(x), float(y)) for j, (x, y) in enumerate(coords)],
+        "gi int, gj int, x double, y double",
+    )
+    out = {r.gj: r.value for r in
+           sample_tiles(g, tiles, 8, 8, 2, 2, filter=filt, border=border).collect()}
+    assert len(out) == len(coords)  # zero mode must not drop pixels
+    for j, (x, y) in enumerate(coords):
+        exp = _ref_sample(img, x, y, filt, border)
+        assert out[j] == pytest.approx(exp, abs=1e-9), (j, x, y, out[j], exp)
