@@ -80,17 +80,29 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 8,
     ``poly_id``.  Candidate pairs that fail the exact winding test are
     filtered, so output rows = exact PIP semantics.
 
-    ``broadcast_polygons=True`` (default) never shuffles the point side —
-    right while the exploded polygon×cell table fits an executor (<~8 GB,
-    i.e. millions of polygons).  Beyond that, set False: a plain cell
-    equi-join — both sides shuffle on cell_id, AQE splits skewed cells.
+    ``broadcast_polygons=True`` (default) never shuffles the point side.
+    The broadcast is split in two so vertex arrays are NOT duplicated per
+    covering cell: a vertex-free (poly_id, cell_id) cover does the cell
+    match, then a one-row-per-polygon vertex table joins by poly_id before
+    the refine — broadcast bytes drop by ~(cells/polygon)× for high-res
+    covers of large polygons.  Fits an executor while cover+vertices are
+    <~8 GB (millions of polygons).  Beyond that, set False: a plain cell
+    equi-join with vertices riding along (one shuffle of each side; AQE
+    splits skewed cells).
     """
-    poly_cells = polygons.select(
-        "poly_id", "xs", "ys", F.explode("cells").alias("cell_id")
-    )
     pts = points.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), res))
-    right = F.broadcast(poly_cells) if broadcast_polygons else poly_cells
-    cand = pts.join(right, "cell_id", how="inner")
+    if broadcast_polygons:
+        cover = polygons.select("poly_id", F.explode("cells").alias("cell_id"))
+        verts = polygons.select("poly_id", "xs", "ys")
+        cand = (
+            pts.join(F.broadcast(cover), "cell_id", how="inner")
+            .join(F.broadcast(verts), "poly_id", how="inner")
+        )
+    else:
+        poly_cells = polygons.select(
+            "poly_id", "xs", "ys", F.explode("cells").alias("cell_id")
+        )
+        cand = pts.join(poly_cells, "cell_id", how="inner")
     refined = cand.filter(_pip_refine("lon", "lat", "xs", "ys", "poly_id"))
     return refined.drop("xs", "ys", "cell_id")
 

@@ -6,9 +6,10 @@ read-back, ``src/projcl_run.c:273-285``); this is engine-added scaffolding
 for 10^12-row pipelines where any stage can die and re-running finished
 stages is unaffordable.
 
-Layout (table-format-agnostic: parquet dirs in the sandbox; the same call
-sites target Iceberg tables via ``df.writeTo(...)`` on a real cluster —
-swap ``_write``/``_read``):
+Layout (table-format-agnostic: parquet dirs in the sandbox; pass
+``table_format="iceberg"`` to target Iceberg tables via ``df.writeTo(...)``
+on a cluster with the iceberg-spark runtime — ``tests/test_checkpoint.py::
+test_iceberg_seam`` drives that path, skip-marked where the jar is absent):
 
     {root}/{run_id}/{stage}/data/        stage output (parquet)
     {root}/{run_id}/{stage}/_lineage/    per-partition rows:
@@ -33,11 +34,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the iceberg-spark runtime jar is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
 class Pipeline:
-    def __init__(self, spark: SparkSession, root: str, run_id: str):
+    """``table_format="parquet"`` (sandbox default) checkpoints to parquet
+    dirs; ``"iceberg"`` checkpoints each stage to an Iceberg table via
+    ``df.writeTo(...).using("iceberg").createOrReplace()`` — requires the
+    iceberg-spark runtime jar + a configured catalog (``catalog`` names it;
+    stage tables land in ``{catalog}.{namespace}``).  Same stage/lineage/
+    resume contract either way; ``_OK`` markers stay filesystem-side so
+    resume logic is format-agnostic."""
+
+    def __init__(self, spark: SparkSession, root: str, run_id: str,
+                 table_format: str = "parquet",
+                 catalog: str = "projcl", namespace: str = "checkpoints"):
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown table_format {table_format!r}")
+        if table_format == "iceberg" and not iceberg_available(spark):
+            raise RuntimeError(
+                "table_format='iceberg' needs the iceberg-spark-runtime jar "
+                "(spark.jars.packages=org.apache.iceberg:iceberg-spark-"
+                "runtime-4.0_2.13:<ver>) and a spark.sql.catalog config")
         self.spark = spark
         self.root = root
         self.run_id = run_id
+        self.table_format = table_format
+        self.catalog = catalog
+        self.namespace = namespace
         self._stages: list[str] = []
         self.ran: list[str] = []      # stages executed this invocation
         self.resumed: list[str] = []  # stages served from checkpoint
@@ -53,10 +84,21 @@ class Pipeline:
     def is_done(self, stage: str) -> bool:
         return os.path.exists(self._ok(stage))
 
+    def _table(self, path: str) -> str:
+        """Map a checkpoint path to an Iceberg table identifier."""
+        rel = os.path.relpath(path, self.root)
+        part = rel.replace(os.sep, "_").replace(".", "_").replace("-", "_")
+        return f"{self.catalog}.{self.namespace}.{part}"
+
     def _write(self, df: DataFrame, path: str) -> None:
-        df.write.mode("overwrite").parquet(path)
+        if self.table_format == "iceberg":
+            df.writeTo(self._table(path)).using("iceberg").createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(path)
 
     def _read(self, path: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return self.spark.read.table(self._table(path))
         return self.spark.read.parquet(path)
 
     # ------------------------------------------------------------ stages ---
@@ -106,6 +148,7 @@ class Pipeline:
         self._write(lineage, os.path.join(self._dir(name), "_lineage"))
         # atomic commit: write-then-rename so a crash mid-write can never
         # leave a marker that is_done() would trust
+        os.makedirs(self._dir(name), exist_ok=True)  # iceberg mode: no parquet dir
         tmp = self._ok(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"stage": name, "wall_ms": wall_ms,

@@ -113,3 +113,24 @@ def test_flagship_pipeline_runs_and_resumes(spark, tmp_path):
 
     lin = p2.lineage().groupBy("stage").count().count()
     assert lin == 5
+
+
+def test_iceberg_seam(spark, tmp_path):
+    """Drive the table_format="iceberg" checkpoint path end-to-end when the
+    iceberg-spark runtime jar is on the classpath; otherwise verify the seam
+    fails loudly (and skip).  On a real cluster this is the north-star
+    Iceberg scan/sink path — identical stage/lineage/resume contract."""
+    from projcl_spark.plans.checkpoint import Pipeline, iceberg_available
+
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            Pipeline(spark, str(tmp_path), "run_ice", table_format="iceberg")
+        pytest.skip("iceberg-spark runtime jar not in this container; "
+                    "seam verified to reject cleanly")
+    p = Pipeline(spark, str(tmp_path), "run_ice", table_format="iceberg")
+    out = p.stage("s1", lambda: spark.range(10).withColumnRenamed("id", "v"))
+    assert out.count() == 10
+    # resume from the Iceberg table, not recompute
+    p2 = Pipeline(spark, str(tmp_path), "run_ice", table_format="iceberg")
+    assert p2.stage("s1", lambda: spark.range(0)).count() == 10
+    assert p2.resumed == ["s1"]
