@@ -725,6 +725,41 @@ pairs AS (SELECT a.n_nationkey, b.r_regionkey, a.lon AS lon1, a.lat AS lat1,
 SELECT {keys}, {_q10('dist_m')} AS dist_10m FROM vfin"""
 
 
+def q_geodesic_vincenty_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal DIRECT geodesic (Vincenty forward, the reference's other
+    disabled ``*_e`` kernel) — points × azimuths at a fixed 500 km.
+    Value-oracled by a 5-step fixed-unroll of the sigma fixed-point
+    iteration (O.vincenty_direct_sql)."""
+    from projcl_spark.functions import vincenty_direct_udf
+
+    pts = _points_df(spark, sf_dir, "nation", ("n_nationkey",))
+    az = spark.createDataFrame([(a,) for a in AZIMUTHS], "azimuth int")
+    udf = vincenty_direct_udf(GEODESIC_DIST_M)
+    return pts.crossJoin(F.broadcast(az)).withColumn(
+        "dest", udf("lon", "lat", F.col("azimuth").cast("double"))
+    ).select(
+        "n_nationkey", "azimuth",
+        F.round(F.col("dest.lon") * 1e6, 0).cast("long").alias("dlon_e6"),
+        F.round(F.col("dest.lat") * 1e6, 0).cast("long").alias("dlat_e6"),
+    )
+
+
+def _o_geodesic_vincenty_direct() -> str:
+    azvals = ", ".join(f"({a})" for a in AZIMUTHS)
+    keys = "n_nationkey, azimuth"
+    ctes = O.vincenty_direct_sql("base", keys, GEODESIC_DIST_M)
+    return f"""
+WITH p AS ({_points_cte('nation', ('n_nationkey',))}),
+az(azimuth) AS (VALUES {azvals}),
+base AS (SELECT p.n_nationkey, CAST(az.azimuth AS INT) AS azimuth,
+                p.lon, p.lat, CAST(az.azimuth AS DOUBLE) AS az FROM p, az),
+{ctes}
+SELECT {keys},
+       CAST(round(lon2 * 1e6, 0) AS BIGINT) AS dlon_e6,
+       CAST(round(lat2 * 1e6, 0) AS BIGINT) AS dlat_e6
+FROM wfin"""
+
+
 def q_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WGS84→NAD27 shift, per-row VALUE-checked (reference ops #14-17):
     the engine runs the fused pandas UDF; the oracle runs the staged
@@ -1489,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         geodesic_direct=q_geodesic_direct,
         geodesic_fixed_angle=q_geodesic_fixed_angle,
         geodesic_vincenty=q_geodesic_vincenty,
+        geodesic_vincenty_direct=q_geodesic_vincenty_direct,
         datum_shift=q_datum_shift,
         datum_roundtrip=q_datum_roundtrip,
         span_roundtrip=q_span_roundtrip,
@@ -1536,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         geodesic_direct=_o_geodesic_direct(),
         geodesic_fixed_angle=_o_geodesic_fixed_angle(),
         geodesic_vincenty=_o_geodesic_vincenty(),
+        geodesic_vincenty_direct=_o_geodesic_vincenty_direct(),
         datum_shift=_o_datum_shift(),
         datum_roundtrip=_o_datum_roundtrip(),
         span_roundtrip=_o_span_roundtrip(),

@@ -136,6 +136,23 @@ def spherical_direct_udf(distance_m: float | None):
     return _direct
 
 
+def vincenty_direct_udf(distance_m: float, spheroid: Spheroid = Spheroid.WGS_84):
+    """Ellipsoidal direct problem (Vincenty) at a fixed distance:
+    UDF(lon, lat, azimuth_deg) → (lon2, lat2)."""
+
+    @F.pandas_udf(LONLAT_SCHEMA)
+    def _vdirect(lon: pd.Series, lat: pd.Series, az: pd.Series) -> pd.DataFrame:
+        lo, la = geod.vincenty_direct(
+            lon.to_numpy(np.float64, na_value=np.nan),
+            lat.to_numpy(np.float64, na_value=np.nan),
+            az.to_numpy(np.float64, na_value=np.nan),
+            distance_m, spheroid,
+        )
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    return _vdirect
+
+
 def vincenty_udf(spheroid: Spheroid = Spheroid.WGS_84):
     """Ellipsoidal geodesic distance (m) as a pandas UDF (4 cols → double)."""
 

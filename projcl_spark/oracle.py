@@ -465,3 +465,64 @@ def inv_lonlat_sql(proj: str, params: "ProjectionParams",
         return lon, lat
 
     raise KeyError(f"no closed-form inverse SQL for {proj!r} (iterative)")
+
+
+def vincenty_direct_sql(base: str, keys: str, dist_m: float, iters: int = 5,
+                        a: float = 6378137.0,
+                        f: float = 1.0 / 298.257223563) -> str:
+    """Vincenty-1975 DIRECT problem as a fixed-unroll staged-CTE chain.
+
+    ``base`` has ``{keys}, lon, lat, az`` (degrees); the last CTE ``wfin``
+    exposes ``{keys}, lon2, lat2`` (degrees).  The sigma fixed-point
+    iteration contracts by ~B (≈2e-3 on WGS84) per step, so ``iters=5``
+    is <1e-12 rad for any sub-1000-km distance; the engine's numpy core
+    (``geo/geodesic.py:vincenty_direct``) iterates the same recursion to
+    1e-12.  No longitude re-wrap (envelope-safe).  Reference semantics:
+    the disabled forward kernel, kernel/pl_geodesic.opencl:124-208."""
+    b = a * (1.0 - f)
+    ff = _r(f)
+    s = _r(dist_m)
+    bc = f"{keys}, lam1, su1, cu1, sa1, ca1, sal, c2a, sig1, bb, sgb"
+    ctes = [
+        (f"w0 AS (SELECT {keys}, radians(lon) AS lam1, radians(az) AS al1, "
+         f"(1.0 - {ff}) * tan(radians(lat)) AS tu1 FROM {base})"),
+        (f"w1 AS (SELECT {keys}, lam1, sin(al1) AS sa1, cos(al1) AS ca1, tu1, "
+         f"1.0 / sqrt(1.0 + tu1*tu1) AS cu1 FROM w0)"),
+        (f"w2 AS (SELECT {keys}, lam1, sa1, ca1, cu1, tu1 * cu1 AS su1, "
+         f"atan2(tu1, ca1) AS sig1, cu1 * sa1 AS sal FROM w1)"),
+        (f"w3 AS (SELECT {keys}, lam1, sa1, ca1, cu1, su1, sig1, sal, "
+         f"(1.0 - sal*sal) AS c2a FROM w2)"),
+        (f"w4 AS (SELECT {keys}, lam1, sa1, ca1, cu1, su1, sig1, sal, c2a, "
+         f"c2a * {_r((a * a - b * b) / (b * b))} AS u2 FROM w3)"),
+        (f"w5 AS (SELECT {keys}, lam1, sa1, ca1, cu1, su1, sig1, sal, c2a, "
+         f"1.0 + u2/16384.0*(4096.0 + u2*(-768.0 + u2*(320.0 - 175.0*u2))) AS aa, "
+         f"u2/1024.0*(256.0 + u2*(-128.0 + u2*(74.0 - 47.0*u2))) AS bb FROM w4)"),
+        (f"w6 AS (SELECT {bc.replace(', sgb', '')}, "
+         f"{s} / ({_r(b)} * aa) AS sgb FROM w5)"),
+        (f"w7 AS (SELECT {bc}, sgb AS sig FROM w6)"),
+    ]
+    prev = "w7"
+    for k in range(iters):
+        p = f"wi{k}"
+        ctes += [
+            (f"{p}a AS (SELECT {bc}, sig, cos(2.0*sig1 + sig) AS c2m, "
+             f"sin(sig) AS ss, cos(sig) AS cs FROM {prev})"),
+            (f"{p} AS (SELECT {bc}, sgb + bb*ss*(c2m + bb/4.0*("
+             f"cs*(-1.0 + 2.0*c2m*c2m) - bb/6.0*c2m*(-3.0 + 4.0*ss*ss)"
+             f"*(-3.0 + 4.0*c2m*c2m))) AS sig FROM {p}a)"),
+        ]
+        prev = p
+    ctes += [
+        (f"wfa AS (SELECT {bc}, sig, sin(sig) AS ss, cos(sig) AS cs, "
+         f"cos(2.0*sig1 + sig) AS c2m FROM {prev})"),
+        (f"wfb AS (SELECT {bc}, sig, ss, cs, c2m, "
+         f"su1*ss - cu1*cs*ca1 AS tmp, "
+         f"{ff}/16.0*c2a*(4.0 + {ff}*(4.0 - 3.0*c2a)) AS cc FROM wfa)"),
+        (f"wfc AS (SELECT {bc}, sig, ss, cs, c2m, cc, "
+         f"atan2(su1*cs + cu1*ss*ca1, (1.0 - {ff}) * sqrt(sal*sal + tmp*tmp)) AS phi2, "
+         f"atan2(ss*sa1, cu1*cs - su1*ss*ca1) AS lam FROM wfb)"),
+        (f"wfin AS (SELECT {keys}, "
+         f"degrees(lam1 + lam - (1.0-cc)*{ff}*sal*(sig + cc*ss*(c2m + "
+         f"cc*cs*(-1.0 + 2.0*c2m*c2m)))) AS lon2, degrees(phi2) AS lat2 FROM wfc)"),
+    ]
+    return ", ".join(ctes)
