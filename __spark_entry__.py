@@ -1177,13 +1177,12 @@ def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ the final watermark (max event time − 10 min) — which is what the
     DuckDB oracle computes in plain SQL (verified stable across runs)."""
     import hashlib
-    import tempfile
     import uuid
 
     from projcl_spark.streaming.ops import stream_cell_counts
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"projcl_stream_in_{tag}")
+    d = _scratch_path(spark, f"projcl_stream_in_{tag}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
             "overwrite"
