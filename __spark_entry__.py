@@ -1330,6 +1330,46 @@ SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
 FROM r WHERE rnk <= {ANN_K}"""
 
 
+def q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/lineage sink, VALUE-checked: run a 2-stage Pipeline
+    (filter → aggregate over documents), then read back the per-stage
+    lineage rows the sink wrote and emit per-stage row counts.  The oracle
+    recomputes what each stage MUST have written — audits the sink's
+    row-count records, not just that files appeared.  Deterministic across
+    re-runs: a pre-existing checkpoint resumes and serves the same lineage."""
+    import hashlib
+
+    from projcl_spark.plans.checkpoint import Pipeline
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _scratch_path(spark, f"projcl_ckpt_gate_{tag}")
+    p = Pipeline(spark, root, "gate")
+    p.stage(
+        "docs_filtered",
+        lambda: spark.read.parquet(_t(sf_dir, "documents"))
+        .filter(F.col("n_chars") >= 200).select("doc_id", "lang", "source"),
+    )
+    p.stage(
+        "lang_hist",
+        lambda d: d.groupBy("lang").agg(F.count("*").alias("n")),
+        inputs=("docs_filtered",),
+    )
+    return (
+        p.lineage().groupBy("stage")
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    )
+
+
+def _o_checkpoint_lineage() -> str:
+    return """
+SELECT 'docs_filtered' AS stage,
+       CAST(count(*) AS BIGINT) AS n_rows FROM documents WHERE n_chars >= 200
+UNION ALL
+SELECT 'lang_hist' AS stage,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_rows
+FROM documents WHERE n_chars >= 200"""
+
+
 IVF_CELLS, IVF_PROBE, IVF_SEED = 16, 4, 7
 
 
@@ -1540,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
         ann_ivf=q_ann_ivf,
+        checkpoint_lineage=q_checkpoint_lineage,
         stream_cells=q_stream_cells,
         stream_sessions=q_stream_sessions,
         warp_pipeline=q_warp_pipeline,
@@ -1588,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),
         ann_ivf=_o_ann_ivf(),
+        checkpoint_lineage=_o_checkpoint_lineage(),
         stream_cells=_o_stream_cells(),
         stream_sessions=_o_stream_sessions(),
         warp_pipeline=_o_warp_pipeline(),
