@@ -559,6 +559,46 @@ WHERE ((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
   AND ((x1 - x3) * (lat - y3) - (y1 - y3) * (lon - x3)) > 0"""
 
 
+def q_pip_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (SURVEY Table B "covered/uncovered docs"): per
+    coarse cell, how many points fall inside ≥1 polygon (left_semi against
+    the PIP hit set) vs none (left_anti).  The oracle recomputes both with
+    EXISTS / NOT EXISTS over the half-plane triangle test."""
+    ks = ["l_orderkey", "l_linenumber"]
+    pts = _points_df(spark, sf_dir, "lineitem", tuple(ks))
+    hits = pip_join(pts, _triangles_df(spark), res=PIP_RES).select(*ks)
+    cell = cell_id_col(F.col("lon"), F.col("lat"), 3).alias("cell_id")
+    cov = (pts.join(hits, ks, "left_semi").select(cell)
+           .groupBy("cell_id").agg(F.count("*").alias("n_covered")))
+    unc = (pts.join(hits, ks, "left_anti").select(cell)
+           .groupBy("cell_id").agg(F.count("*").alias("n_uncovered")))
+    return (
+        cov.join(unc, "cell_id", "full_outer")
+        .select(
+            "cell_id",
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.coalesce("n_uncovered", F.lit(0)).alias("n_uncovered"),
+        )
+    )
+
+
+def _o_pip_coverage() -> str:
+    inside = """((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
+  AND ((x3 - x2) * (lat - y2) - (y3 - y2) * (lon - x2)) > 0
+  AND ((x1 - x3) * (lat - y3) - (y1 - y3) * (lon - x3)) > 0"""
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+tri(poly_id, x1, y1, x2, y2, x3, y3) AS (VALUES {_triangles_values_sql()}),
+flagged AS (
+  SELECT {cell_id_sql('lon', 'lat', 3)} AS cell_id,
+         EXISTS (SELECT 1 FROM tri WHERE {inside}) AS covered
+  FROM pts)
+SELECT cell_id,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT) AS n_uncovered
+FROM flagged GROUP BY 1"""
+
+
 def q_knn_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _points_df(spark, sf_dir, "customer", ("c_custkey",))
     qs = spark.createDataFrame(KNN_QUERIES, "query_id long, q_lon double, q_lat double")
@@ -1557,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cell_count=q_cell_count,
         tile_pyramid=q_tile_pyramid,
         pip_triangles=q_pip_triangles,
+        pip_coverage=q_pip_coverage,
         knn_customer=q_knn_customer,
         knn_exact=q_knn_exact,
         haversine_matrix=q_haversine_matrix,
@@ -1606,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         cell_count=_o_cell_count(),
         tile_pyramid=_o_tile_pyramid(),
         pip_triangles=_o_pip_triangles(),
+        pip_coverage=_o_pip_coverage(),
         knn_customer=_o_knn_customer(),
         knn_exact=_o_knn_customer(),  # same true-kNN semantics, same oracle
         haversine_matrix=_o_haversine_matrix(),
