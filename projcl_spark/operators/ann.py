@@ -71,7 +71,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_fraction: float = 0.1,
+    sample_fraction: float = 1.0,
     max_train: int = 65536,
     seed: int = 42,
     kmeans_iters: int = 10,
@@ -90,9 +90,13 @@ def cosine_topk_ivf(
     The coarse quantizer is either supplied (``centroids``, e.g. from
     ``fixed_centroids`` or an offline training job — nothing is collected)
     or trained by a seeded fixed-round spherical k-means over a BOUNDED
-    sample: ``sample(fraction)`` then a deterministic ``sort(id).limit(
-    max_train)`` (TakeOrdered — no full shuffle, no full-corpus
-    ``toPandas``; at 100 TB the driver sees at most ``max_train`` rows).
+    training set: a deterministic ``sort(id).limit(max_train)``
+    (TakeOrdered — no full shuffle, no full-corpus ``toPandas``; at 100 TB
+    the driver sees at most ``max_train`` rows, whatever the layout).
+    ``sample_fraction < 1`` thins the scan first but is partition-layout
+    dependent (``df.sample`` hashes per partition) — opt-in only; the
+    default stays layout-independent so results are reproducible across
+    repartitionings.
     """
     if centroids is not None:
         C = np.asarray(centroids, dtype=np.float64)
