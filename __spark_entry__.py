@@ -341,7 +341,15 @@ SELECT gi, gj, CAST(round({_tapsum_sql("bilinear")} * 1e6, 0) AS BIGINT) AS valu
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved text+geo spans → explode → Albers project →
     cell-encode → PIP join → reassemble → per-polygon rollup (sf0.001)."""
-    sf_dir = "/root/testdata/sf0.001"
+    return q_flagship_rollup(spark, "/root/testdata/sf0.001")
+
+
+def q_flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end north-star path as a VALUE-checked gate query:
+    interleaved spans built from documents (64-char text chunks + a geo
+    span), explode → project (Albers e, pandas UDF) → PIP filter-refine →
+    per-polygon (n_docs, n_spans) rollup.  The oracle recomputes span
+    counts analytically and the PIP hits via the half-plane test."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     # build interleaved spans: text chunks + one geo span derived from doc_id
     lon_e, lat_e = O.derived_lonlat("CAST(doc_id AS STRING)", "spark")
@@ -381,6 +389,24 @@ def entry(spark: SparkSession) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_spans").alias("n_spans"))
         .orderBy("poly_id")
     )
+
+
+def _o_flagship_rollup() -> str:
+    lon_e, lat_e = O.derived_lonlat("CAST(doc_id AS VARCHAR)", "duck")
+    inside = """((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
+  AND ((x3 - x2) * (lat - y2) - (y3 - y2) * (lon - x2)) > 0
+  AND ((x1 - x3) * (lat - y3) - (y1 - y3) * (lon - x3)) > 0"""
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(ceil(length(text) / 64.0) AS BIGINT) + 1 AS n_spans,
+         {lon_e} AS lon, {lat_e} AS lat
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+tri(poly_id, x1, y1, x2, y2, x3, y3) AS (VALUES {_triangles_values_sql()}),
+hits AS (SELECT d.doc_id, d.n_spans, tri.poly_id FROM d, tri WHERE {inside})
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_spans) AS BIGINT) AS n_spans
+FROM hits GROUP BY 1"""
 
 
 def _q_proj_fwd(name: str) -> Callable:
@@ -1598,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tile_pyramid=q_tile_pyramid,
         pip_triangles=q_pip_triangles,
         pip_coverage=q_pip_coverage,
+        flagship_rollup=q_flagship_rollup,
         knn_customer=q_knn_customer,
         knn_exact=q_knn_exact,
         haversine_matrix=q_haversine_matrix,
@@ -1648,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
         tile_pyramid=_o_tile_pyramid(),
         pip_triangles=_o_pip_triangles(),
         pip_coverage=_o_pip_coverage(),
+        flagship_rollup=_o_flagship_rollup(),
         knn_customer=_o_knn_customer(),
         knn_exact=_o_knn_customer(),  # same true-kNN semantics, same oracle
         haversine_matrix=_o_haversine_matrix(),
