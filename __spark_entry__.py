@@ -533,6 +533,54 @@ def q_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_RES, SALT_N, SALT_RATIO = 4, 16, 1.0
+
+
+def q_cell_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation (north rule: salted repartitioning
+    by cell prefix), VALUE-checked: hot cells (> mean frequency) get a
+    deterministic md5 salt in [0,16), counts partial-aggregate on
+    (cell, salt) then merge on cell.  Output must be IDENTICAL to the
+    unsalted group-by (exact-match invariant across fan-out), and
+    ``n_salts`` exposes the fan-out itself — the oracle recomputes the same
+    md5 salt per row, so the salting policy (not just the totals) is
+    value-checked."""
+    from projcl_spark.operators.skew import hot_cells, salted_repartition
+
+    pts = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
+    df = pts.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), SALT_RES))
+    hot = hot_cells(df, threshold_ratio=SALT_RATIO)
+    salted = salted_repartition(df, "cell_id", hot, SALT_N, key_col="l_orderkey")
+    partial = salted.groupBy("cell_id", "_salt").agg(F.count("*").alias("_n"))
+    return partial.groupBy("cell_id").agg(
+        F.sum("_n").cast("long").alias("n_points"),
+        F.countDistinct("_salt").cast("long").alias("n_salts"),
+    )
+
+
+def _o_cell_count_salted() -> str:
+    salt = f"({O.hash60(_salt_key_sql(), 'duck')} % {SALT_N})"
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+cells AS (SELECT l_orderkey, {cell_id_sql('lon', 'lat', SALT_RES)} AS cell_id FROM pts),
+hist AS (SELECT cell_id, count(*) AS n FROM cells GROUP BY 1),
+hot AS (SELECT cell_id FROM hist
+        WHERE n > {SALT_RATIO} * (SELECT avg(n) FROM hist)),
+s AS (SELECT cell_id,
+        CASE WHEN cell_id IN (SELECT cell_id FROM hot)
+             THEN {salt} ELSE 0 END AS salt
+      FROM cells)
+SELECT cell_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT salt) AS BIGINT) AS n_salts
+FROM s GROUP BY 1"""
+
+
+def _salt_key_sql() -> str:
+    """The exact salt key ``operators.skew.salted_repartition`` hashes:
+    'salt:' || CAST(key AS STRING) (skew.py:63)."""
+    return "'salt:' || CAST(l_orderkey AS VARCHAR)"
+
+
 def _o_cell_count() -> str:
     return f"""
 WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
@@ -1621,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(
         proj_roundtrip_closure=q_roundtrip_closure,
         cell_count=q_cell_count,
+        cell_count_salted=q_cell_count_salted,
         tile_pyramid=q_tile_pyramid,
         pip_triangles=q_pip_triangles,
         pip_coverage=q_pip_coverage,
@@ -1672,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         proj_roundtrip_closure=_o_roundtrip_closure(),
         cell_count=_o_cell_count(),
+        cell_count_salted=_o_cell_count_salted(),
         tile_pyramid=_o_tile_pyramid(),
         pip_triangles=_o_pip_triangles(),
         pip_coverage=_o_pip_coverage(),
