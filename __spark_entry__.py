@@ -438,7 +438,8 @@ FROM pts {where}"""
 
 
 # closed-form (non-iterative) spherical inverses → direct value oracles
-INV_CASES = ("proj_mercator_s", "proj_laea_s")
+INV_CASES = ("proj_mercator_s", "proj_laea_s", "proj_albers_s",
+             "proj_lcc_s", "proj_tmerc_s")
 
 
 def _q_proj_inv(name: str) -> Callable:
@@ -453,6 +454,8 @@ def _q_proj_inv(name: str) -> Callable:
         from projcl_spark.functions import project_fwd_cols
 
         df = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
+        if proj == "transverse_mercator":
+            df = df.filter(f"abs(lon - {params.lon0!r}) < 30.0")
         xc, yc = project_fwd_cols(proj, params)
         inv = project_udf(proj, params, "inverse")
         return (
@@ -472,9 +475,11 @@ def _o_proj_inv(name: str) -> str:
     proj, params = PROJ_CASES[name]
     x, y = O.fwd_xy_sql(proj, params)
     ilon, ilat = O.inv_lonlat_sql(proj, params, x="x", y="y")
+    where = (f"WHERE abs(lon - {params.lon0!r}) < 30.0"
+             if proj == "transverse_mercator" else "")
     return f"""
 WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
-xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts)
+xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts {where})
 SELECT l_orderkey, l_linenumber,
        CAST(round({ilon} * 1e6, 0) AS BIGINT) AS ilon_e6,
        CAST(round({ilat} * 1e6, 0) AS BIGINT) AS ilat_e6

@@ -464,6 +464,33 @@ def inv_lonlat_sql(proj: str, params: "ProjectionParams",
         lon = f"degrees(atan2({xs} * {sinc}, {c0} * {cosc} - {ys} * {s0} * {sinc}) + {lam0})"
         return lon, lat
 
+    if proj == "albers_equal_area" and C["spherical"]:
+        n, c = _r(C["n"]), _r(C["c"])
+        lam0 = _r(C.get("lambda0", 0.0))
+        ysr = f"({_r(C['rho0'])} - {ys})"
+        qs = f"(({c} - ({xs}*{xs} + {ysr}*{ysr})) / {n})"
+        lat = f"degrees(asin(least(greatest(0.5 * {qs}, -1.0), 1.0)))"
+        lon = f"degrees(atan2({xs}, {ysr}) / {n} + {lam0})"
+        return lon, lat
+
+    if proj == "lambert_conformal_conic" and C["spherical"]:
+        n, c = C["n"], C["c"]
+        lam0 = _r(C.get("lambda0", 0.0))
+        sgn = 1.0 if n >= 0 else -1.0
+        ysr = f"({_r(C['rho0'])} - {ys})"
+        rho = f"({_r(sgn)} * sqrt({xs}*{xs} + {ysr}*{ysr}))"
+        log_ts = f"(ln({rho} / {_r(c)}) / {_r(n)})"
+        lat = f"degrees(-atan({sinh_s(log_ts)}))"
+        lon = f"degrees(atan2({xs} * {_r(sgn)}, {ysr} * {_r(sgn)}) / {_r(n)} + {lam0})"
+        return lon, lat
+
+    if proj == "transverse_mercator" and C["spherical"]:
+        lam0 = _r(C.get("lambda0", 0.0))
+        shx = sinh_s(xs)
+        lon = f"degrees(atan2({shx}, cos({ys})) + {lam0})"
+        lat = f"degrees(atan2(sin({ys}), sqrt({shx}*{shx} + cos({ys})*cos({ys}))))"
+        return lon, lat
+
     raise KeyError(f"no closed-form inverse SQL for {proj!r} (iterative)")
 
 
