@@ -450,8 +450,22 @@ def inv_lonlat_sql(proj: str, params: "ProjectionParams",
     xs = f"(({x} - {x0}) / {sc})"
     ys = f"(({y} - {y0}) / {sc})"
 
+    def _phi2_sql(log_ts: str, e: float, iters: int = 6) -> str:
+        """Fixed-unroll of helpers.phi2 (isometric→geographic latitude).
+        The recursion φ ← −atan(sinh(L − e·atanh(e·sinφ))) references φ
+        once per level, so nesting grows linearly; contraction ~e² ⇒ 6
+        levels ≪ 1e-12 rad."""
+        phi = f"(-atan({sinh_s(log_ts)}))"
+        for _ in range(iters):
+            inner = f"({log_ts} - {_r(e)} * {atanh_s(f'({_r(e)} * sin({phi}))')})"
+            phi = f"(-atan({sinh_s(inner)}))"
+        return phi
+
     if proj == "mercator" and C["spherical"]:
         return f"degrees({xs})", f"degrees(atan({sinh_s(ys)}))"
+
+    if proj == "mercator":
+        return f"degrees({xs})", f"degrees({_phi2_sql(f'(-{ys})', C['ecc'])})"
 
     if proj == "lambert_azimuthal_equal_area" and C["spherical"]:
         s0, c0 = _r(C["sinPhi0"]), _r(C["cosPhi0"])
@@ -473,14 +487,17 @@ def inv_lonlat_sql(proj: str, params: "ProjectionParams",
         lon = f"degrees(atan2({xs}, {ysr}) / {n} + {lam0})"
         return lon, lat
 
-    if proj == "lambert_conformal_conic" and C["spherical"]:
+    if proj == "lambert_conformal_conic":
         n, c = C["n"], C["c"]
         lam0 = _r(C.get("lambda0", 0.0))
         sgn = 1.0 if n >= 0 else -1.0
         ysr = f"({_r(C['rho0'])} - {ys})"
         rho = f"({_r(sgn)} * sqrt({xs}*{xs} + {ysr}*{ysr}))"
         log_ts = f"(ln({rho} / {_r(c)}) / {_r(n)})"
-        lat = f"degrees(-atan({sinh_s(log_ts)}))"
+        if C["spherical"]:
+            lat = f"degrees(-atan({sinh_s(log_ts)}))"
+        else:
+            lat = f"degrees({_phi2_sql(log_ts, C['ecc'])})"
         lon = f"degrees(atan2({xs} * {_r(sgn)}, {ysr} * {_r(sgn)}) / {_r(n)} + {lam0})"
         return lon, lat
 
