@@ -441,7 +441,9 @@ FROM pts {where}"""
 INV_CASES = ("proj_mercator_s", "proj_laea_s", "proj_albers_s",
              "proj_lcc_s", "proj_tmerc_s",
              # ellipsoidal conformal inverses via fixed-unroll phi2
-             "proj_mercator_e", "proj_lcc_e")
+             "proj_mercator_e", "proj_lcc_e",
+             # ellipsoidal LAEA inverse: closed form + authalic series
+             "proj_laea_e")
 
 
 def _q_proj_inv(name: str) -> Callable:

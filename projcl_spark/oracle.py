@@ -478,6 +478,25 @@ def inv_lonlat_sql(proj: str, params: "ProjectionParams",
         lon = f"degrees(atan2({xs} * {sinc}, {c0} * {cosc} - {ys} * {s0} * {sinc}) + {lam0})"
         return lon, lat
 
+    if proj == "lambert_azimuthal_equal_area" and not C["spherical"]:
+        # ellipsoidal: closed form + authalic latitude series (apa)
+        lam0 = _r(C["lambda0"])
+        s1, c1, rq, dd = _r(C["sinB1"]), _r(C["cosB1"]), _r(C["rq"]), _r(C["dd"])
+        xd = f"({xs} / {dd})"
+        yd = f"({ys} * {dd})"
+        rho2 = f"(({xd}*{xd} + {yd}*{yd}) / ({rq}*{rq}))"
+        cosce = f"(1.0 - 0.5 * {rho2})"
+        since = f"(sqrt(greatest(1.0 - 0.25 * {rho2}, 0.0)) / {rq})"
+        beta = (f"asin(least(greatest({cosce} * {s1} + {yd} * {since} * {c1},"
+                f" -1.0), 1.0))")
+        apa = C["apa"]
+        lat = (f"degrees({beta} + {_r(apa[0])} * sin(2.0*{beta})"
+               f" + {_r(apa[1])} * sin(4.0*{beta})"
+               f" + {_r(apa[2])} * sin(6.0*{beta}))")
+        lon = (f"degrees(atan2({xd} * {since}, {c1} * {cosce}"
+               f" - {yd} * {s1} * {since}) + {lam0})")
+        return lon, lat
+
     if proj == "albers_equal_area" and C["spherical"]:
         n, c = _r(C["n"]), _r(C["c"])
         lam0 = _r(C.get("lambda0", 0.0))
