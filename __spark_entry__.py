@@ -443,7 +443,9 @@ INV_CASES = ("proj_mercator_s", "proj_laea_s", "proj_albers_s",
              # ellipsoidal conformal inverses via fixed-unroll phi2
              "proj_mercator_e", "proj_lcc_e",
              # ellipsoidal LAEA inverse: closed form + authalic series
-             "proj_laea_e")
+             "proj_laea_e",
+             # Krüger ellipsoidal inverse: staged-CTE ladder + fixed Newton
+             "proj_tmerc_e")
 
 
 def _q_proj_inv(name: str) -> Callable:
@@ -478,16 +480,21 @@ def _q_proj_inv(name: str) -> Callable:
 def _o_proj_inv(name: str) -> str:
     proj, params = PROJ_CASES[name]
     x, y = O.fwd_xy_sql(proj, params)
-    ilon, ilat = O.inv_lonlat_sql(proj, params, x="x", y="y")
     where = (f"WHERE abs(lon - {params.lon0!r}) < 30.0"
              if proj == "transverse_mercator" else "")
-    return f"""
+    head = f"""
 WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
-xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts {where})
-SELECT l_orderkey, l_linenumber,
-       CAST(round({ilon} * 1e6, 0) AS BIGINT) AS ilon_e6,
-       CAST(round({ilat} * 1e6, 0) AS BIGINT) AS ilat_e6
-FROM xy"""
+xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts {where})"""
+    keys = "l_orderkey, l_linenumber"
+    quant = ("CAST(round(ilon * 1e6, 0) AS BIGINT) AS ilon_e6, "
+             "CAST(round(ilat * 1e6, 0) AS BIGINT) AS ilat_e6")
+    if name == "proj_tmerc_e":  # staged-CTE Krüger inverse
+        ctes = O.tmerc_e_inverse_sql("xy", keys, params)
+        return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
+    ilon, ilat = O.inv_lonlat_sql(proj, params, x="x", y="y")
+    return (f"{head} SELECT {keys}, "
+            f"CAST(round({ilon} * 1e6, 0) AS BIGINT) AS ilon_e6, "
+            f"CAST(round({ilat} * 1e6, 0) AS BIGINT) AS ilat_e6 FROM xy")
 
 
 def q_roundtrip_closure(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,9 +8,13 @@ constants folded in as literals — computed by the very same ``prepare()``
 the UDF closure uses, so the oracle and the engine share one source of
 truth for (n, c, rho0, Krüger α, …).
 
-Iterative inverses are not SQL-expressible; they are validated by
-round-trip-closure invariant queries instead (reference oracle style:
-``/root/reference/test/projcl_test.c:648-669``).
+Inverses get direct value oracles where the math allows: closed-form
+(spherical Mercator/LAEA/Albers/LCC/TMerc, ellipsoidal LAEA), fixed-unroll
+fixed-point (ellipsoidal Mercator/LCC via ``phi2``; Vincenty), and the
+staged-CTE Krüger inverse with its single fixed Newton step.  The remaining
+Newton-with-derivative inverses (Polyconic, Winkel, Robinson, Albers-e,
+Stereographic) are validated by the arcsec round-trip-closure query
+(reference oracle style: ``/root/reference/test/projcl_test.c:648-669``).
 
 Dialect notes (DuckDB): no ``asinh``/``atanh``/``sinh``/``cosh`` — emitted
 as ``ln``/``exp`` identities; hex→bigint is ``CAST('0x…' AS BIGINT)``
@@ -587,5 +591,58 @@ def vincenty_direct_sql(base: str, keys: str, dist_m: float, iters: int = 5,
         (f"wfin AS (SELECT {keys}, "
          f"degrees(lam1 + lam - (1.0-cc)*{ff}*sal*(sig + cc*ss*(c2m + "
          f"cc*cs*(-1.0 + 2.0*c2m*c2m)))) AS lon2, degrees(phi2) AS lat2 FROM wfc)"),
+    ]
+    return ", ".join(ctes)
+
+
+def tmerc_e_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> str:
+    """Krüger ellipsoidal Transverse-Mercator INVERSE as staged CTEs.
+
+    Transliterates ``proj/transverse_mercator.py:inverse`` (ellipsoidal
+    branch): angle-ladder sin/cos (2ξ′..8ξ′) and sinh/cosh (2η′..8η′),
+    the β-series to (ξ, η), then Karney's tau recovery with its single
+    fixed Newton step (eq. 19-21) — everything closed-form, so the chain
+    ends in CTE ``pfin`` with ``{keys}, ilon, ilat`` (degrees).  ``base``
+    must expose ``{keys}, x, y``."""
+    proj, p = resolve("transverse_mercator", params)
+    C = _MODULES[proj].prepare(p)
+    assert not C["spherical"]
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    b = [_r(v) for v in C["beta"]]
+    e, one_es = _r(C["ecc"]), _r(C["one_ecc2"])
+    lam0 = _r(C.get("lambda0", 0.0))
+    k = keys
+    _ath = atanh_s(f"({e} * tau0 / sqrt(1.0 + tau0*tau0))")
+    sigma_expr = sinh_s(f"({e} * {_ath})")
+    sh = sinh_s("(2.0*xs)")
+    ch = cosh_s("(2.0*xs)")
+    ctes = [
+        (f"t0 AS (SELECT {k}, ({base}.x - {x0}) / {sc} AS xs, "
+         f"({base}.y - {y0}) / {sc} AS ys FROM {base})"),
+        (f"t1 AS (SELECT {k}, xs, ys, sin(2.0*ys) AS s2, cos(2.0*ys) AS c2, "
+         f"{sh} AS sh2, {ch} AS ch2 FROM t0)"),
+        (f"t2 AS (SELECT {k}, xs, ys, s2, c2, sh2, ch2, "
+         f"2.0*s2*c2 AS s4, 2.0*c2*c2 - 1.0 AS c4, "
+         f"2.0*sh2*ch2 AS sh4, 2.0*ch2*ch2 - 1.0 AS ch4 FROM t1)"),
+        (f"t3 AS (SELECT {k}, xs, ys, s2, c2, sh2, ch2, s4, c4, sh4, ch4, "
+         f"s4*c2 + c4*s2 AS s6, c4*c2 - s4*s2 AS c6, "
+         f"sh4*ch2 + ch4*sh2 AS sh6, ch4*ch2 + sh4*sh2 AS ch6, "
+         f"2.0*s4*c4 AS s8, 2.0*c4*c4 - 1.0 AS c8, "
+         f"2.0*sh4*ch4 AS sh8, 2.0*ch4*ch4 - 1.0 AS ch8 FROM t2)"),
+        (f"t4 AS (SELECT {k}, "
+         f"ys - ({b[0]}*s2*ch2 + {b[1]}*s4*ch4 + {b[2]}*s6*ch6 + {b[3]}*s8*ch8) AS xi, "
+         f"xs - ({b[0]}*c2*sh2 + {b[1]}*c4*sh4 + {b[2]}*c6*sh6 + {b[3]}*c8*sh8) AS eta "
+         f"FROM t3)"),
+        (f"t5 AS (SELECT {k}, {sinh_s('eta')} AS she, sin(xi) AS sxi, cos(xi) AS cxi FROM t4)"),
+        (f"t6 AS (SELECT {k}, she, cxi, sxi / sqrt(she*she + cxi*cxi) AS tau0 FROM t5)"),
+        (f"t7 AS (SELECT {k}, she, cxi, tau0, "
+         f"{sigma_expr} AS sigma FROM t6)"),
+        (f"t8 AS (SELECT {k}, she, cxi, tau0, "
+         f"tau0 * sqrt(1.0 + sigma*sigma) - sigma * sqrt(1.0 + tau0*tau0) AS taup FROM t7)"),
+        (f"t9 AS (SELECT {k}, she, cxi, "
+         f"tau0 + (tau0 - taup) / sqrt(1.0 + taup*taup) "
+         f"* (1.0 + {one_es}*tau0*tau0) / ({one_es} * sqrt(1.0 + tau0*tau0)) AS tau FROM t8)"),
+        (f"pfin AS (SELECT {k}, degrees(atan2(she, cxi) + {lam0}) AS ilon, "
+         f"degrees(atan(tau)) AS ilat FROM t9)"),
     ]
     return ", ".join(ctes)
