@@ -445,7 +445,9 @@ INV_CASES = ("proj_mercator_s", "proj_laea_s", "proj_albers_s",
              # ellipsoidal LAEA inverse: closed form + authalic series
              "proj_laea_e",
              # Krüger ellipsoidal inverse: staged-CTE ladder + fixed Newton
-             "proj_tmerc_e")
+             "proj_tmerc_e",
+             # Albers ellipsoidal inverse: staged-CTE _phi1 Newton unroll
+             "proj_albers_e")
 
 
 def _q_proj_inv(name: str) -> Callable:
@@ -490,6 +492,9 @@ xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts {where})"""
              "CAST(round(ilat * 1e6, 0) AS BIGINT) AS ilat_e6")
     if name == "proj_tmerc_e":  # staged-CTE Krüger inverse
         ctes = O.tmerc_e_inverse_sql("xy", keys, params)
+        return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
+    if name == "proj_albers_e":  # staged-CTE _phi1 Newton unroll
+        ctes = O.albers_e_inverse_sql("xy", keys, params)
         return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
     ilon, ilat = O.inv_lonlat_sql(proj, params, x="x", y="y")
     return (f"{head} SELECT {keys}, "

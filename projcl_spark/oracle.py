@@ -11,8 +11,8 @@ truth for (n, c, rho0, Krüger α, …).
 Inverses get direct value oracles where the math allows: closed-form
 (spherical Mercator/LAEA/Albers/LCC/TMerc, ellipsoidal LAEA), fixed-unroll
 fixed-point (ellipsoidal Mercator/LCC via ``phi2``; Vincenty), and the
-staged-CTE Krüger inverse with its single fixed Newton step.  The remaining
-Newton-with-derivative inverses (Polyconic, Winkel, Robinson, Albers-e,
+staged-CTE Krüger and Albers-e inverses (fixed Newton rounds).  The
+remaining Newton-with-derivative inverses (Polyconic, Winkel, Robinson,
 Stereographic) are validated by the arcsec round-trip-closure query
 (reference oracle style: ``/root/reference/test/projcl_test.c:648-669``).
 
@@ -645,4 +645,52 @@ def tmerc_e_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> str
         (f"pfin AS (SELECT {k}, degrees(atan2(she, cxi) + {lam0}) AS ilon, "
          f"degrees(atan(tau)) AS ilat FROM t9)"),
     ]
+    return ", ".join(ctes)
+
+
+def albers_e_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> str:
+    """Ellipsoidal Albers INVERSE as staged CTEs: the authalic-q inverse
+    ``_phi1`` (proj/albers.py:72-90) unrolled to its fixed N_ITER=6 Newton
+    rounds (its early break fires at |dphi| ≤ 1e-7 with quadratic
+    convergence, so the residual difference vs the full unroll is ~1e-14
+    rad — far below the 1e-6-degree quantization).  Chain ends in CTE
+    ``pfin`` with ``{keys}, ilon, ilat``; ``base`` exposes ``{keys}, x, y``."""
+    from .proj import albers
+
+    C = albers.prepare(params)
+    assert not C["spherical"]
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    n, c = _r(C["n"]), _r(C["c"])
+    e, one_es, ec = _r(C["ecc"]), _r(C["one_ecc2"]), _r(C["ec"])
+    lam0 = _r(C["lambda0"])
+    k = keys
+    ctes = [
+        (f"a0 AS (SELECT {k}, ({base}.x - {x0}) / {sc} AS xs, "
+         f"({_r(C['rho0'])} - ({base}.y - {y0}) / {sc}) AS ysr FROM {base})"),
+        (f"a1 AS (SELECT {k}, xs, ysr, "
+         f"(({c} - (xs*xs + ysr*ysr)) / {n}) AS qs FROM a0)"),
+        (f"a2 AS (SELECT {k}, xs, ysr, qs, "
+         f"asin(least(greatest(0.5 * qs, -1.0), 1.0)) AS phi FROM a1)"),
+    ]
+    prev = "a2"
+    for i in range(6):  # N_ITER
+        p = f"n{i}"
+        ctes += [
+            (f"{p}a AS (SELECT {k}, xs, ysr, qs, phi, sin(phi) AS sp, "
+             f"cos(phi) AS cp FROM {prev})"),
+            (f"{p}b AS (SELECT {k}, xs, ysr, qs, phi, sp, "
+             f"CASE WHEN abs(cp) < 1e-15 THEN 1e-15 ELSE cp END AS cps, "
+             f"(1.0 - ({e} * sp) * ({e} * sp)) AS com FROM {p}a)"),
+            (f"{p} AS (SELECT {k}, xs, ysr, qs, "
+             f"phi + 0.5 * com * com / cps * "
+             f"(qs / {one_es} - sp / com - {atanh_s(f'({e} * sp)')} / {e}) AS phi "
+             f"FROM {p}b)"),
+        ]
+        prev = p
+    ctes.append(
+        f"pfin AS (SELECT {k}, "
+        f"degrees(atan2(xs, ysr) / {n} + {lam0}) AS ilon, "
+        f"degrees(CASE WHEN abs({ec} - abs(qs)) <= 1e-7 "
+        f"THEN (CASE WHEN qs >= 0 THEN pi()/2 ELSE -pi()/2 END) "
+        f"ELSE phi END) AS ilat FROM {prev})")
     return ", ".join(ctes)
