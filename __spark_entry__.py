@@ -447,7 +447,9 @@ INV_CASES = ("proj_mercator_s", "proj_laea_s", "proj_albers_s",
              # Krüger ellipsoidal inverse: staged-CTE ladder + fixed Newton
              "proj_tmerc_e",
              # Albers ellipsoidal inverse: staged-CTE _phi1 Newton unroll
-             "proj_albers_e")
+             "proj_albers_e",
+             # Stereographic-e inverse: conformal sphere + sph2ell unroll
+             "proj_stereo_e")
 
 
 def _q_proj_inv(name: str) -> Callable:
@@ -495,6 +497,9 @@ xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts {where})"""
         return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
     if name == "proj_albers_e":  # staged-CTE _phi1 Newton unroll
         ctes = O.albers_e_inverse_sql("xy", keys, params)
+        return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
+    if name == "proj_stereo_e":  # staged-CTE conformal-sphere + sph2ell
+        ctes = O.stereo_e_inverse_sql("xy", keys, params)
         return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
     ilon, ilat = O.inv_lonlat_sql(proj, params, x="x", y="y")
     return (f"{head} SELECT {keys}, "

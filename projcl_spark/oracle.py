@@ -11,10 +11,11 @@ truth for (n, c, rho0, Krüger α, …).
 Inverses get direct value oracles where the math allows: closed-form
 (spherical Mercator/LAEA/Albers/LCC/TMerc, ellipsoidal LAEA), fixed-unroll
 fixed-point (ellipsoidal Mercator/LCC via ``phi2``; Vincenty), and the
-staged-CTE Krüger and Albers-e inverses (fixed Newton rounds).  The
-remaining Newton-with-derivative inverses (Polyconic, Winkel, Robinson,
-Stereographic) are validated by the arcsec round-trip-closure query
-(reference oracle style: ``/root/reference/test/projcl_test.c:648-669``).
+staged-CTE Krüger, Albers-e and Stereographic-e inverses (fixed
+Newton/fixed-point rounds).  The remaining Newton-with-derivative inverses
+(Polyconic, Winkel, Robinson) are validated by the arcsec
+round-trip-closure query (reference oracle style:
+``/root/reference/test/projcl_test.c:648-669``).
 
 Dialect notes (DuckDB): no ``asinh``/``atanh``/``sinh``/``cosh`` — emitted
 as ``ln``/``exp`` identities; hex→bigint is ``CAST('0x…' AS BIGINT)``
@@ -693,4 +694,51 @@ def albers_e_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> st
         f"degrees(CASE WHEN abs({ec} - abs(qs)) <= 1e-7 "
         f"THEN (CASE WHEN qs >= 0 THEN pi()/2 ELSE -pi()/2 END) "
         f"ELSE phi END) AS ilat FROM {prev})")
+    return ", ".join(ctes)
+
+
+def stereo_e_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> str:
+    """Oblique-Stereographic (ellipsoidal) INVERSE as staged CTEs:
+    closed-form conformal-sphere inverse, then the conformal→geodetic
+    latitude fixed-point ``_phi_sph2ell`` (proj/stereographic.py:76-84)
+    unrolled 6 rounds (linear contraction ~e² ⇒ residual ≪ the 1e-6-degree
+    quantization).  Ends in CTE ``pfin`` with ``{keys}, ilon, ilat``."""
+    from .proj import stereographic
+
+    proj, p = resolve("oblique_stereographic", params)
+    C = _MODULES[proj].prepare(p)
+    assert not C["spherical"]
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    s0c, c0c = _r(C["sinPhiC0"]), _r(C["cosPhiC0"])
+    c0, log_k0 = _r(C["c0"]), _r(C["log_k0"])
+    e = _r(C["ecc"])
+    lam0 = _r(C["lambda0"])
+    k = keys
+    ctes = [
+        (f"s0 AS (SELECT {k}, ({base}.x - {x0}) / {sc} AS xs, "
+         f"({base}.y - {y0}) / {sc} AS ys FROM {base})"),
+        (f"s1 AS (SELECT {k}, xs, ys, sqrt(xs*xs + ys*ys) AS rho FROM s0)"),
+        (f"s2 AS (SELECT {k}, xs, ys, rho, sin(2.0*atan(rho)) AS sc_, "
+         f"cos(2.0*atan(rho)) AS cc_, "
+         f"CASE WHEN rho = 0.0 THEN 1.0 ELSE rho END AS srho FROM s1)"),
+        (f"s3 AS (SELECT {k}, "
+         f"asin(least(greatest(CASE WHEN rho = 0.0 THEN {s0c} "
+         f"ELSE cc_ * {s0c} + ys * sc_ * {c0c} / srho END, -1.0), 1.0)) AS phs, "
+         f"atan2(xs * sc_, srho * {c0c} * cc_ - ys * {s0c} * sc_) / {c0} AS lam "
+         f"FROM s2)"),
+        (f"s4 AS (SELECT {k}, lam, phs, "
+         f"({asinh_s('tan(phs)')} - {log_k0}) / {c0} AS lognum FROM s3)"),
+        (f"s5 AS (SELECT {k}, lam, lognum, phs AS phi FROM s4)"),
+    ]
+    prev = "s5"
+    for i in range(6):  # N_ITER
+        p_ = f"e{i}"
+        inner = f"(lognum + {e} * {atanh_s(f'({e} * sin(phi))')})"
+        ctes.append(
+            f"{p_} AS (SELECT {k}, lam, lognum, "
+            f"atan({sinh_s(inner)}) AS phi FROM {prev})")
+        prev = p_
+    ctes.append(
+        f"pfin AS (SELECT {k}, degrees(lam + {lam0}) AS ilon, "
+        f"degrees(phi) AS ilat FROM {prev})")
     return ", ".join(ctes)
