@@ -449,7 +449,11 @@ INV_CASES = ("proj_mercator_s", "proj_laea_s", "proj_albers_s",
              # Albers ellipsoidal inverse: staged-CTE _phi1 Newton unroll
              "proj_albers_e",
              # Stereographic-e inverse: conformal sphere + sph2ell unroll
-             "proj_stereo_e")
+             "proj_stereo_e",
+             # Polyconic inverses: exact unroll of the fixed-round 2D Newton
+             "proj_polyconic_s", "proj_polyconic_e",
+             # Winkel Tripel inverse: exact unroll of the 4-round 2D Newton
+             "proj_winkel_s")
 
 
 def _q_proj_inv(name: str) -> Callable:
@@ -500,6 +504,12 @@ xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts {where})"""
         return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
     if name == "proj_stereo_e":  # staged-CTE conformal-sphere + sph2ell
         ctes = O.stereo_e_inverse_sql("xy", keys, params)
+        return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
+    if name.startswith("proj_polyconic"):  # exact fixed-round 2D Newton
+        ctes = O.polyconic_inverse_sql("xy", keys, params)
+        return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
+    if name == "proj_winkel_s":  # exact 4-round 2D Newton unroll
+        ctes = O.winkel_inverse_sql("xy", keys, params)
         return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
     ilon, ilat = O.inv_lonlat_sql(proj, params, x="x", y="y")
     return (f"{head} SELECT {keys}, "

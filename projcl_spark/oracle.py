@@ -742,3 +742,173 @@ def stereo_e_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> st
         f"pfin AS (SELECT {k}, degrees(lam + {lam0}) AS ilon, "
         f"degrees(phi) AS ilat FROM {prev})")
     return ", ".join(ctes)
+
+
+def _mlfn_sql(phi: str, sp: str, cp: str, en) -> str:
+    """helpers.mlfn (meridional distance series) as SQL."""
+    e0, e1, e2, e3, e4 = (_r(v) for v in en)
+    cs = f"({cp} * {sp})"
+    s2 = f"({sp} * {sp})"
+    return (f"({e0} * {phi} - {cs} * ({e1} + {s2} * ({e2} + {s2} * "
+            f"({e3} + {s2} * {e4}))))")
+
+
+def _mlfn1_sql(sp: str, cp: str, en) -> str:
+    """helpers.mlfn1 (d mlfn / d phi) as SQL."""
+    e0, e1, e2, e3, e4 = (_r(v) for v in en)
+    c2 = f"({cp} * {cp})"
+    s2 = f"({sp} * {sp})"
+    return (f"({e0} - ({e1} * ({c2} - {s2}) + {s2} * ({e2} * (3*{c2} - {s2})"
+            f" + {s2} * ({e3} * (5*{c2} - {s2}) + {s2} * ({e4} * (7*{c2} - {s2}))))))")
+
+
+def polyconic_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> str:
+    """American-Polyconic INVERSE as staged CTEs: the 2-D Newton of
+    ``proj/polyconic.py:inverse`` unrolled to its exact fixed round count
+    (N_ITER_S=6 spherical, N_ITER_E=8 ellipsoidal — the numpy loops have no
+    early break, so the unroll is the SAME computation).  All guards
+    (equatorial-phi nudge, |sinphi| floor) are replicated as CASEs.
+    Ends in CTE ``pfin`` with ``{keys}, ilon, ilat``."""
+    from .proj import polyconic as M
+
+    C = M.prepare(params)
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    phi0, lam0 = _r(C["phi0"]), _r(C["lambda0"])
+    k = keys
+    guard_sp = f"(CASE WHEN abs(sp) < {_r(M._EQ_EPS)} THEN {_r(M._EQ_EPS)} ELSE sp END)"
+    ctes = [
+        (f"p0 AS (SELECT {k}, ({base}.x - {x0}) / {sc} AS xs, "
+         f"({base}.y - {y0}) / {sc} AS ys FROM {base})"),
+    ]
+    if C["spherical"]:
+        ctes += [
+            (f"p1 AS (SELECT {k}, xs, ys, "
+             f"CASE WHEN abs(ys + {phi0}) < 1e-12 THEN 1e-12 "
+             f"ELSE ys + {phi0} END AS phi FROM p0)"),
+            (f"p2 AS (SELECT {k}, xs, ys, phi, sin(phi) AS sp, cos(phi) AS cp FROM p1)"),
+            (f"p3 AS (SELECT {k}, xs, ys, phi, sp, cp, "
+             f"asin(least(greatest(xs * sp / cp, -1.0), 1.0)) / {guard_sp} AS lam FROM p2)"),
+        ]
+        prev = "p3"
+        for i in range(M.N_ITER_S):
+            q = f"pi{i}"
+            ctes += [
+                (f"{q}a AS (SELECT {k}, xs, ys, phi, sp, cp, lam, "
+                 f"sin(lam * sp) AS sls, cos(lam * sp) AS cls, "
+                 f"sin(lam * sp) * tan(0.5 * lam * sp) AS cls1 FROM {prev})"),
+                (f"{q}b AS (SELECT {k}, xs, ys, phi, sp, cp, lam, "
+                 f"lam * cp * cp / sp * cls - sls / (sp * sp) AS d1p, "
+                 f"1.0 + lam * cp * cp / sp * sls - cls1 / (sp * sp) AS d2p, "
+                 f"cp * cls AS d1l, cp * sls AS d2l, "
+                 f"cp * sls / sp - xs AS f1, "
+                 f"phi - {phi0} + cp * cls1 / sp - ys AS f2 FROM {q}a)"),
+                (f"{q}c AS (SELECT {k}, xs, ys, "
+                 f"phi - (f1 * d2l - f2 * d1l) / (d1p * d2l - d2p * d1l) AS phi, "
+                 f"lam - (f2 * d1p - f1 * d2p) / (d1p * d2l - d2p * d1l) AS lam FROM {q}b)"),
+                (f"{q} AS (SELECT {k}, xs, ys, phi, lam, "
+                 f"sin(phi) AS sp, cos(phi) AS cp FROM {q}c)"),
+            ]
+            prev = q
+    else:
+        es = _r(C["ecc2"])
+        en, ml0 = C["en"], _r(C["ml0"])
+        ml_a = _mlfn_sql("phia", "sin(phia)", "cos(phia)", en)
+        ml1_a = _mlfn1_sql("sin(phia)", "cos(phia)", en)
+        ctes += [
+            (f"p1 AS (SELECT {k}, xs, ys, ys + {phi0} AS phia FROM p0)"),
+            (f"p2 AS (SELECT {k}, xs, ys, "
+             f"phia - ({ml_a} - (ys + {ml0})) / {ml1_a} AS phin FROM p1)"),
+            (f"p3 AS (SELECT {k}, xs, ys, "
+             f"CASE WHEN abs(phin) < 1e-12 THEN 1e-12 ELSE phin END AS phi FROM p2)"),
+            (f"p4 AS (SELECT {k}, xs, ys, phi, sin(phi) AS sp, cos(phi) AS cp FROM p3)"),
+            (f"p5 AS (SELECT {k}, xs, ys, phi, sp, cp, "
+             f"sqrt(1.0 - {es} * sp * sp) AS mlp FROM p4)"),
+            (f"p6 AS (SELECT {k}, xs, ys, phi, sp, cp, mlp, "
+             f"asin(least(greatest(xs * sp / cp * mlp, -1.0), 1.0)) / {guard_sp} AS lam FROM p5)"),
+        ]
+        prev = "p6"
+        for i in range(M.N_ITER_E):
+            q = f"pi{i}"
+            ml = _mlfn_sql("phi", "sp", "cp", en)
+            ml1 = _mlfn1_sql("sp", "cp", en)
+            ctes += [
+                (f"{q}a AS (SELECT {k}, xs, ys, phi, sp, cp, mlp, lam, "
+                 f"sin(lam * sp) AS sls, cos(lam * sp) AS cls, "
+                 f"sin(0.5 * lam * sp) AS sl2, cos(0.5 * lam * sp) AS cl2 FROM {prev})"),
+                (f"{q}b AS (SELECT {k}, xs, ys, phi, sp, cp, mlp, lam, sls, cls, sl2, cl2, "
+                 f"sls / (sp / cp) / mlp - xs AS f1, "
+                 f"{ml} - {ml0} + xs * sl2 / cl2 - ys AS f2, "
+                 f"cp / mlp * cls AS d1l, cp / mlp * sls AS d2l, "
+                 f"{es} * (1.0 + cp * cp) / (mlp * (1.0 - {es} * sp * sp)) AS c1, "
+                 f"1.0 / (sp * sp * mlp * (1.0 - {es} * sp * sp)) AS c2 FROM {q}a)"),
+                (f"{q}c AS (SELECT {k}, xs, ys, phi, lam, f1, f2, d1l, d2l, "
+                 f"lam * cp / (sp / cp) / mlp * cls + sls * (c1 - c2) AS d1p, "
+                 f"{ml1} + 0.5 * lam * xs * cp / (cl2 * cl2) AS d2p FROM {q}b)"),
+                (f"{q}d AS (SELECT {k}, xs, ys, "
+                 f"phi - (f1 * d2l - f2 * d1l) / (d1p * d2l - d2p * d1l) AS phi, "
+                 f"lam - (f2 * d1p - f1 * d2p) / (d1p * d2l - d2p * d1l) AS lam FROM {q}c)"),
+                (f"{q} AS (SELECT {k}, xs, ys, phi, lam, sin(phi) AS sp, cos(phi) AS cp, "
+                 f"sqrt(1.0 - {es} * sin(phi) * sin(phi)) AS mlp FROM {q}d)"),
+            ]
+            prev = q
+    ctes.append(
+        f"pfin AS (SELECT {k}, degrees(lam + {lam0}) AS ilon, "
+        f"degrees(phi) AS ilat FROM {prev})")
+    return ", ".join(ctes)
+
+
+def winkel_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> str:
+    """Winkel-Tripel INVERSE as staged CTEs: exact unroll of the fixed
+    4-round 2-D Newton (``proj/winkel.py:51-91``; no early break).  The
+    center-point guard (d=0 ⇒ non-finite correction ⇒ 0) maps to
+    ``CASE WHEN isfinite(...)`` — DuckDB yields NULL for 0-division, which
+    the CASE also sends to 0, matching numpy's where(isfinite).  Ends in
+    ``pfin`` with ``{keys}, ilon, ilat``.  (DuckDB-only SQL: the oracle
+    side never runs on Spark.)"""
+    from .proj import winkel as M
+
+    C = M.prepare(params)
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    c1 = _r(C["cosphi1"])
+    lam0 = _r(C["lambda0"])
+    k = keys
+    ctes = [
+        (f"w0 AS (SELECT {k}, ({base}.x - {x0}) / {sc} AS xs, "
+         f"({base}.y - {y0}) / {sc} AS ys FROM {base})"),
+        (f"w1 AS (SELECT {k}, xs, ys, ys AS phi, sin(ys) AS sp, cos(ys) AS cp FROM w0)"),
+        (f"w2 AS (SELECT {k}, xs, ys, phi, sp, cp, "
+         f"2.0 * xs / (cp + {c1}) AS lam FROM w1)"),
+    ]
+    prev = "w2"
+    for i in range(M.N_ITER):
+        q = f"wk{i}"
+        ctes += [
+            (f"{q}a AS (SELECT {k}, xs, ys, phi, sp, cp, lam, "
+             f"2.0 * sp * cp AS s2p, sin(0.5 * lam) AS sl2, cos(0.5 * lam) AS cl2, "
+             f"2.0 * sin(0.5 * lam) * cos(0.5 * lam) AS sl, "
+             f"acos(least(greatest(cp * cos(0.5 * lam), -1.0), 1.0)) AS d FROM {prev})"),
+            (f"{q}b AS (SELECT {k}, xs, ys, phi, sp, cp, lam, s2p, sl2, cl2, sl, d, "
+             f"1.0 / (sin(d) * sin(d)) AS ic, 1.0 / sin(d) AS ic12, "
+             f"d / (sin(d) * sin(d)) / sin(d) AS dic32 FROM {q}a)"),
+            (f"{q}c AS (SELECT {k}, xs, ys, phi, sp, cp, lam, "
+             f"d * cp * sl2 * ic12 + 0.5 * lam * {c1} - xs AS f1, "
+             f"0.5 * d * sp * ic12 + 0.5 * phi - ys AS f2, "
+             f"0.25 * sl * s2p * ic - dic32 * sp * sl2 AS d1p, "
+             f"0.5 * (cp * cp * sl2 * sl2 * ic + dic32 * cp * cl2 * sp * sp + {c1}) AS d1l, "
+             f"0.5 * (sp * sp * cl2 * ic + dic32 * sl2 * sl2 * cp + 1.0) AS d2p, "
+             f"0.125 * (s2p * sl2 * ic - dic32 * sp * cp * cp * sl) AS d2l FROM {q}b)"),
+            (f"{q}d AS (SELECT {k}, xs, ys, phi, lam, "
+             f"-(f1 * d2l - f2 * d1l) / (d1p * d2l - d2p * d1l) AS dphi, "
+             f"-(f2 * d1p - f1 * d2p) / (d1p * d2l - d2p * d1l) AS dlam FROM {q}c)"),
+            (f"{q} AS (SELECT {k}, xs, ys, "
+             f"phi + (CASE WHEN isfinite(dphi) THEN dphi ELSE 0.0 END) AS phi, "
+             f"lam + (CASE WHEN isfinite(dlam) THEN dlam ELSE 0.0 END) AS lam, "
+             f"sin(phi + (CASE WHEN isfinite(dphi) THEN dphi ELSE 0.0 END)) AS sp, "
+             f"cos(phi + (CASE WHEN isfinite(dphi) THEN dphi ELSE 0.0 END)) AS cp "
+             f"FROM {q}d)"),
+        ]
+        prev = q
+    ctes.append(
+        f"pfin AS (SELECT {k}, degrees(lam + {lam0}) AS ilon, "
+        f"degrees(phi) AS ilat FROM {prev})")
+    return ", ".join(ctes)
