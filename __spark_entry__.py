@@ -453,7 +453,9 @@ INV_CASES = ("proj_mercator_s", "proj_laea_s", "proj_albers_s",
              # Polyconic inverses: exact unroll of the fixed-round 2D Newton
              "proj_polyconic_s", "proj_polyconic_e",
              # Winkel Tripel inverse: exact unroll of the 4-round 2D Newton
-             "proj_winkel_s")
+             "proj_winkel_s",
+             # Robinson inverse: table node-walk + 12-round Newton unroll
+             "proj_robinson_s")
 
 
 def _q_proj_inv(name: str) -> Callable:
@@ -510,6 +512,9 @@ xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts {where})"""
         return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
     if name == "proj_winkel_s":  # exact 4-round 2D Newton unroll
         ctes = O.winkel_inverse_sql("xy", keys, params)
+        return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
+    if name == "proj_robinson_s":  # table node-walk + Newton unroll
+        ctes = O.robinson_inverse_sql("xy", keys, params)
         return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
     ilon, ilat = O.inv_lonlat_sql(proj, params, x="x", y="y")
     return (f"{head} SELECT {keys}, "

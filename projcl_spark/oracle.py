@@ -8,14 +8,15 @@ constants folded in as literals — computed by the very same ``prepare()``
 the UDF closure uses, so the oracle and the engine share one source of
 truth for (n, c, rho0, Krüger α, …).
 
-Inverses get direct value oracles where the math allows: closed-form
-(spherical Mercator/LAEA/Albers/LCC/TMerc, ellipsoidal LAEA), fixed-unroll
-fixed-point (ellipsoidal Mercator/LCC via ``phi2``; Vincenty), and the
-staged-CTE Krüger, Albers-e and Stereographic-e inverses (fixed
-Newton/fixed-point rounds).  The remaining Newton-with-derivative inverses
-(Polyconic, Winkel, Robinson) are validated by the arcsec
-round-trip-closure query (reference oracle style:
-``/root/reference/test/projcl_test.c:648-669``).
+EVERY inverse also gets a direct value oracle: closed-form where the math
+allows (spherical Mercator/LAEA/Albers/LCC/TMerc, ellipsoidal LAEA),
+fixed-unroll fixed-point (ellipsoidal Mercator/LCC via ``phi2``;
+Stereographic-e sph2ell; Vincenty), and exact unrolls of the engine's own
+fixed-round Newton loops as staged CTEs (Krüger, Albers-e ``_phi1``,
+Polyconic 2-D Newton s+e, Winkel 2-D Newton, Robinson node-walk + root
+polish).  The arcsec round-trip-closure query (reference oracle style,
+``/root/reference/test/projcl_test.c:648-669``) additionally covers every
+case as an invariant.
 
 Dialect notes (DuckDB): no ``asinh``/``atanh``/``sinh``/``cosh`` — emitted
 as ``ln``/``exp`` identities; hex→bigint is ``CAST('0x…' AS BIGINT)``
@@ -911,4 +912,66 @@ def winkel_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> str:
     ctes.append(
         f"pfin AS (SELECT {k}, degrees(lam + {lam0}) AS ilon, "
         f"degrees(phi) AS ilat FROM {prev})")
+    return ", ".join(ctes)
+
+
+def robinson_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> str:
+    """Robinson INVERSE as staged CTEs (DuckDB-only oracle SQL): the
+    node walk (searchsorted over the strictly-increasing Y-table column)
+    becomes a literal CASE-count, per-point cubic coefficients gather via
+    1-based list-literal indexing, and the Newton root polish
+    (``proj/robinson.py:102-127``) unrolls its full 12 rounds (early break
+    at |dt| < 1e-6 deg leaves a residual far below the 1e-6-degree output
+    quantum).  Ends in ``pfin`` with ``{keys}, ilon, ilat``."""
+    from .proj import robinson as M
+
+    C = M.prepare(params)
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    fxc, fyc = _r(M.FXC), _r(M.FYC)
+    n = M.NODES  # 18
+    k = keys
+
+    def lst(col, tbl):
+        return "[" + ",".join(_r(v) for v in tbl[:, col]) + "]"
+
+    y0l, y1l, y2l, y3l = (lst(c, M._Y) for c in range(4))
+    x0l, x1l, x2l, x3l = (lst(c, M._X) for c in range(4))
+    count = " + ".join(
+        f"(CASE WHEN phin >= {_r(v)} THEN 1 ELSE 0 END)" for v in M._Y[:, 0]
+    )
+    ctes = [
+        (f"r0 AS (SELECT {k}, ({base}.x - {x0}) / {sc} AS xs, "
+         f"({base}.y - {y0}) / {sc} AS ys FROM {base})"),
+        (f"r1 AS (SELECT {k}, ys, xs / {fxc} AS lamx, abs(ys / {fyc}) AS phin FROM r0)"),
+        (f"r2 AS (SELECT {k}, ys, lamx, phin, "
+         f"least(greatest(({count}) - 1, 0), {n - 1}) AS idx FROM r1)"),
+        (f"r3 AS (SELECT {k}, ys, lamx, phin, idx, "
+         f"({y0l})[idx + 1] AS c0r, ({y1l})[idx + 1] AS c1, "
+         f"({y2l})[idx + 1] AS c2, ({y3l})[idx + 1] AS c3, "
+         f"({y0l})[least(idx + 1, {n}) + 1] AS up, "
+         f"({x0l})[idx + 1] AS xc0, ({x1l})[idx + 1] AS xc1, "
+         f"({x2l})[idx + 1] AS xc2, ({x3l})[idx + 1] AS xc3 FROM r2)"),
+        (f"r4 AS (SELECT {k}, ys, lamx, phin, idx, c0r - phin AS c0, c1, c2, c3, "
+         f"xc0, xc1, xc2, xc3, "
+         f"5.0 * (phin - c0r) / (CASE WHEN up = c0r THEN 1.0 ELSE up - c0r END) AS t "
+         f"FROM r3)"),
+    ]
+    prev = "r4"
+    carry = f"{k}, ys, lamx, phin, idx, c0, c1, c2, c3, xc0, xc1, xc2, xc3"
+    dv = "(CASE WHEN abs(c1 + t*(2.0*c2 + t*3.0*c3)) < 1e-18 THEN 1e-18 " \
+         "ELSE c1 + t*(2.0*c2 + t*3.0*c3) END)"
+    for i in range(12):
+        q = f"rn{i}"
+        ctes.append(
+            f"{q} AS (SELECT {carry}, "
+            f"t - (c0 + t*(c1 + t*(c2 + t*c3))) / {dv} AS t FROM {prev})")
+        prev = q
+    pole_x0 = _r(M._X[n, 0])
+    ctes.append(
+        f"pfin AS (SELECT {k}, "
+        f"degrees(CASE WHEN phin >= 1.0 THEN lamx / {pole_x0} "
+        f"ELSE lamx / (xc0 + t*(xc1 + t*(xc2 + t*xc3))) END) AS ilon, "
+        f"degrees((CASE WHEN ys >= 0 THEN 1.0 ELSE -1.0 END) * "
+        f"(CASE WHEN phin >= 1.0 THEN pi()/2 "
+        f"ELSE radians(5.0*idx + t) END)) AS ilat FROM {prev})")
     return ", ".join(ctes)
