@@ -74,13 +74,17 @@ def forward(lon, lat, C):
 
 
 def _phi_sph2ell(phi, e: float, log_k0: float, c0: float):
+    """Conformal-sphere → geodetic latitude, fixed N_ITER rounds.
+
+    No early break: the contraction is LINEAR (~e² per round), so stopping
+    at a 1e-7 step leaves a ~4e-8-degree residual — enough to flip values
+    sitting on a 1e-6-degree quantization boundary against the oracle's
+    full unroll (observed at sf0.01).  Running all 6 rounds lands at the
+    fixed point to ~1e-15 rad and costs nothing (vectorized)."""
     log_num = (np.arcsinh(np.tan(phi)) - log_k0) / c0
     phi_ell = phi
     for _ in range(N_ITER):
-        prev = phi_ell
-        phi_ell = np.arctan(np.sinh(log_num + e * np.arctanh(e * np.sin(prev))))
-        if np.all(np.abs(phi_ell - prev) <= TOL7):
-            break
+        phi_ell = np.arctan(np.sinh(log_num + e * np.arctanh(e * np.sin(phi_ell))))
     return phi_ell
 
 
