@@ -48,13 +48,36 @@ def _t(sf_dir: str, name: str):
     return f"{sf_dir}/{name}.parquet"
 
 
+def _input_tag(sf_dir: str, table: str) -> str:
+    """Scratch-dir fingerprint: source path + mtime + size, so a
+    REGENERATED testdata set never resumes a stale scratch checkpoint
+    (the _SUCCESS/_OK markers alone can't see the data changed)."""
+    import hashlib
+
+    p = _t(sf_dir, table)
+    try:
+        st = os.stat(p)
+        sig = f"{p}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        sig = p
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 def _scratch_path(spark: SparkSession, name: str) -> str:
-    """Cluster-portable scratch location for materialized intermediate
-    stages.  On a real cluster, set `spark.projcl.scratchDir` to a shared
-    filesystem (HDFS/S3/warehouse path); locally it falls back to the
-    driver tempdir.  (VERDICT r1 item 6: no hardcoded tempfile path in a
-    query hot path.)"""
+    """Scratch location for materialized intermediate stages.  Set
+    `spark.projcl.scratchDir` to a DRIVER-VISIBLE POSIX path shared with
+    executors (NFS/FUSE mount of the cluster store); locally it falls back
+    to the driver tempdir.  Object-store URIs (hdfs://, s3://) are NOT
+    supported here: the freshness checks (`os.path.exists(_SUCCESS)`) and
+    the checkpoint `_OK` markers are os-level by design — a URI would make
+    them silently test a local path while data lands remotely.  (VERDICT
+    r1 item 6: no hardcoded tempfile path in a query hot path.)"""
     base = spark.conf.get("spark.projcl.scratchDir", None)
+    if base and "://" in base:
+        raise ValueError(
+            f"spark.projcl.scratchDir must be a mounted filesystem path, "
+            f"not a URI (got {base!r}); marker/freshness checks are "
+            f"os.path-based")
     if not base:
         import tempfile
 
@@ -498,6 +521,9 @@ xy AS (SELECT l_orderkey, l_linenumber, {x} AS x, {y} AS y FROM pts {where})"""
     keys = "l_orderkey, l_linenumber"
     quant = ("CAST(round(ilon * 1e6, 0) AS BIGINT) AS ilon_e6, "
              "CAST(round(ilat * 1e6, 0) AS BIGINT) AS ilat_e6")
+    if name in ("proj_mercator_e", "proj_lcc_e"):  # staged-CTE phi2
+        ctes = O.phi2_inverse_sql("xy", keys, PROJ_CASES[name][0], params)
+        return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
     if name == "proj_tmerc_e":  # staged-CTE Krüger inverse
         ctes = O.tmerc_e_inverse_sql("xy", keys, params)
         return f"{head}, {ctes} SELECT {keys}, {quant} FROM pfin"
@@ -675,25 +701,26 @@ WHERE ((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
 
 
 def q_pip_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi/anti joins (SURVEY Table B "covered/uncovered docs"): per
-    coarse cell, how many points fall inside ≥1 polygon (left_semi against
-    the PIP hit set) vs none (left_anti).  The oracle recomputes both with
-    EXISTS / NOT EXISTS over the half-plane triangle test."""
+    """Covered-vs-uncovered points per coarse cell (SURVEY Table B).  The
+    oracle computes the same with EXISTS over the half-plane triangle
+    test; the dedicated semi/anti-join demo is `order_coverage`."""
     ks = ["l_orderkey", "l_linenumber"]
     pts = _points_df(spark, sf_dir, "lineitem", tuple(ks))
-    hits = pip_join(pts, _triangles_df(spark), res=PIP_RES).select(*ks)
+    # ONE PIP pass (CLAUDE.md: never consume an expensive stage twice):
+    # distinct hits → left-join flag → single conditional aggregation —
+    # the same EXISTS shape the oracle computes.  The left_semi/left_anti
+    # pair this replaces executed the explode+broadcast+refine join twice.
+    hits = (
+        pip_join(pts, _triangles_df(spark), res=PIP_RES)
+        .select(*ks).distinct().withColumn("covered", F.lit(1))
+    )
     cell = cell_id_col(F.col("lon"), F.col("lat"), 3).alias("cell_id")
-    cov = (pts.join(hits, ks, "left_semi").select(cell)
-           .groupBy("cell_id").agg(F.count("*").alias("n_covered")))
-    unc = (pts.join(hits, ks, "left_anti").select(cell)
-           .groupBy("cell_id").agg(F.count("*").alias("n_uncovered")))
-    return (
-        cov.join(unc, "cell_id", "full_outer")
-        .select(
-            "cell_id",
-            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
-            F.coalesce("n_uncovered", F.lit(0)).alias("n_uncovered"),
-        )
+    flagged = pts.join(hits, ks, "left").select(
+        cell, F.coalesce("covered", F.lit(0)).alias("covered")
+    )
+    return flagged.groupBy("cell_id").agg(
+        F.sum("covered").cast("long").alias("n_covered"),
+        F.sum(1 - F.col("covered")).cast("long").alias("n_uncovered"),
     )
 
 
@@ -712,6 +739,38 @@ SELECT cell_id,
        CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
        CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT) AS n_uncovered
 FROM flagged GROUP BY 1"""
+
+
+def q_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (SURVEY Table B): per market segment, customers
+    WITH ≥1 order (left_semi) vs WITHOUT (left_anti) — cheap scans on both
+    sides, so running the pair costs one broadcast probe each."""
+    c = spark.read.parquet(_t(sf_dir, "customer")).select("c_custkey", "c_mktsegment")
+    o = spark.read.parquet(_t(sf_dir, "orders")).select("o_custkey")
+    w = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+         .groupBy("c_mktsegment").agg(F.count("*").alias("n_with")))
+    wo = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+          .groupBy("c_mktsegment").agg(F.count("*").alias("n_without")))
+    return (
+        w.join(wo, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+def _o_order_coverage() -> str:
+    return """
+WITH f AS (
+  SELECT c_mktsegment,
+         EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS w
+  FROM customer c)
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+       CAST(sum(CASE WHEN w THEN 0 ELSE 1 END) AS BIGINT) AS n_without
+FROM f GROUP BY 1"""
 
 
 def q_knn_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,12 +1390,11 @@ def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Append-mode emission is deterministic: exactly the windows whose end is
     ≤ the final watermark (max event time − 10 min) — which is what the
     DuckDB oracle computes in plain SQL (verified stable across runs)."""
-    import hashlib
     import uuid
 
     from projcl_spark.streaming.ops import stream_cell_counts
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _input_tag(sf_dir, "events")
     d = _scratch_path(spark, f"projcl_stream_in_{tag}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
@@ -1349,7 +1407,9 @@ def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_cell_counts(stream).writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):  # partial memory sink would
+        q.stop()                      # parity-mismatch silently
+        raise RuntimeError("availableNow stream did not finish in 600 s")
     return spark.sql(
         f"SELECT unix_timestamp(win_start) AS win_s, cell_id, n FROM {name}"
     )
@@ -1370,17 +1430,18 @@ WHERE win_s + 300 <= (SELECT max(es) FROM pts) - 600"""
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, value-checked:
-    applyInPandasWithState sessionization (30-min inactivity gap) over the
-    events stream, availableNow.  Emission is deterministic: the single
-    micro-batch closes every session except each user's last (which stays
-    in state; no later batch fires its timeout) — exactly what the DuckDB
-    lag-gap oracle computes."""
-    import hashlib
+    applyInPandasWithState sessionization (30-min inactivity gap,
+    EVENT-time state timeout) over the events stream, availableNow.
+    Emission is deterministic: gap-closed sessions plus every session the
+    final watermark (max event time − 10 min) times out — exactly what the
+    DuckDB lag-gap oracle computes in integer-ms arithmetic.  Each user's
+    last session within the watermark horizon stays in state (resumes on
+    the next drain), which is the correct backfill-replay semantics."""
     import uuid
 
     from projcl_spark.streaming.ops import sessionize
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _input_tag(sf_dir, "events")
     d = _scratch_path(spark, f"projcl_stream_sess_in_{tag}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         # single file → single micro-batch → per-user events arrive together
@@ -1394,7 +1455,9 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize(stream).writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):  # partial memory sink would
+        q.stop()                      # parity-mismatch silently
+        raise RuntimeError("availableNow stream did not finish in 600 s")
     return spark.sql(
         f"SELECT user_id, unix_timestamp(session_start) AS sess_start, "
         f"unix_timestamp(session_end) AS sess_end, n_events FROM {name}"
@@ -1402,25 +1465,35 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_stream_sessions() -> str:
-    from projcl_spark.streaming.ops import GAP_SECONDS
+    """Emitted set = gap-closed sessions (every session but each user's
+    last) UNION sessions fired by the final event-time watermark.  The
+    timeout condition replicates the engine's integer-ms arithmetic
+    exactly: Spark floors µs event times to ms for the watermark, the
+    engine floors last-event µs to ms for setTimeoutTimestamp, and the
+    fire test is strict `timeout < watermark`."""
+    from projcl_spark.streaming.ops import GAP_SECONDS, SESSION_WATERMARK_MS
 
+    gap_ms = int(GAP_SECONDS * 1000)
     return f"""
-WITH e AS (SELECT user_id, epoch(ts) AS es FROM events),
-g AS (SELECT user_id, es,
+WITH e AS (SELECT user_id, epoch(ts) AS es, epoch_us(ts) AS eu FROM events),
+g AS (SELECT user_id, es, eu,
         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
                   > {GAP_SECONDS:.1f} THEN 1 ELSE 0 END AS new_s
       FROM e),
-s AS (SELECT user_id, es,
+s AS (SELECT user_id, es, eu,
         sum(new_s) OVER (PARTITION BY user_id ORDER BY es
                          ROWS UNBOUNDED PRECEDING) AS sess_no
       FROM g),
 agg AS (SELECT user_id, sess_no,
           CAST(floor(min(es)) AS BIGINT) AS sess_start,
           CAST(floor(max(es)) AS BIGINT) AS sess_end,
+          max(eu) AS last_us,
           count(*) AS n_events
-        FROM s GROUP BY 1, 2)
+        FROM s GROUP BY 1, 2),
+wm AS (SELECT max(eu) // 1000 - {SESSION_WATERMARK_MS} AS wm_ms FROM e)
 SELECT user_id, sess_start, sess_end, n_events FROM agg
-WHERE sess_no < (SELECT max(sess_no) FROM agg a2 WHERE a2.user_id = agg.user_id)"""
+WHERE sess_no < (SELECT max(sess_no) FROM agg a2 WHERE a2.user_id = agg.user_id)
+   OR last_us // 1000 + {gap_ms} < (SELECT wm_ms FROM wm)"""
 
 
 LSH_BITS, LSH_TABLES = 4, 2
@@ -1492,11 +1565,9 @@ def q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes what each stage MUST have written — audits the sink's
     row-count records, not just that files appeared.  Deterministic across
     re-runs: a pre-existing checkpoint resumes and serves the same lineage."""
-    import hashlib
-
     from projcl_spark.plans.checkpoint import Pipeline
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _input_tag(sf_dir, "documents")
     root = _scratch_path(spark, f"projcl_ckpt_gate_{tag}")
     p = Pipeline(spark, root, "gate")
     p.stage(
@@ -1670,12 +1741,10 @@ def _q_text(name: str) -> Callable:
             # inlines CTEs (6× recompute of the md5 minhash) and
             # .cache()'s InMemoryRelation is pathologically slow for the
             # array columns (measured 232 s vs 1.8 s via parquet at sf0.1)
-            import hashlib
-
             spark.read.parquet(_t(sf_dir, "documents")).repartition(
                 spark.sparkContext.defaultParallelism * 2
             ).createOrReplaceTempView("documents")
-            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            tag = _input_tag(sf_dir, "documents")
             d = _scratch_path(spark, f"projcl_mh_sig_{tag}")
             spark.sql(sig_sql).write.mode("overwrite").parquet(d)
             spark.read.parquet(d).createOrReplaceTempView("minhash_sig")
@@ -1714,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tile_pyramid=q_tile_pyramid,
         pip_triangles=q_pip_triangles,
         pip_coverage=q_pip_coverage,
+        order_coverage=q_order_coverage,
         flagship_rollup=q_flagship_rollup,
         knn_customer=q_knn_customer,
         knn_exact=q_knn_exact,
@@ -1766,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         tile_pyramid=_o_tile_pyramid(),
         pip_triangles=_o_pip_triangles(),
         pip_coverage=_o_pip_coverage(),
+        order_coverage=_o_order_coverage(),
         flagship_rollup=_o_flagship_rollup(),
         knn_customer=_o_knn_customer(),
         knn_exact=_o_knn_customer(),  # same true-kNN semantics, same oracle

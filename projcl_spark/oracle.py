@@ -456,22 +456,13 @@ def inv_lonlat_sql(proj: str, params: "ProjectionParams",
     xs = f"(({x} - {x0}) / {sc})"
     ys = f"(({y} - {y0}) / {sc})"
 
-    def _phi2_sql(log_ts: str, e: float, iters: int = 6) -> str:
-        """Fixed-unroll of helpers.phi2 (isometric→geographic latitude).
-        The recursion φ ← −atan(sinh(L − e·atanh(e·sinφ))) references φ
-        once per level, so nesting grows linearly; contraction ~e² ⇒ 6
-        levels ≪ 1e-12 rad."""
-        phi = f"(-atan({sinh_s(log_ts)}))"
-        for _ in range(iters):
-            inner = f"({log_ts} - {_r(e)} * {atanh_s(f'({_r(e)} * sin({phi}))')})"
-            phi = f"(-atan({sinh_s(inner)}))"
-        return phi
-
+    # NOTE: no nested fixed-point unrolls here — sinh_s/atanh_s duplicate
+    # their argument, so nesting grows ~4^rounds (a 6-round phi2 nest
+    # measured 4.7 MB of SQL / 84 s of DuckDB planning).  Iterative
+    # inverses use the staged-CTE generators below instead
+    # (phi2_inverse_sql & friends): linear size, <0.1 s.
     if proj == "mercator" and C["spherical"]:
         return f"degrees({xs})", f"degrees(atan({sinh_s(ys)}))"
-
-    if proj == "mercator":
-        return f"degrees({xs})", f"degrees({_phi2_sql(f'(-{ys})', C['ecc'])})"
 
     if proj == "lambert_azimuthal_equal_area" and C["spherical"]:
         s0, c0 = _r(C["sinPhi0"]), _r(C["cosPhi0"])
@@ -512,17 +503,14 @@ def inv_lonlat_sql(proj: str, params: "ProjectionParams",
         lon = f"degrees(atan2({xs}, {ysr}) / {n} + {lam0})"
         return lon, lat
 
-    if proj == "lambert_conformal_conic":
+    if proj == "lambert_conformal_conic" and C["spherical"]:
         n, c = C["n"], C["c"]
         lam0 = _r(C.get("lambda0", 0.0))
         sgn = 1.0 if n >= 0 else -1.0
         ysr = f"({_r(C['rho0'])} - {ys})"
         rho = f"({_r(sgn)} * sqrt({xs}*{xs} + {ysr}*{ysr}))"
         log_ts = f"(ln({rho} / {_r(c)}) / {_r(n)})"
-        if C["spherical"]:
-            lat = f"degrees(-atan({sinh_s(log_ts)}))"
-        else:
-            lat = f"degrees({_phi2_sql(log_ts, C['ecc'])})"
+        lat = f"degrees(-atan({sinh_s(log_ts)}))"
         lon = f"degrees(atan2({xs} * {_r(sgn)}, {ysr} * {_r(sgn)}) / {_r(n)} + {lam0})"
         return lon, lat
 
@@ -974,4 +962,51 @@ def robinson_inverse_sql(base: str, keys: str, params: "ProjectionParams") -> st
         f"degrees((CASE WHEN ys >= 0 THEN 1.0 ELSE -1.0 END) * "
         f"(CASE WHEN phin >= 1.0 THEN pi()/2 "
         f"ELSE radians(5.0*idx + t) END)) AS ilat FROM {prev})")
+    return ", ".join(ctes)
+
+
+def phi2_inverse_sql(base: str, keys: str, proj: str,
+                     params: "ProjectionParams", iters: int = 6) -> str:
+    """Ellipsoidal conformal inverses (Mercator-e, LCC-e) as staged CTEs:
+    the ``helpers.phi2`` fixed-point φ ← −atan(sinh(L − e·atanh(e·sinφ)))
+    unrolled ``iters`` rounds with each round's intermediate as a COLUMN
+    (linear SQL size; the naive nested form measured 4.7 MB / 84 s of
+    DuckDB planning).  Contraction ~e² ⇒ 6 rounds ≪ 1e-12 rad.  Ends in
+    ``pfin`` with ``{keys}, ilon, ilat``."""
+    proj, p = resolve(proj, params)
+    C = _MODULES[proj].prepare(p)
+    assert not C["spherical"]
+    sc, x0, y0 = _r(C["scale"]), _r(C["x0"]), _r(C["y0"])
+    e = _r(C["ecc"])
+    k = keys
+    ctes = [
+        (f"f0 AS (SELECT {k}, ({base}.x - {x0}) / {sc} AS xs, "
+         f"({base}.y - {y0}) / {sc} AS ys FROM {base})"),
+    ]
+    if proj == "mercator":
+        ctes.append(f"f1 AS (SELECT {k}, degrees(xs) AS ilon, (-ys) AS lts FROM f0)")
+    elif proj == "lambert_conformal_conic":
+        n, c = C["n"], C["c"]
+        sgn = _r(1.0 if n >= 0 else -1.0)
+        lam0 = _r(C.get("lambda0", 0.0))
+        ctes += [
+            (f"f1a AS (SELECT {k}, xs, ({_r(C['rho0'])} - ys) AS ysr FROM f0)"),
+            (f"f1 AS (SELECT {k}, "
+             f"degrees(atan2(xs * {sgn}, ysr * {sgn}) / {_r(n)} + {lam0}) AS ilon, "
+             f"(ln({sgn} * sqrt(xs*xs + ysr*ysr) / {_r(c)}) / {_r(n)}) AS lts "
+             f"FROM f1a)"),
+        ]
+    else:
+        raise KeyError(f"phi2_inverse_sql: unsupported projection {proj!r}")
+    ctes.append(f"f2 AS (SELECT {k}, ilon, lts, (-atan({sinh_s('lts')})) AS phi FROM f1)")
+    prev = "f2"
+    for i in range(iters):
+        q = f"f2_{i}"
+        ctes += [
+            (f"{q}a AS (SELECT {k}, ilon, lts, "
+             f"(lts - {e} * {atanh_s(f'({e} * sin(phi))')}) AS g FROM {prev})"),
+            (f"{q} AS (SELECT {k}, ilon, lts, (-atan({sinh_s('g')})) AS phi FROM {q}a)"),
+        ]
+        prev = q
+    ctes.append(f"pfin AS (SELECT {k}, ilon, degrees(phi) AS ilat FROM {prev})")
     return ", ".join(ctes)

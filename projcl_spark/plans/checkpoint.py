@@ -58,11 +58,19 @@ class Pipeline:
                  catalog: str = "projcl", namespace: str = "checkpoints"):
         if table_format not in ("parquet", "iceberg"):
             raise ValueError(f"unknown table_format {table_format!r}")
-        if table_format == "iceberg" and not iceberg_available(spark):
-            raise RuntimeError(
-                "table_format='iceberg' needs the iceberg-spark-runtime jar "
-                "(spark.jars.packages=org.apache.iceberg:iceberg-spark-"
-                "runtime-4.0_2.13:<ver>) and a spark.sql.catalog config")
+        if table_format == "iceberg":
+            if not iceberg_available(spark):
+                raise RuntimeError(
+                    "table_format='iceberg' needs the iceberg-spark-runtime jar "
+                    "(spark.jars.packages=org.apache.iceberg:iceberg-spark-"
+                    "runtime-4.0_2.13:<ver>) and a spark.sql.catalog config")
+            if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+                raise RuntimeError(
+                    f"table_format='iceberg' needs spark.sql.catalog.{catalog} "
+                    "configured (SparkCatalog/REST/Hive/JDBC) — the jar alone "
+                    "is not enough")
+            # Hive/REST/JDBC catalogs do not auto-create namespaces
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
         self.spark = spark
         self.root = root
         self.run_id = run_id

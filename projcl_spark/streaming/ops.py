@@ -68,6 +68,10 @@ SESSION_SCHEMA = StructType([
 
 _STATE_SCHEMA = "start_ts double, last_ts double, n long"
 GAP_SECONDS = 1800.0
+# Event-time watermark for the sessionize stream: sessions time out when
+# the watermark (max event time − this delay) passes last_ts + GAP.
+SESSION_WATERMARK = "10 minutes"
+SESSION_WATERMARK_MS = 600_000
 
 
 def _sessionize_fn(
@@ -106,7 +110,12 @@ def _sessionize_fn(
         last_ts = t
         n += 1
     state.update((start_ts, last_ts, n))
-    state.setTimeoutDuration(int(GAP_SECONDS * 1000))
+    # Event-time timeout in EXACT integer ms (floor of the µs event time,
+    # matching Spark's ms-floored watermark) so a DuckDB oracle can
+    # replicate the fire condition bit-for-bit:
+    #   fires iff  last_us//1000 + GAP_ms  <  max_us//1000 − delay_ms
+    last_us = round(last_ts * 1e6)  # µs are exact in double up to 2^53
+    state.setTimeoutTimestamp(last_us // 1000 + int(GAP_SECONDS * 1000))
     if closed:
         yield pd.DataFrame({
             "user_id": [user_id] * len(closed),
@@ -122,16 +131,26 @@ def _sessionize_fn(
 def sessionize(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user inactivity sessions via
     ``applyInPandasWithState`` (Arrow-batched state machine, no per-row
-    Python beyond the grouped batches)."""
+    Python beyond the grouped batches).
+
+    EVENT-time timeout, not processing time: a wall-clock timeout makes an
+    ``availableNow`` drain spin "no new data but cleaning up state"
+    micro-batches for the full gap (30 real minutes) before it can
+    terminate, and which sessions get flushed depends on when the run
+    happens.  With an event-time timeout the watermark is data-derived, so
+    the emitted set is deterministic and the drain terminates as soon as
+    the final watermark is processed — the behavior a 100-TB backfill
+    replay needs."""
     return (
         stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", SESSION_WATERMARK)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_fn,
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
