@@ -100,12 +100,32 @@ def shingles_sql(toks: str, dialect: str, n: int = SHINGLE_N) -> str:
 
 
 def minhash_sql(sh: str, dialect: str, k: int = K_MINHASH) -> str:
-    """k-component MinHash signature (array<bigint>) of a shingle list."""
+    """k-component MinHash signature (array<bigint>) of a shingle list.
+
+    One md5 digest carries 128 bits, so components 2h and 2h+1 both come
+    from digest h via non-overlapping 60-bit hex chunks (chars 1-15 and
+    17-31) — HALVING the md5 count, the dominant cost of the signature
+    stage.  The per-(doc, h) digest list is bound once through a
+    single-element-array transform so the two chunk minima share it
+    (lambda variables bind evaluated values in both engines, not
+    re-expanded expressions)."""
+    assert k % 2 == 0, "paired-chunk minhash needs an even k"
     D = _d(dialect)
-    s = "STRING" if dialect == "spark" else "VARCHAR"
-    inner = _h60_of(f"CAST(j AS {s}) || ':' || s", "mh", dialect)
-    per_j = f"{D['MIN']}({D['T']}({sh}, s -> {inner}))"
-    return f"{D['T']}({_seq('0', str(k - 1), dialect)}, j -> {per_j})"
+    s = D["STR"]
+    digests = f"{D['T']}({sh}, s -> md5('mh:' || CAST(h AS {s}) || ':' || s))"
+    if dialect == "spark":
+        c1 = "CAST(conv(substr(d, 1, 15), 16, 10) AS BIGINT)"
+        c2 = "CAST(conv(substr(d, 17, 15), 16, 10) AS BIGINT)"
+        pair = (f"element_at(transform(array({digests}), ds -> "
+                f"array({D['MIN']}({D['T']}(ds, d -> {c1})), "
+                f"{D['MIN']}({D['T']}(ds, d -> {c2})))), 1)")
+    else:
+        c1 = "CAST(('0x' || substring(d, 1, 15)) AS BIGINT)"
+        c2 = "CAST(('0x' || substring(d, 17, 15)) AS BIGINT)"
+        pair = (f"(list_transform([{digests}], ds -> "
+                f"[{D['MIN']}({D['T']}(ds, d -> {c1})), "
+                f"{D['MIN']}({D['T']}(ds, d -> {c2}))]))[1]")
+    return f"flatten({D['T']}({_seq('0', str(k // 2 - 1), dialect)}, h -> {pair}))"
 
 
 def band_keys_sql(sig: str, dialect: str,
