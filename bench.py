@@ -110,6 +110,14 @@ def build_queries(spark, sf_dir):
         _force(pts.withColumn("s", fwd("lon", "lat")).select("l_orderkey", "s"))
         return n_pts
 
+    def q_datum_shift_codegen():
+        # same composed shift as pure JVM columns (whole-stage codegen)
+        from projcl_spark.functions import datum_shift_cols
+
+        df = datum_shift_cols(pts, Datum.WGS_84, Datum.NAD_27)
+        _force(df.select("l_orderkey", "dlon", "dlat"))
+        return n_pts
+
     def q_haversine_cross():
         nat = E._points_df(spark, sf_dir, "nation", ("n_nationkey",)).select(
             F.col("n_nationkey"), F.col("lon").alias("lon2"), F.col("lat").alias("lat2")
@@ -135,6 +143,36 @@ def build_queries(spark, sf_dir):
         nq = emb.count()
         _force(cosine_topk(emb.limit(64), emb, k=3))
         return 64 * nq
+
+    def q_ann_lsh():
+        # bucketed path: pairs scored = bucket collisions, not n_q × n
+        from projcl_spark.operators.ann import cosine_topk_lsh
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        nq = emb.count()
+        _force(cosine_topk_lsh(emb.limit(64), emb, k=3, n_bits=4,
+                               n_tables=2, dim=64))
+        return 64 * nq
+
+    def q_cell_salted():
+        # skew discipline end-to-end: hot-cell detect → salted two-phase agg
+        from projcl_spark.operators.skew import hot_cells, salted_repartition
+
+        df = pts.withColumn(
+            "cell_id", cell_id_col(F.col("lon"), F.col("lat"), 2))
+        # deterministic content-hash sample for hot detection: the key
+        # filter evaluates below the cell derivation, so the pre-pass pays
+        # one md5 per row instead of the full enrichment — a wash for this
+        # 2-md5 synthetic derive, a big win when the derivation is a
+        # pandas-UDF projection chain (full-pass detection stays in the
+        # gate query, where the oracle re-derives the hot set exactly)
+        hot = hot_cells(df, threshold_ratio=1.0, sample_key="l_orderkey")
+        salted = salted_repartition(df, "cell_id", hot, 16,
+                                    key_col="l_orderkey")
+        partial = salted.groupBy("cell_id", "_salt").agg(
+            F.count("*").alias("_n"))
+        _force(partial.groupBy("cell_id").agg(F.sum("_n").alias("n")))
+        return n_pts
 
     def q_warp_bilinear():
         _force(E._q_warp_sample("bilinear")(spark, sf_dir))
@@ -162,10 +200,13 @@ def build_queries(spark, sf_dir):
         "pip_join": q_pip_join,
         "knn": q_knn,
         "datum_shift": q_datum_shift,
+        "datum_shift_codegen": q_datum_shift_codegen,
         "haversine_cross": q_haversine_cross,
         "span_pipeline": q_span_pipeline,
         "tile_pyramid": q_tile_pyramid,
         "ann": q_ann,
+        "ann_lsh": q_ann_lsh,
+        "cell_salted": q_cell_salted,
         "warp_bilinear": q_warp_bilinear,
         "warp_large": q_warp_large,
         "dedup_minhash": q_dedup_minhash,

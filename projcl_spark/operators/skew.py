@@ -26,19 +26,50 @@ from pyspark.sql import functions as F
 
 
 def cell_histogram(df: DataFrame, cell_col: str = "cell_id",
-                   fraction: float = 1.0) -> DataFrame:
-    """(cell_id, n) frequency table, optionally over a sample."""
-    base = df if fraction >= 1.0 else df.sample(fraction=fraction, seed=42)
+                   fraction: float = 1.0, sample_key: str | None = None,
+                   sample_mod: int = 100) -> DataFrame:
+    """(cell_id, n) frequency table, optionally over a sample.
+
+    Prefer ``sample_key`` (a stable row-id column): sampling is then a
+    DETERMINISTIC content filter (md5 of the key, keep 1/``sample_mod``) —
+    partition-layout independent, unlike ``df.sample`` whose row choice
+    changes with file splits.  Because the filter references only the key
+    column, Catalyst pushes it below expensive derived columns (e.g. the
+    md5 lon/lat derivation feeding ``cell_col``), so hot-key detection
+    costs ~1/mod of a full pass instead of a second full derivation."""
+    if sample_key is not None:
+        h = (
+            F.conv(F.substring(F.md5(F.concat(
+                F.lit("hs:"), F.col(sample_key).cast("string"))), 1, 15),
+                16, 10).cast("long") % sample_mod
+        )
+        base = df.filter(h == 0)
+    elif fraction < 1.0:
+        base = df.sample(fraction=fraction, seed=42)
+    else:
+        base = df
     return base.groupBy(cell_col).agg(F.count("*").alias("n"))
 
 
 def hot_cells(df: DataFrame, cell_col: str = "cell_id",
-              threshold_ratio: float = 4.0, fraction: float = 1.0) -> list[int]:
-    """Cells whose frequency exceeds ``threshold_ratio`` × the mean."""
-    hist = cell_histogram(df, cell_col, fraction)
-    mean = hist.agg(F.avg("n")).first()[0] or 0.0
-    rows = hist.filter(F.col("n") > threshold_ratio * mean).collect()
-    return [r[cell_col] for r in rows]
+              threshold_ratio: float = 4.0, fraction: float = 1.0,
+              sample_key: str | None = None,
+              sample_mod: int = 100) -> list[int]:
+    """Cells whose frequency exceeds ``threshold_ratio`` × the mean.
+
+    The ratio test is scale-free, so it gives the same answer (in
+    expectation) on the ``sample_key`` sample as on the full table —
+    detection over 10^12 rows costs one cheap filtered pre-pass.
+
+    ONE Spark action: the histogram is bounded by the cell-id cardinality
+    at the (coarse) detection resolution, so it collects whole and the
+    mean/threshold run driver-side — a mean-then-filter pair of actions
+    would recompute the upstream pipeline twice."""
+    hist = cell_histogram(df, cell_col, fraction, sample_key, sample_mod).collect()
+    if not hist:
+        return []
+    mean = sum(r["n"] for r in hist) / len(hist)
+    return [r[cell_col] for r in hist if r["n"] > threshold_ratio * mean]
 
 
 def salted_repartition(

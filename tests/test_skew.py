@@ -60,3 +60,17 @@ def test_skew_aware_agg_counts_exact(hotspot_pts):
     j = got.join(exact.withColumnRenamed("n_points", "n_exact"), "cell_id")
     assert j.filter(F.col("n_points") != F.col("n_exact")).count() == 0
     assert got.count() == exact.count()
+
+
+def test_sampled_hot_detection_layout_independent(hotspot_pts):
+    """Content-hash sampling (sample_key) must pick the same rows — and so
+    the same hot set — regardless of partition layout; df.sample would not."""
+    a = hot_cells(hotspot_pts, threshold_ratio=1.0,
+                  sample_key="doc_id", sample_mod=3)
+    b = hot_cells(hotspot_pts.repartition(7), threshold_ratio=1.0,
+                  sample_key="doc_id", sample_mod=3)
+    assert sorted(a) == sorted(b)
+    # the hotspot generator piles ~50% of rows into 3 cells — even a 1/3
+    # sample must see them
+    full = set(hot_cells(hotspot_pts, threshold_ratio=1.0))
+    assert set(a) & full
