@@ -63,15 +63,24 @@ def _input_tag(sf_dir: str, table: str) -> str:
     return hashlib.md5(sig.encode()).hexdigest()[:12]
 
 
-def _scratch_path(spark: SparkSession, name: str) -> str:
+def _scratch_path(spark: SparkSession, name: str, tag: str | None = None) -> str:
     """Scratch location for materialized intermediate stages.  Set
     `spark.projcl.scratchDir` to a DRIVER-VISIBLE POSIX path shared with
     executors (NFS/FUSE mount of the cluster store); locally it falls back
     to the driver tempdir.  Object-store URIs (hdfs://, s3://) are NOT
     supported here: the freshness checks (`os.path.exists(_SUCCESS)`) and
-    the checkpoint `_OK` markers are os-level by design — a URI would make
-    them silently test a local path while data lands remotely.  (VERDICT
-    r1 item 6: no hardcoded tempfile path in a query hot path.)"""
+    the checkpoint `_OK` markers are os-level by design — Spark-side
+    reads/writes of these paths go through `_fs_url` so the data lands on
+    the same mounted filesystem even when fs.defaultFS is an object
+    store.  (VERDICT r1 item 6: no hardcoded tempfile path in a query hot
+    path.)
+
+    With ``tag`` (an `_input_tag` fingerprint): the dir is
+    ``{name}_{tag}`` and STALE siblings ``{name}_*`` from earlier
+    fingerprints of the SAME name are deleted — a regenerated testdata
+    set would otherwise leak one materialized copy per regeneration.
+    Callers must make ``name`` specific to the input (sf dir included) so
+    concurrent runs over different inputs never share a prefix."""
     base = spark.conf.get("spark.projcl.scratchDir", None)
     if base and "://" in base:
         raise ValueError(
@@ -82,7 +91,23 @@ def _scratch_path(spark: SparkSession, name: str) -> str:
         import tempfile
 
         base = tempfile.gettempdir()
-    return os.path.join(base, name)
+    if tag is None:
+        return os.path.join(base, name)
+    import glob
+    import shutil
+
+    current = os.path.join(base, f"{name}_{tag}")
+    for stale in glob.glob(os.path.join(base, f"{name}_*")):
+        if stale != current:
+            shutil.rmtree(stale, ignore_errors=True)
+    return current
+
+
+def _fs_url(path: str) -> str:
+    """Explicit file: URI for Spark reads/writes of scratch paths, so the
+    data lands on the filesystem the os.path freshness/marker checks
+    inspect even when the cluster's fs.defaultFS is an object store."""
+    return path if "://" in path else f"file://{path}"
 
 
 def _key(table: str, cols: tuple[str, ...], dialect: str) -> str:
@@ -1394,14 +1419,15 @@ def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projcl_spark.streaming.ops import stream_cell_counts
 
-    tag = _input_tag(sf_dir, "events")
-    d = _scratch_path(spark, f"projcl_stream_in_{tag}")
+    sfb = os.path.basename(sf_dir.rstrip("/"))
+    d = _scratch_path(spark, f"projcl_stream_in_{sfb}",
+                      tag=_input_tag(sf_dir, "events"))
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
             "overwrite"
-        ).parquet(d)
-    schema = spark.read.parquet(d).schema
-    stream = spark.readStream.schema(schema).parquet(d)
+        ).parquet(_fs_url(d))
+    schema = spark.read.parquet(_fs_url(d)).schema
+    stream = spark.readStream.schema(schema).parquet(_fs_url(d))
     name = f"stream_cells_{uuid.uuid4().hex[:8]}"
     q = (
         stream_cell_counts(stream).writeStream.format("memory").queryName(name)
@@ -1441,15 +1467,16 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projcl_spark.streaming.ops import sessionize
 
-    tag = _input_tag(sf_dir, "events")
-    d = _scratch_path(spark, f"projcl_stream_sess_in_{tag}")
+    sfb = os.path.basename(sf_dir.rstrip("/"))
+    d = _scratch_path(spark, f"projcl_stream_sess_in_{sfb}",
+                      tag=_input_tag(sf_dir, "events"))
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         # single file → single micro-batch → per-user events arrive together
         spark.read.parquet(_t(sf_dir, "events")).repartition(1).write.mode(
             "overwrite"
-        ).parquet(d)
-    schema = spark.read.parquet(d).schema
-    stream = spark.readStream.schema(schema).parquet(d)
+        ).parquet(_fs_url(d))
+    schema = spark.read.parquet(_fs_url(d)).schema
+    stream = spark.readStream.schema(schema).parquet(_fs_url(d))
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     q = (
         sessionize(stream).writeStream.format("memory").queryName(name)
@@ -1466,27 +1493,30 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o_stream_sessions() -> str:
     """Emitted set = gap-closed sessions (every session but each user's
-    last) UNION sessions fired by the final event-time watermark.  The
-    timeout condition replicates the engine's integer-ms arithmetic
-    exactly: Spark floors µs event times to ms for the watermark, the
-    engine floors last-event µs to ms for setTimeoutTimestamp, and the
-    fire test is strict `timeout < watermark`."""
+    last) UNION sessions fired by the final event-time watermark.  ALL
+    arithmetic is integer µs/ms, replicating the engine exactly: the gap
+    test is µs integers (float-second epochs differ in the last ulp
+    between pandas and DuckDB), Spark floors µs event times to ms for the
+    watermark, the engine floors last-event µs to ms for
+    setTimeoutTimestamp, and the fire test is strict
+    `timeout < watermark`."""
     from projcl_spark.streaming.ops import GAP_SECONDS, SESSION_WATERMARK_MS
 
+    gap_us = int(GAP_SECONDS * 1e6)
     gap_ms = int(GAP_SECONDS * 1000)
     return f"""
-WITH e AS (SELECT user_id, epoch(ts) AS es, epoch_us(ts) AS eu FROM events),
-g AS (SELECT user_id, es, eu,
-        CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
-                  > {GAP_SECONDS:.1f} THEN 1 ELSE 0 END AS new_s
+WITH e AS (SELECT user_id, epoch_us(ts) AS eu FROM events),
+g AS (SELECT user_id, eu,
+        CASE WHEN eu - lag(eu) OVER (PARTITION BY user_id ORDER BY eu)
+                  > {gap_us} THEN 1 ELSE 0 END AS new_s
       FROM e),
-s AS (SELECT user_id, es, eu,
-        sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+s AS (SELECT user_id, eu,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY eu
                          ROWS UNBOUNDED PRECEDING) AS sess_no
       FROM g),
 agg AS (SELECT user_id, sess_no,
-          CAST(floor(min(es)) AS BIGINT) AS sess_start,
-          CAST(floor(max(es)) AS BIGINT) AS sess_end,
+          CAST(min(eu) // 1000000 AS BIGINT) AS sess_start,
+          CAST(max(eu) // 1000000 AS BIGINT) AS sess_end,
           max(eu) AS last_us,
           count(*) AS n_events
         FROM s GROUP BY 1, 2),
@@ -1567,8 +1597,9 @@ def q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs: a pre-existing checkpoint resumes and serves the same lineage."""
     from projcl_spark.plans.checkpoint import Pipeline
 
-    tag = _input_tag(sf_dir, "documents")
-    root = _scratch_path(spark, f"projcl_ckpt_gate_{tag}")
+    sfb = os.path.basename(sf_dir.rstrip("/"))
+    root = _scratch_path(spark, f"projcl_ckpt_gate_{sfb}",
+                         tag=_input_tag(sf_dir, "documents"))
     p = Pipeline(spark, root, "gate")
     p.stage(
         "docs_filtered",
@@ -1744,10 +1775,11 @@ def _q_text(name: str) -> Callable:
             spark.read.parquet(_t(sf_dir, "documents")).repartition(
                 spark.sparkContext.defaultParallelism * 2
             ).createOrReplaceTempView("documents")
-            tag = _input_tag(sf_dir, "documents")
-            d = _scratch_path(spark, f"projcl_mh_sig_{tag}")
-            spark.sql(sig_sql).write.mode("overwrite").parquet(d)
-            spark.read.parquet(d).createOrReplaceTempView("minhash_sig")
+            sfb = os.path.basename(sf_dir.rstrip("/"))
+            d = _scratch_path(spark, f"projcl_mh_sig_{sfb}",
+                              tag=_input_tag(sf_dir, "documents"))
+            spark.sql(sig_sql).write.mode("overwrite").parquet(_fs_url(d))
+            spark.read.parquet(_fs_url(d)).createOrReplaceTempView("minhash_sig")
             return spark.sql(pairs_sql.replace("__SIG__", "minhash_sig"))
 
         return q_mh

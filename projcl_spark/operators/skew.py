@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def det_hash_mod(col, salt: str, mod: int):
+    """Deterministic uniform value in [0, mod) from a row key: md5 →
+    60-bit bigint → mod.  The ONE definition behind both the sampling
+    filter (salt ``hs:``) and the repartition salt (salt ``salt:``) —
+    the DuckDB oracle transliterates the same formula, so these must
+    never drift apart."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}:"), col.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % mod
+    )
+
+
 def cell_histogram(df: DataFrame, cell_col: str = "cell_id",
                    fraction: float = 1.0, sample_key: str | None = None,
                    sample_mod: int = 100) -> DataFrame:
@@ -34,16 +47,11 @@ def cell_histogram(df: DataFrame, cell_col: str = "cell_id",
     DETERMINISTIC content filter (md5 of the key, keep 1/``sample_mod``) —
     partition-layout independent, unlike ``df.sample`` whose row choice
     changes with file splits.  Because the filter references only the key
-    column, Catalyst pushes it below expensive derived columns (e.g. the
-    md5 lon/lat derivation feeding ``cell_col``), so hot-key detection
-    costs ~1/mod of a full pass instead of a second full derivation."""
+    column, Catalyst evaluates it below expensive derived columns (e.g. a
+    pandas-UDF projection feeding ``cell_col``), so hot-key detection
+    costs one cheap hash per row instead of a second full derivation."""
     if sample_key is not None:
-        h = (
-            F.conv(F.substring(F.md5(F.concat(
-                F.lit("hs:"), F.col(sample_key).cast("string"))), 1, 15),
-                16, 10).cast("long") % sample_mod
-        )
-        base = df.filter(h == 0)
+        base = df.filter(det_hash_mod(F.col(sample_key), "hs", sample_mod) == 0)
     elif fraction < 1.0:
         base = df.sample(fraction=fraction, seed=42)
     else:
@@ -61,15 +69,18 @@ def hot_cells(df: DataFrame, cell_col: str = "cell_id",
     expectation) on the ``sample_key`` sample as on the full table —
     detection over 10^12 rows costs one cheap filtered pre-pass.
 
-    ONE Spark action: the histogram is bounded by the cell-id cardinality
-    at the (coarse) detection resolution, so it collects whole and the
-    mean/threshold run driver-side — a mean-then-filter pair of actions
-    would recompute the upstream pipeline twice."""
-    hist = cell_histogram(df, cell_col, fraction, sample_key, sample_mod).collect()
-    if not hist:
-        return []
-    mean = sum(r["n"] for r in hist) / len(hist)
-    return [r[cell_col] for r in hist if r["n"] > threshold_ratio * mean]
+    The upstream pipeline runs ONCE: the (small) histogram is persisted,
+    the mean computed over it, and only rows ABOVE threshold are
+    collected — the driver never holds the full histogram, which at a
+    fine detection resolution can be millions of cells."""
+    hist = cell_histogram(df, cell_col, fraction, sample_key, sample_mod)
+    hist.persist()
+    try:
+        mean = hist.agg(F.avg("n")).first()[0] or 0.0
+        rows = hist.filter(F.col("n") > threshold_ratio * mean).collect()
+        return [r[cell_col] for r in rows]
+    finally:
+        hist.unpersist()
 
 
 def salted_repartition(
@@ -90,10 +101,7 @@ def salted_repartition(
     if key_col is None:
         raise ValueError("key_col (a stable row id) is required for a deterministic salt")
     hot = hot or []
-    salt = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("salt:"), F.col(key_col).cast("string"))), 1, 15), 16, 10)
-        .cast("long") % n_salts
-    ).cast("int")
+    salt = det_hash_mod(F.col(key_col), "salt", n_salts).cast("int")
     out = df.withColumn(
         "_salt",
         F.when(F.col(cell_col).isin(hot), salt).otherwise(F.lit(0)),

@@ -109,7 +109,8 @@ def minhash_sql(sh: str, dialect: str, k: int = K_MINHASH) -> str:
     single-element-array transform so the two chunk minima share it
     (lambda variables bind evaluated values in both engines, not
     re-expanded expressions)."""
-    assert k % 2 == 0, "paired-chunk minhash needs an even k"
+    if k % 2 != 0:  # not assert: python -O would silently yield k-1 components
+        raise ValueError(f"paired-chunk minhash needs an even k (got {k})")
     D = _d(dialect)
     s = D["STR"]
     digests = f"{D['T']}({sh}, s -> md5('mh:' || CAST(h AS {s}) || ':' || s))"

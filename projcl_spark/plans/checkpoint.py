@@ -98,16 +98,24 @@ class Pipeline:
         part = rel.replace(os.sep, "_").replace(".", "_").replace("-", "_")
         return f"{self.catalog}.{self.namespace}.{part}"
 
+    @staticmethod
+    def _fs_url(path: str) -> str:
+        """Parquet data must land on the same mounted filesystem the
+        os-level ``_OK``/lineage checks inspect — qualify with file: so a
+        cluster whose fs.defaultFS is an object store can't silently
+        split the two."""
+        return path if "://" in path else f"file://{path}"
+
     def _write(self, df: DataFrame, path: str) -> None:
         if self.table_format == "iceberg":
             df.writeTo(self._table(path)).using("iceberg").createOrReplace()
         else:
-            df.write.mode("overwrite").parquet(path)
+            df.write.mode("overwrite").parquet(self._fs_url(path))
 
     def _read(self, path: str) -> DataFrame:
         if self.table_format == "iceberg":
             return self.spark.read.table(self._table(path))
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(self._fs_url(path))
 
     # ------------------------------------------------------------ stages ---
 

@@ -66,7 +66,8 @@ SESSION_SCHEMA = StructType([
     StructField("status", StringType()),
 ])
 
-_STATE_SCHEMA = "start_ts double, last_ts double, n long"
+# epochs in integer MICROSECONDS carried in doubles (exact below 2^53)
+_STATE_SCHEMA = "start_us double, last_us double, n long"
 GAP_SECONDS = 1800.0
 # Event-time watermark for the sessionize stream: sessions time out when
 # the watermark (max event time − this delay) passes last_ts + GAP.
@@ -78,54 +79,54 @@ def _sessionize_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user session assembly: a session closes after a 30-min gap (or
-    on state timeout).  Emits closed sessions; the open one stays in state."""
+    on state timeout).  Emits closed sessions; the open one stays in state.
+
+    ALL arithmetic is integer MICROSECONDS (stored in the double state
+    columns, where µs epochs < 2^53 are exact): float-second epochs differ
+    in the last ulp between engines (pandas divides ns, DuckDB divides
+    µs), which could flip a gap test whose true value is exactly GAP —
+    integer µs make every split/timeout decision oracle-replicable."""
     (user_id,) = key
-    if state.hasTimedOut:
-        start_ts, last_ts, n = state.get
-        state.remove()
+    gap_us = int(GAP_SECONDS * 1e6)
+
+    def _emit(rows, status):
         yield pd.DataFrame({
-            "user_id": [user_id],
-            "session_start": [pd.Timestamp(round(start_ts * 1e6), unit="us")],
-            "session_end": [pd.Timestamp(round(last_ts * 1e6), unit="us")],
-            "n_events": [n],
-            "status": ["timeout"],
+            "user_id": [user_id] * len(rows),
+            "session_start": [pd.Timestamp(int(s), unit="us") for s, _, _ in rows],
+            "session_end": [pd.Timestamp(int(e), unit="us") for _, e, _ in rows],
+            "n_events": [n_ for _, _, n_ in rows],
+            "status": [status] * len(rows),
         })
+
+    if state.hasTimedOut:
+        row = state.get
+        state.remove()
+        yield from _emit([row], "timeout")
         return
 
     ts = sorted(
-        t.timestamp()
-        for pdf in pdfs
-        for t in pd.to_datetime(pdf["ts"])
+        int(u) for pdf in pdfs
+        for u in pd.to_datetime(pdf["ts"]).astype("int64") // 1000
     )
     if state.exists:
-        start_ts, last_ts, n = state.get
+        start_us, last_us, n = (int(v) for v in state.get)
     else:
-        start_ts, last_ts, n = ts[0], ts[0], 0
+        start_us, last_us, n = ts[0], ts[0], 0
 
     closed = []
     for t in ts:
-        if t - last_ts > GAP_SECONDS:
-            closed.append((start_ts, last_ts, n))
-            start_ts, n = t, 0
-        last_ts = t
+        if t - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, n = t, 0
+        last_us = t
         n += 1
-    state.update((start_ts, last_ts, n))
+    state.update((float(start_us), float(last_us), n))
     # Event-time timeout in EXACT integer ms (floor of the µs event time,
-    # matching Spark's ms-floored watermark) so a DuckDB oracle can
-    # replicate the fire condition bit-for-bit:
+    # matching Spark's ms-floored watermark):
     #   fires iff  last_us//1000 + GAP_ms  <  max_us//1000 − delay_ms
-    last_us = round(last_ts * 1e6)  # µs are exact in double up to 2^53
     state.setTimeoutTimestamp(last_us // 1000 + int(GAP_SECONDS * 1000))
     if closed:
-        yield pd.DataFrame({
-            "user_id": [user_id] * len(closed),
-            # float-seconds carry sub-µs noise; round to exact µs or the
-            # Arrow ns→us cast refuses the batch
-            "session_start": [pd.Timestamp(round(s * 1e6), unit="us") for s, _, _ in closed],
-            "session_end": [pd.Timestamp(round(e * 1e6), unit="us") for _, e, _ in closed],
-            "n_events": [n_ for _, _, n_ in closed],
-            "status": ["closed"] * len(closed),
-        })
+        yield from _emit(closed, "closed")
 
 
 def sessionize(stream: DataFrame) -> DataFrame:
@@ -161,10 +162,13 @@ def sessionize_batch_oracle(df: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    gaps = df.select("user_id", "ts").withColumn(
+    ts = F.col("ts").cast("timestamp")
+    gaps = df.select("user_id", ts.alias("ts")).withColumn(
         "new_session",
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-         > GAP_SECONDS).cast("int"),
+        # integer-µs gap, same arithmetic as _sessionize_fn (whole-second
+        # unix_timestamp would misjudge sub-second gap boundaries)
+        (F.unix_micros(ts) - F.unix_micros(F.lag("ts").over(w))
+         > int(GAP_SECONDS * 1e6)).cast("int"),
     ).withColumn(
         "session_no",
         F.sum(F.coalesce("new_session", F.lit(0))).over(

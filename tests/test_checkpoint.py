@@ -127,6 +127,11 @@ def test_iceberg_seam(spark, tmp_path):
             Pipeline(spark, str(tmp_path), "run_ice", table_format="iceberg")
         pytest.skip("iceberg-spark runtime jar not in this container; "
                     "seam verified to reject cleanly")
+    if spark.conf.get("spark.sql.catalog.projcl", None) is None:
+        with pytest.raises(RuntimeError, match="spark.sql.catalog"):
+            Pipeline(spark, str(tmp_path), "run_ice", table_format="iceberg")
+        pytest.skip("iceberg jar present but no spark.sql.catalog.projcl "
+                    "configured; catalog guard verified to reject cleanly")
     p = Pipeline(spark, str(tmp_path), "run_ice", table_format="iceberg")
     out = p.stage("s1", lambda: spark.range(10).withColumnRenamed("id", "v"))
     assert out.count() == 10
