@@ -1413,8 +1413,9 @@ def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-min tumbling per-cell counts (availableNow), append mode.
 
     Append-mode emission is deterministic: exactly the windows whose end is
-    ≤ the final watermark (max event time − 10 min) — which is what the
-    DuckDB oracle computes in plain SQL (verified stable across runs)."""
+    ≤ the final watermark (max event time ms-floored − 10 min; the
+    NON-strict ≤ at end == watermark was verified with a boundary probe)
+    — the DuckDB oracle computes the same condition in integer ms."""
     import uuid
 
     from projcl_spark.streaming.ops import stream_cell_counts
@@ -1451,7 +1452,8 @@ WITH pts AS (
 cells AS (SELECT CAST(floor(es / 300) * 300 AS BIGINT) AS win_s, {cell} AS cell_id FROM pts),
 agg AS (SELECT win_s, cell_id, count(*) AS n FROM cells GROUP BY 1, 2)
 SELECT win_s, cell_id, n FROM agg
-WHERE win_s + 300 <= (SELECT max(es) FROM pts) - 600"""
+WHERE (win_s + 300) * 1000 <=
+      (SELECT max(epoch_us(ts)) // 1000 FROM events) - 600000"""
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
