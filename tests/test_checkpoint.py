@@ -3,6 +3,7 @@ per-partition lineage rows, metrics — the north rule's persistence story."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -139,3 +140,32 @@ def test_iceberg_seam(spark, tmp_path):
     p2 = Pipeline(spark, str(tmp_path), "run_ice", table_format="iceberg")
     assert p2.stage("s1", lambda: spark.range(0)).count() == 10
     assert p2.resumed == ["s1"]
+
+
+def test_scratch_tag_cleanup_and_isolation(spark, tmp_path):
+    """Tagged scratch dirs: a new input fingerprint replaces stale
+    siblings of the SAME name; other names (other sf dirs) are untouched;
+    untagged paths never delete anything."""
+    import __spark_entry__ as E
+
+    old = spark.conf.get("spark.projcl.scratchDir", None)
+    spark.conf.set("spark.projcl.scratchDir", str(tmp_path))
+    try:
+        a1 = E._scratch_path(spark, "x_sf1", tag="aaa")
+        os.makedirs(a1)
+        b1 = E._scratch_path(spark, "x_sf2", tag="ccc")
+        os.makedirs(b1)
+        a2 = E._scratch_path(spark, "x_sf1", tag="bbb")  # new fingerprint
+        assert not os.path.exists(a1), "stale same-name tag must be removed"
+        assert os.path.exists(b1), "other names must be untouched"
+        assert a2.endswith("x_sf1_bbb")
+        plain = E._scratch_path(spark, "x_sf1")  # untagged: no cleanup
+        assert os.path.exists(b1)
+        assert plain == str(tmp_path / "x_sf1")
+        assert E._fs_url(plain).startswith("file://")
+        assert E._fs_url("hdfs://h/p") == "hdfs://h/p"
+    finally:
+        if old is None:
+            spark.conf.unset("spark.projcl.scratchDir")
+        else:
+            spark.conf.set("spark.projcl.scratchDir", old)
