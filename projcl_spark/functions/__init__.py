@@ -73,6 +73,16 @@ def datum_shift_cols(df, src, dst):
     appends ``dlon``/``dlat``."""
     from .. import oracle as _o
 
+    # stage names are shared with the DuckDB oracle CTEs, so they cannot
+    # be namespaced away — reject collisions up front instead of letting
+    # the second stage die on an ambiguous-reference AnalysisException
+    # (or drop() silently eat a user column at the end)
+    reserved = {"ex", "ey", "ez", "tx", "ty", "tz", "dlon", "dlat"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"datum_shift_cols reserves intermediate column names "
+            f"{sorted(reserved)}; rename input columns {sorted(clash)}")
     out = df
     for _, stage in _o.datum_shift_stages_sql(src, dst):
         out = out.select(

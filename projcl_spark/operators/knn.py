@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import haversine_col, vincenty_udf
+from ..functions import EARTH_RADIUS_SPHERE, haversine_col, vincenty_udf
 from ..index.cells import cell_id_col, cell_xy_col, ring_cells_col
 
 
@@ -63,7 +63,7 @@ def knn_join(
     )
 
 
-R_SPHERE = 6370997.0  # authalic sphere major axis (projcl_spheroid.c:20)
+R_SPHERE = EARTH_RADIUS_SPHERE  # authalic sphere radius — single source of truth
 
 
 def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
@@ -79,7 +79,15 @@ def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
     always-positive Δφ term of the haversine can only shrink it).  The
     previous linearized bound Δλ·R·cos φ* OVERestimated (asin ≤ its
     argument scaled), which could falsely certify an inexact result.
-    Edges clipped at the map boundary are unbounded (no escape that way).
+
+    Windows that TOUCH a map edge get safe radius 0 (→ the query always
+    escalates to brute force): near a pole the closest outside point can
+    lie ACROSS the pole, and at ±180° it can lie across the antimeridian
+    wrap — neither is bounded by these edge distances, and an earlier
+    "edge ⇒ no escape that way (∞)" treatment silently certified WRONG
+    results there (it also drove cos through sqrt(negative)=NaN, which
+    Spark's greatest/least clamp launders into an asin(1) bound).  At
+    res ≥ 4 edge-adjacent queries are a vanishing fraction of the grid.
     """
     import math
 
@@ -91,8 +99,7 @@ def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
     lat_lo = (iy - ring) * w_lat - 90.0
     lat_hi = (iy + ring + 1) * w_lat - 90.0
     deg = math.pi / 180.0 * R_SPHERE
-    inf = F.lit(float("inf"))
-    # minimum cosine of latitude anywhere in the window's lat band
+    # inside the edge guard |lat_lo|,|lat_hi| ≤ 90 → cosines ≥ 0, no NaN
     cos_min = F.least(
         F.cos(F.radians(F.greatest(F.abs(lat_lo), F.abs(lat_hi)))), F.cos(F.radians(q_lat))
     )
@@ -102,11 +109,17 @@ def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
         arg = F.sqrt(F.cos(F.radians(q_lat)) * cos_min) * F.sin(half)
         return 2.0 * R_SPHERE * F.asin(F.least(F.greatest(arg, F.lit(0.0)), F.lit(1.0)))
 
-    d_n = F.when(lat_hi >= 90.0, inf).otherwise((lat_hi - q_lat) * deg)
-    d_s = F.when(lat_lo <= -90.0, inf).otherwise((q_lat - lat_lo) * deg)
-    d_e = F.when(lon_hi >= 180.0, inf).otherwise(lon_edge(lon_hi - q_lon))
-    d_w = F.when(lon_lo <= -180.0, inf).otherwise(lon_edge(q_lon - lon_lo))
-    return F.least(d_n, d_s, d_e, d_w)
+    touches_edge = (
+        (lat_hi >= 90.0) | (lat_lo <= -90.0)
+        | (lon_hi >= 180.0) | (lon_lo <= -180.0)
+    )
+    d_n = (lat_hi - q_lat) * deg
+    d_s = (q_lat - lat_lo) * deg
+    d_e = lon_edge(lon_hi - q_lon)
+    d_w = lon_edge(q_lon - lon_lo)
+    return F.when(touches_edge, F.lit(0.0)).otherwise(
+        F.least(d_n, d_s, d_e, d_w)
+    )
 
 
 def knn_join_exact(
@@ -150,6 +163,11 @@ def knn_join_exact(
     good = pruned.join(
         bad.select(query_id), query_id, "left_anti"
     )
+    # the cache served the certificate's dual consumption (per-query agg +
+    # escalation count); release it now or every call leaks cached blocks
+    # for the session's lifetime.  The returned plan recomputes the pruned
+    # join at most once when the caller materializes it.
+    pruned.unpersist(blocking=False)
     if bad_rows == 0:
         return good
     rescued = knn_bruteforce(bad, points, k, metric, query_id, point_id)

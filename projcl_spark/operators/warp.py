@@ -51,7 +51,10 @@ def grid_df(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Dense point grid (reference op #18, ``kernel/pl_warp.opencl:4-17``):
-    x = origin_x + size_x·col/(width−1), row-major (gi=row, gj=col)."""
+    x = origin_x + size_x·col/(width−1), row-major (gi=row, gj=col).
+
+    Degenerate 1-pixel axes collapse to the origin (linspace semantics);
+    the unguarded division gave 0/0 = NaN for every row."""
     kw = {"numPartitions": num_partitions} if num_partitions else {}
     base = spark.range(0, width * height, 1, **kw).select(
         F.floor(F.col("id") / width).cast("int").alias("gi"),
@@ -59,8 +62,8 @@ def grid_df(
     )
     return base.select(
         "gi", "gj",
-        (F.lit(origin_x) + F.lit(size_x) * F.col("gj") / (width - 1)).alias("x"),
-        (F.lit(origin_y) + F.lit(size_y) * F.col("gi") / (height - 1)).alias("y"),
+        (F.lit(origin_x) + F.lit(size_x) * F.col("gj") / max(width - 1, 1)).alias("x"),
+        (F.lit(origin_y) + F.lit(size_y) * F.col("gi") / max(height - 1, 1)).alias("y"),
     )
 
 

@@ -284,7 +284,12 @@ def fwd_xy_sql(proj: str, params: ProjectionParams,
             y_g = f"(({ml} - {_r(C['ml0'])}) + {ms} * sin({E}) * tan(0.5 * {E}))"
             x_eq = f"({lam} * {cp} / sqrt(1.0 - {_r(es)} * {sp} * {sp}))"
             y_eq = f"({ml} - {_r(C['ml0'])})"
-        eq = f"(abs({sp}) < 1e-10)"
+        # SAME branch epsilon as the numpy forward (proj/polyconic._EQ_EPS)
+        # or the codegen/oracle path and the pandas-UDF path diverge for
+        # near-equatorial latitudes
+        from .proj import polyconic as _poly
+
+        eq = f"(abs({sp}) < {_r(_poly._EQ_EPS)})"
         x = f"({x0} + {sc} * (CASE WHEN {eq} THEN {x_eq} ELSE {x_g} END))"
         y = f"({y0} + {sc} * (CASE WHEN {eq} THEN {y_eq} ELSE {y_g} END))"
         return x, y

@@ -182,6 +182,11 @@ class Pipeline:
             for s in self._stages
             if self.is_done(s)
         ]
+        if not paths:  # inspecting a run that crashed before any commit
+            return self.spark.createDataFrame(
+                [], "run_id string, stage string, partition_id int, "
+                    "n_rows long, wall_ms int, inputs string, "
+                    "finished_at timestamp")
         dfs = [self._read(p) for p in paths]
         out = dfs[0]
         for d in dfs[1:]:

@@ -81,11 +81,12 @@ def _dv(coef, z):
 
 
 def prepare(p: ProjectionParams) -> dict:
-    info = p.info()  # reference forces the authalic sphere (projcl_run.c:573)
+    # reference forces the authalic sphere regardless of the caller's
+    # spheroid (projcl_run.c:573)
     from ..core.spheroid import Spheroid, get_spheroid_info
 
     sphere = get_spheroid_info(Spheroid.SPHERE)
-    return {"scale": p.scale * sphere.major_axis, "x0": p.x0, "y0": p.y0, "_": info}
+    return {"scale": p.scale * sphere.major_axis, "x0": p.x0, "y0": p.y0}
 
 
 def forward(lon, lat, C):

@@ -212,3 +212,38 @@ def test_pip_join_shuffle_path_matches_broadcast(spark):
         "doc_id", "offset", "poly_id"
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_knn_exact_at_pole_and_antimeridian(spark):
+    """Map-edge soundness: the closest neighbor can lie ACROSS the pole or
+    the ±180° wrap, outside the query's cell-ring window.  The certificate
+    must refuse to certify such windows (safe radius 0 → brute-force
+    escalation); the old "edge ⇒ no escape that way" bound silently
+    returned the wrong pruned neighbors as certified-exact."""
+    from projcl_spark.operators.knn import knn_bruteforce, knn_join_exact
+
+    pts = spark.createDataFrame(
+        [  # across-the-pole pair: ~22 km apart, many cells apart
+            (1, 10.0, 89.9), (2, -170.0, 89.9),
+            # antimeridian pair: ~11 km apart at the equator wrap
+            (3, 179.95, 0.0), (4, -179.95, 0.0),
+            # decoys on the near side, farther than the wrapped neighbors
+            (5, 15.0, 85.0), (6, 175.0, 3.0),
+        ],
+        "pid long, lon double, lat double",
+    )
+    qs = spark.createDataFrame(
+        [(100, 10.0, 89.9), (200, 179.95, 0.0)],
+        "query_id long, q_lon double, q_lat double",
+    )
+    got = knn_join_exact(qs, pts, k=2, res=4, ring=1, point_id="pid").select(
+        "query_id", "pid", "rank").toPandas()
+    want = knn_bruteforce(qs, pts, k=2, point_id="pid").select(
+        "query_id", "pid", "rank").toPandas()
+    key = ["query_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert g.equals(w), f"\n{g}\nvs\n{w}"
+    # the wrapped neighbors must actually win over the same-side decoys
+    assert set(g[g.query_id == 100]["pid"]) == {1, 2}
+    assert set(g[g.query_id == 200]["pid"]) == {3, 4}
