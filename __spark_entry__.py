@@ -119,9 +119,15 @@ def _key(table: str, cols: tuple[str, ...], dialect: str) -> str:
 
 
 def _points_df(spark: SparkSession, sf_dir: str, table: str, cols: tuple[str, ...]) -> DataFrame:
-    """table keys → deterministic (lon, lat) in the test envelope."""
+    """table keys → deterministic (lon, lat) in the test envelope.
+
+    Repartition BEFORE the md5 derivation (CLAUDE.md: the sf parquet files
+    are single-row-group, so without this every pandas-UDF consumer runs
+    its Arrow batches out of ONE scan task)."""
     lon_e, lat_e = O.derived_lonlat(_key(table, cols, "spark"), "spark")
-    return spark.read.parquet(_t(sf_dir, table)).select(
+    return spark.read.parquet(_t(sf_dir, table)).select(*cols).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         *cols, F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat")
     )
 
@@ -266,13 +272,17 @@ WARP_SRC_ORIGIN = (-4.5e6, 2.5e6)
 WARP_SRC_PXSIZE = (40_000.0, 30_000.0)
 
 
-def _grid_cte() -> str:
-    """DuckDB twin of warp.grid_df over the sampler test grid."""
+def _grid_cte(x0: float = GRID_X0, y0: float = GRID_Y0,
+              sx: float = GRID_SX, sy: float = GRID_SY,
+              xname: str = "x", yname: str = "y") -> str:
+    """DuckDB twin of warp.grid_df — ONE generator for the sampler test
+    grid AND the warp-pipeline destination grid (the two copies this
+    replaces had drifted-by-hand potential)."""
     return (
         f"SELECT CAST(floor(id / {GRID_W}) AS BIGINT) AS gi, "
         f"CAST(id % {GRID_W} AS BIGINT) AS gj, "
-        f"({O._r(GRID_X0)} + {O._r(GRID_SX)} * (id % {GRID_W}) / {GRID_W - 1}) AS x, "
-        f"({O._r(GRID_Y0)} + {O._r(GRID_SY)} * floor(id / {GRID_W}) / {GRID_H - 1}) AS y "
+        f"({O._r(x0)} + {O._r(sx)} * (id % {GRID_W}) / {GRID_W - 1}) AS {xname}, "
+        f"({O._r(y0)} + {O._r(sy)} * floor(id / {GRID_W}) / {GRID_H - 1}) AS {yname} "
         f"FROM range({GRID_W * GRID_H}) t(id)"
     )
 
@@ -364,13 +374,7 @@ def q_warp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o_warp_pipeline() -> str:
     x0, y0, x1, y1 = WARP_BOUNDS
-    grid = (
-        f"SELECT CAST(floor(id / {GRID_W}) AS BIGINT) AS gi, "
-        f"CAST(id % {GRID_W} AS BIGINT) AS gj, "
-        f"({O._r(x0)} + {O._r(x1 - x0)} * (id % {GRID_W}) / {GRID_W - 1}) AS mx, "
-        f"({O._r(y0)} + {O._r(y1 - y0)} * floor(id / {GRID_W}) / {GRID_H - 1}) AS my "
-        f"FROM range({GRID_W * GRID_H}) t(id)"
-    )
+    grid = _grid_cte(x0, y0, x1 - x0, y1 - y0, "mx", "my")
     lon, lat = O.mercator_inv_sql(WARP_DST[1], "mx", "my")
     ax, ay = O.fwd_xy_sql(WARP_SRC[0], WARP_SRC[1], lon="lon", lat="lat")
     ox, oy = WARP_SRC_ORIGIN
@@ -439,11 +443,17 @@ def q_flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_flagship_rollup() -> str:
-    lon_e, lat_e = O.derived_lonlat("CAST(doc_id AS VARCHAR)", "duck")
-    inside = """((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
+def _tri_inside_sql() -> str:
+    """CCW half-plane test for the synthetic triangles — the ONE oracle
+    predicate all PIP twins share (engine twin: operators/pip._pip_refine)."""
+    return """((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
   AND ((x3 - x2) * (lat - y2) - (y3 - y2) * (lon - x2)) > 0
   AND ((x1 - x3) * (lat - y3) - (y1 - y3) * (lon - x3)) > 0"""
+
+
+def _o_flagship_rollup() -> str:
+    lon_e, lat_e = O.derived_lonlat("CAST(doc_id AS VARCHAR)", "duck")
+    inside = _tri_inside_sql()
     return f"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -588,15 +598,17 @@ def q_roundtrip_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.withColumn("xy", fwd("lon", "lat"))
             .withColumn("ll", inv(F.col("xy.x"), F.col("xy.y")))
             .select(
-                F.lit(name).alias("case_name"),
                 F.when(
                     (F.abs(F.col("ll.lon") - F.col("lon")) > ARCSEC)
                     | (F.abs(F.col("ll.lat") - F.col("lat")) > ARCSEC),
                     1,
                 ).otherwise(0).alias("bad"),
             )
-            .groupBy("case_name")
-            .agg(F.sum("bad").cast("long").alias("n_failed"))
+            # GLOBAL agg, not groupBy: the oracle emits a (case, 0) row for
+            # every case, so a case whose lon filter keeps zero rows must
+            # still produce n_failed=0 instead of disappearing
+            .agg(F.coalesce(F.sum("bad"), F.lit(0)).cast("long").alias("n_failed"))
+            .select(F.lit(name).alias("case_name"), "n_failed")
         )
         parts.append(r)
     out = parts[0]
@@ -720,9 +732,7 @@ WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
 tri(poly_id, x1, y1, x2, y2, x3, y3) AS (VALUES {_triangles_values_sql()})
 SELECT pts.l_orderkey, pts.l_linenumber, tri.poly_id
 FROM pts, tri
-WHERE ((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
-  AND ((x3 - x2) * (lat - y2) - (y3 - y2) * (lon - x2)) > 0
-  AND ((x1 - x3) * (lat - y3) - (y1 - y3) * (lon - x3)) > 0"""
+WHERE {_tri_inside_sql()}"""
 
 
 def q_pip_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,9 +760,7 @@ def q_pip_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_pip_coverage() -> str:
-    inside = """((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) > 0
-  AND ((x3 - x2) * (lat - y2) - (y3 - y2) * (lon - x2)) > 0
-  AND ((x1 - x3) * (lat - y3) - (y1 - y3) * (lon - x3)) > 0"""
+    inside = _tri_inside_sql()
     return f"""
 WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
 tri(poly_id, x1, y1, x2, y2, x3, y3) AS (VALUES {_triangles_values_sql()}),
@@ -1167,17 +1175,22 @@ def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization (brief: token counting beyond whitespace):
     word-or-punct tokens per doc, alongside the whitespace count."""
     docs = spark.read.parquet(_t(sf_dir, "documents")).filter("text IS NOT NULL")
+    # explicit whitespace class, not \s: Java's \s includes \x0B, RE2's
+    # (DuckDB) does not — a vertical tab in a document would desync the
+    # punctuation-token count between engine and oracle
     return docs.select(
         "doc_id",
-        F.expr("size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0))")
-        .cast("long").alias("n_regex_tokens"),
+        F.expr(
+            "size(regexp_extract_all(text,"
+            " '\\\\w+|[^\\\\w \\\\t\\\\n\\\\f\\\\r\\\\x0B]', 0))"
+        ).cast("long").alias("n_regex_tokens"),
         F.expr("size(split(text, ' '))").cast("long").alias("n_ws_tokens"),
     )
 
 
 def _o_token_regex() -> str:
     return (r"""SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_regex_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w \t\n\f\r\x0B]')) AS BIGINT) AS n_regex_tokens,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
 FROM documents WHERE text IS NOT NULL""")
 
@@ -1309,11 +1322,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_dot(a: str, b: str) -> str:
+    """DuckDB dot product of two list columns — the ONE transliteration of
+    the engine's ann.DOT all ANN/neardup oracles share."""
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+
+def _duck_norm(a: str) -> str:
+    return (f"sqrt(list_sum(list_transform({a}, "
+            f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+
+
 def _o_embedding_neardup() -> str:
-    dot = ("list_sum(list_transform(list_zip(x.embedding, y.embedding), "
-           "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
-    nx = "sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
-    ny = "sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    dot = _duck_dot("x.embedding", "y.embedding")
+    nx, ny = _duck_norm("x.embedding"), _duck_norm("y.embedding")
     return f"""
 WITH d AS (
   SELECT x.vec_id AS a, y.vec_id AS b, round({dot} / ({nx} * {ny}), 6) AS sim
@@ -1333,12 +1356,8 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_ann_cosine() -> str:
-    dot = ("list_sum(list_transform(list_zip(q.embedding, c.embedding), "
-           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
-    nq = ("sqrt(list_sum(list_transform(q.embedding, "
-          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
-    nc = ("sqrt(list_sum(list_transform(c.embedding, "
-          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    dot = _duck_dot("q.embedding", "c.embedding")
+    nq, nc = _duck_norm("q.embedding"), _duck_norm("c.embedding")
     return f"""
 WITH d AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1380,13 +1399,7 @@ def q_warp_datum_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o_warp_datum_pipeline() -> str:
     x0, y0, x1, y1 = WARP_BOUNDS
-    grid = (
-        f"SELECT CAST(floor(id / {GRID_W}) AS BIGINT) AS gi, "
-        f"CAST(id % {GRID_W} AS BIGINT) AS gj, "
-        f"({O._r(x0)} + {O._r(x1 - x0)} * (id % {GRID_W}) / {GRID_W - 1}) AS mx, "
-        f"({O._r(y0)} + {O._r(y1 - y0)} * floor(id / {GRID_W}) / {GRID_H - 1}) AS my "
-        f"FROM range({GRID_W * GRID_H}) t(id)"
-    )
+    grid = _grid_cte(x0, y0, x1 - x0, y1 - y0, "mx", "my")
     lon, lat = O.mercator_inv_sql(WARP_DST[1], "mx", "my")
     ctes = [f"g AS ({grid})",
             f"ll AS (SELECT gi, gj, {lon} AS lon, {lat} AS lat FROM g)"]
@@ -1408,6 +1421,36 @@ def _o_warp_datum_pipeline() -> str:
             f"AS value_e6 FROM pc")
 
 
+def _run_available_now(spark: SparkSession, sf_dir: str, kind: str,
+                       n_parts: int, op) -> str:
+    """Shared availableNow drain scaffold for the streaming gate queries:
+    stage the events parquet into a tagged scratch dir (repartitioned to
+    ``n_parts``), run ``op(stream)`` into a uniquely-named memory sink, and
+    REQUIRE termination — reading the sink while the query still runs
+    would be a silent partial-result parity mismatch.  Returns the sink
+    name."""
+    import uuid
+
+    sfb = os.path.basename(sf_dir.rstrip("/"))
+    d = _scratch_path(spark, f"projcl_{kind}_in_{sfb}",
+                      tag=_input_tag(sf_dir, "events"))
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        spark.read.parquet(_t(sf_dir, "events")).repartition(n_parts).write.mode(
+            "overwrite"
+        ).parquet(_fs_url(d))
+    schema = spark.read.parquet(_fs_url(d)).schema
+    stream = spark.readStream.schema(schema).parquet(_fs_url(d))
+    name = f"{kind}_{uuid.uuid4().hex[:8]}"
+    q = (
+        op(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("availableNow stream did not finish in 600 s")
+    return name
+
+
 def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming, value-checked: file-source stream → watermarked
     5-min tumbling per-cell counts (availableNow), append mode.
@@ -1416,27 +1459,9 @@ def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ the final watermark (max event time ms-floored − 10 min; the
     NON-strict ≤ at end == watermark was verified with a boundary probe)
     — the DuckDB oracle computes the same condition in integer ms."""
-    import uuid
-
     from projcl_spark.streaming.ops import stream_cell_counts
 
-    sfb = os.path.basename(sf_dir.rstrip("/"))
-    d = _scratch_path(spark, f"projcl_stream_in_{sfb}",
-                      tag=_input_tag(sf_dir, "events"))
-    if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
-            "overwrite"
-        ).parquet(_fs_url(d))
-    schema = spark.read.parquet(_fs_url(d)).schema
-    stream = spark.readStream.schema(schema).parquet(_fs_url(d))
-    name = f"stream_cells_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_cell_counts(stream).writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    if not q.awaitTermination(600):  # partial memory sink would
-        q.stop()                      # parity-mismatch silently
-        raise RuntimeError("availableNow stream did not finish in 600 s")
+    name = _run_available_now(spark, sf_dir, "stream_cells", 4, stream_cell_counts)
     return spark.sql(
         f"SELECT unix_timestamp(win_start) AS win_s, cell_id, n FROM {name}"
     )
@@ -1465,28 +1490,11 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB lag-gap oracle computes in integer-ms arithmetic.  Each user's
     last session within the watermark horizon stays in state (resumes on
     the next drain), which is the correct backfill-replay semantics."""
-    import uuid
-
     from projcl_spark.streaming.ops import sessionize
 
-    sfb = os.path.basename(sf_dir.rstrip("/"))
-    d = _scratch_path(spark, f"projcl_stream_sess_in_{sfb}",
-                      tag=_input_tag(sf_dir, "events"))
-    if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        # single file → single micro-batch → per-user events arrive together
-        spark.read.parquet(_t(sf_dir, "events")).repartition(1).write.mode(
-            "overwrite"
-        ).parquet(_fs_url(d))
-    schema = spark.read.parquet(_fs_url(d)).schema
-    stream = spark.readStream.schema(schema).parquet(_fs_url(d))
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize(stream).writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    if not q.awaitTermination(600):  # partial memory sink would
-        q.stop()                      # parity-mismatch silently
-        raise RuntimeError("availableNow stream did not finish in 600 s")
+    # n_parts=1: single file → single micro-batch → per-user events arrive
+    # together (the emission-determinism precondition in the docstring)
+    name = _run_available_now(spark, sf_dir, "stream_sessions", 1, sessionize)
     return spark.sql(
         f"SELECT user_id, unix_timestamp(session_start) AS sess_start, "
         f"unix_timestamp(session_end) AS sess_end, n_events FROM {name}"
@@ -1562,10 +1570,8 @@ def _o_ann_lsh() -> str:
     cb = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, {sig} AS bucket FROM embeddings" for t, sig in buckets
     )
-    dot = ("list_sum(list_transform(list_zip(x.embedding, y.embedding), "
-           "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
-    nx = "sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
-    ny = "sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    dot = _duck_dot("x.embedding", "y.embedding")
+    nx, ny = _duck_norm("x.embedding"), _duck_norm("y.embedding")
     return f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),
 qb AS ({qb}),
@@ -1662,12 +1668,9 @@ def _o_ann_ivf() -> str:
     cent_rows = ", ".join(
         f"({j}, [{','.join(O._r(v) for v in row)}])" for j, row in enumerate(C)
     )
-    dot_c = ("list_sum(list_transform(list_zip(v.embedding, cent.c), "
-             "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
-    dot = ("list_sum(list_transform(list_zip(x.embedding, y.embedding), "
-           "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
-    nx = "sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
-    ny = "sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    dot_c = _duck_dot("v.embedding", "cent.c")
+    dot = _duck_dot("x.embedding", "y.embedding")
+    nx, ny = _duck_norm("x.embedding"), _duck_norm("y.embedding")
     # tie-break `cell DESC` mirrors the engine's reverse(array_sort(d, j))
     return f"""
 WITH cent(cell, c) AS (VALUES {cent_rows}),
@@ -1721,9 +1724,12 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_meta_cte(dialect: str = "duck") -> str:
+def _media_meta_cte() -> str:
+    # DuckDB-only (the engine side synthesizes media in operators/media.py);
+    # a dialect parameter here would be a lie — `range(N) t(id)` and the
+    # bare VARCHAR casts are duck syntax
     s = "VARCHAR"
-    h = O.hash60(f"'dim:' || CAST(id AS {s})", dialect)
+    h = O.hash60(f"'dim:' || CAST(id AS {s})", "duck")
     kind = "(CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END)"
     return f"""
 SELECT 'm://' || md5(CAST(id AS {s})) AS media_ref,

@@ -100,7 +100,13 @@ def cosine_topk_ivf(
     """
     if centroids is not None:
         C = np.asarray(centroids, dtype=np.float64)
-        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        # already-unit centroids pass through UNTOUCHED: dividing by a
+        # norm of 1.0±ulp perturbs low-order bits, which would break
+        # bit-for-bit parity with an oracle that folds the same array as
+        # SQL literals (fixed_centroids → _o_ann_ivf)
+        if not np.allclose(norms, 1.0, atol=1e-9):
+            C = C / norms
     else:
         sample = corpus.select(id_col, vec_col)
         if sample_fraction < 1.0:
