@@ -774,6 +774,52 @@ SELECT cell_id,
 FROM flagged GROUP BY 1"""
 
 
+def q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-polygon PIP at the gate: lineitem points against the
+    deterministic convex-polygon layer (5-12 vertices each) through the
+    SAME broadcast filter-refine join the triangles use, but exercising
+    the numpy crossing-count refine (`pip.winding_contains_np`) on
+    arbitrary rings.  The oracle transliterates the identical test —
+    same operation order, same folded vertex literals — so the match is
+    bit-exact, not approximate."""
+    from projcl_spark.sources.synth import polygons_df
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    hits = pip_join(pts, polygons_df(spark, 16, res=PIP_RES), res=PIP_RES)
+    return hits.select("l_orderkey", "l_linenumber", "poly_id")
+
+
+def _o_pip_polygons() -> str:
+    """Crossing-count parity: for edge (i, j=i-1 cyclic),
+    crossings += (ys[i]>lat) != (ys[j]>lat) AND lon < x_intersect;
+    inside = odd crossings — the exact winding_contains_np recipe."""
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    rows = ", ".join(
+        "({}, [{}], [{}])".format(
+            p["poly_id"],
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+        )
+        for p in polygon_layer_np(16, 42)
+    )
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+poly(poly_id, xs, ys) AS (VALUES {rows})
+SELECT pts.l_orderkey, pts.l_linenumber, poly.poly_id
+FROM pts, poly WHERE {inside}"""
+
+
 def q_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (SURVEY Table B): per market segment, customers
     WITH ≥1 order (left_semi) vs WITHOUT (left_anti) — cheap scans on both
@@ -1823,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tile_pyramid=q_tile_pyramid,
         pip_triangles=q_pip_triangles,
         pip_coverage=q_pip_coverage,
+        pip_polygons=q_pip_polygons,
         order_coverage=q_order_coverage,
         flagship_rollup=q_flagship_rollup,
         knn_customer=q_knn_customer,
@@ -1876,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
         tile_pyramid=_o_tile_pyramid(),
         pip_triangles=_o_pip_triangles(),
         pip_coverage=_o_pip_coverage(),
+        pip_polygons=_o_pip_polygons(),
         order_coverage=_o_order_coverage(),
         flagship_rollup=_o_flagship_rollup(),
         knn_customer=_o_knn_customer(),
