@@ -294,8 +294,28 @@ def run_scaling_job(cpus: int) -> dict:
         t0 = time.time()
         agg.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
+
+    # Second timed phase: broadcast PIP join of the same 16M points —
+    # the north-rule metric is "(encode+PIP join) ... and join-rows/sec",
+    # so the join's own N→4N ratio is evidenced separately.  Output rows
+    # counted once outside the timing.
+    from projcl_spark.operators.pip import pip_join
+    from projcl_spark.sources.synth import polygons_df
+
+    hits = pip_join(pts, polygons_df(spark, 64, res=6), res=6)
+    join_rows = hits.count()
+    best_pip = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        hits.write.format("noop").mode("overwrite").save()
+        best_pip = min(best_pip, time.time() - t0)
     spark.stop()
-    return {"cpus": cpus, "sec": round(best, 3), "points_per_sec": round(SCALING_N / best, 1)}
+    return {
+        "cpus": cpus, "sec": round(best, 3),
+        "points_per_sec": round(SCALING_N / best, 1),
+        "pip_sec": round(best_pip, 3), "join_rows": join_rows,
+        "join_rows_per_sec": round(join_rows / best_pip, 1),
+    }
 
 
 def run_scaling() -> None:
@@ -318,18 +338,26 @@ def run_scaling() -> None:
         results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
     thr_n, thr_4n = results[n]["points_per_sec"], results[n4]["points_per_sec"]
     eff = thr_4n / (4 * thr_n)
+    jthr_n = results[n].get("join_rows_per_sec", 0)
+    jthr_4n = results[n4].get("join_rows_per_sec", 0)
+    jeff = jthr_4n / (4 * jthr_n) if jthr_n else 0.0
     lines = [
         "", f"## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})", "",
         f"Flagship job (generate {SCALING_N / 1e6:.0f}M pts → Albers forward pandas-UDF "
         f"→ Vincenty anchor distance → cell-encode → per-cell agg), "
-        f"fixed {SCALING_PARTS}-partition input, pinned shuffle partitions:",
+        f"fixed {SCALING_PARTS}-partition input, pinned shuffle partitions; "
+        f"plus the broadcast PIP join of the same points vs the 64-polygon "
+        f"layer (north-rule join-rows/sec):",
         "",
-        "| parallelism | wall (s) | points/s |",
-        "|---|---|---|",
-        f"| local[{n}] | {results[n]['sec']} | {thr_n:,.0f} |",
-        f"| local[{n4}] | {results[n4]['sec']} | {thr_4n:,.0f} |",
+        "| parallelism | wall (s) | points/s | PIP wall (s) | join-rows/s |",
+        "|---|---|---|---|---|",
+        f"| local[{n}] | {results[n]['sec']} | {thr_n:,.0f} | "
+        f"{results[n].get('pip_sec', '-')} | {jthr_n:,.0f} |",
+        f"| local[{n4}] | {results[n4]['sec']} | {thr_4n:,.0f} | "
+        f"{results[n4].get('pip_sec', '-')} | {jthr_4n:,.0f} |",
         "",
-        f"**Scaling efficiency ({n}→{n4} cores): {eff:.2f}** "
+        f"**Scaling efficiency ({n}→{n4} cores): {eff:.2f} compute, "
+        f"{jeff:.2f} PIP join-rows/sec** "
         f"(= thr_4N / (4 × thr_N); north-rule target ≥ 0.8)",
         "",
         "Level choice: the sandbox's 32 vCPUs are SMT/throttle-limited — a "
@@ -342,7 +370,8 @@ def run_scaling() -> None:
     with open("BENCH/BASELINE.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"scaling": {f"local{n}": results[n], f"local{n4}": results[n4],
-                                  "efficiency": round(eff, 3)}}))
+                                  "efficiency": round(eff, 3),
+                                  "pip_join_efficiency": round(jeff, 3)}}))
 
 
 if __name__ == "__main__":
