@@ -1841,7 +1841,13 @@ def _q_text(name: str) -> Callable:
     sql = text_queries_sql("spark")[name]
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.read.parquet(_t(sf_dir, "documents")).createOrReplaceTempView("documents")
+        # repartition the single-row-group scan or the md5-heavy per-doc
+        # work (worst: doc_fingerprint's per-char-k-gram hashing) runs in
+        # ONE task (CLAUDE.md invariant; measured minutes vs seconds at
+        # sf0.1)
+        spark.read.parquet(_t(sf_dir, "documents")).repartition(
+            spark.sparkContext.defaultParallelism
+        ).createOrReplaceTempView("documents")
         return spark.sql(sql)
 
     return q
