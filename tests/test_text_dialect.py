@@ -97,3 +97,50 @@ def test_minhash_paired_chunks_are_distinct(spark):
     for sig in rows:
         pairs = list(zip(sig[0::2], sig[1::2]))
         assert any(a != b for a, b in pairs)
+
+
+def test_pip_crossing_count_cross_dialect():
+    """The pip_polygons oracle transliterates winding_contains_np edge by
+    edge; pin the two on adversarial geometry the synthetic layer avoids:
+    horizontal edges, points exactly AT a vertex latitude, points level
+    with a horizontal edge, and near-degenerate slivers."""
+    import duckdb
+    import numpy as np
+
+    from projcl_spark.operators.pip import winding_contains_np
+
+    polys = {
+        # square with horizontal top/bottom edges
+        0: ([0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
+        # triangle with a vertex at y=2 (points will sit at exactly y=2)
+        1: ([10.0, 14.0, 12.0], [0.0, 0.0, 2.0]),
+        # thin sliver
+        2: ([20.0, 24.0, 24.0], [1.0, 1.0000001, 1.0000002]),
+    }
+    # probe grid incl. y values exactly on vertices/edges
+    xs = np.arange(-1.0, 26.0, 0.5)
+    ys = np.array([-1.0, 0.0, 1.0, 1.0000001, 2.0, 3.9999999, 4.0, 5.0])
+    px, py = [a.ravel() for a in np.meshgrid(xs, ys)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts AS SELECT * FROM (SELECT unnest(?) lon, unnest(?) lat)",
+                [list(map(float, px)), list(map(float, py))])
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    for pid, (vx, vy) in polys.items():
+        want = winding_contains_np(px, py, np.array(vx), np.array(vy))
+        got = con.execute(
+            f"SELECT {inside} FROM (SELECT lon, lat, ? AS xs, ? AS ys FROM pts)",
+            [vx, vy],
+        ).fetchnumpy()
+        g = np.asarray(list(got.values())[0], dtype=bool)
+        assert (g == want).all(), f"poly {pid}: {int((g != want).sum())} mismatches"
+        if pid == 0:
+            assert want.sum() > 0  # the square actually contains probes
