@@ -75,6 +75,11 @@ def build_queries(spark, sf_dir):
                 F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
     )
     n_pts = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # precompute ALL throughput denominators — a .count() inside a timed
+    # closure would bill an unrelated scan to the measured query
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     proj, params = E.PROJ_CASES["proj_albers_e"]
     udf = project_udf(proj, params)
 
@@ -103,7 +108,7 @@ def build_queries(spark, sf_dir):
         cust = E._points_df(spark, sf_dir, "customer", ("c_custkey",))
         qs = spark.createDataFrame(E.KNN_QUERIES, "query_id long, q_lon double, q_lat double")
         _force(knn_join(qs, cust, k=5, res=5, ring=1, point_id="c_custkey"))
-        return spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+        return n_cust
 
     def q_datum_shift():
         fwd = datum_shift_udf(Datum.WGS_84, Datum.NAD_27)
@@ -132,7 +137,7 @@ def build_queries(spark, sf_dir):
     def q_span_pipeline():
         out = E.q_span_roundtrip(spark, sf_dir)
         _force(out)
-        return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        return n_docs
 
     def q_tile_pyramid():
         _force(E.q_tile_pyramid(spark, sf_dir))
@@ -140,19 +145,17 @@ def build_queries(spark, sf_dir):
 
     def q_ann():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        nq = emb.count()
         _force(cosine_topk(emb.limit(64), emb, k=3))
-        return 64 * nq
+        return 64 * n_emb
 
     def q_ann_lsh():
         # bucketed path: pairs scored = bucket collisions, not n_q × n
         from projcl_spark.operators.ann import cosine_topk_lsh
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        nq = emb.count()
         _force(cosine_topk_lsh(emb.limit(64), emb, k=3, n_bits=4,
                                n_tables=2, dim=64))
-        return 64 * nq
+        return 64 * n_emb
 
     def q_cell_salted():
         # skew discipline end-to-end: hot-cell detect → salted two-phase agg
@@ -180,7 +183,7 @@ def build_queries(spark, sf_dir):
 
     def q_dedup_minhash():
         _force(E._q_text("dedup_minhash")(spark, sf_dir))
-        return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        return n_docs
 
     def q_warp_large():
         # scale-shaped warp: 1M destination pixels → 4M bilinear taps
@@ -219,6 +222,10 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     spark = get_spark("projcl-bench", cores=cpus)
     qs = build_queries(spark, sf_dir)
     if queries:
+        unknown = set(queries) - qs.keys()
+        if unknown:
+            raise SystemExit(f"unknown --queries names: {sorted(unknown)}; "
+                             f"known: {sorted(qs)}")
         qs = {k: v for k, v in qs.items() if k in queries}
     # warm up the JVM/Arrow path once (excluded from timings)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
@@ -366,8 +373,9 @@ def run_scaling() -> None:
         "cannot show 4× for ANY engine; 2→8 is within the machine's linear "
         "region and the engine's plan/partitioning is identical at both levels.",
     ]
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "a") as f:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "BASELINE.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"scaling": {f"local{n}": results[n], f"local{n4}": results[n4],
                                   "efficiency": round(eff, 3),

@@ -33,7 +33,7 @@ def test_cell_id_sql_matches_numpy():
     expected = C.cell_id_np(lon, lat, res)
     con = duckdb.connect()
     con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
-                + ",".join(f"({a!r},{b!r})" for a, b in zip(lon, lat))
+                + ",".join(f"({float(a)!r},{float(b)!r})" for a, b in zip(lon, lat))
                 + ") v(lon, lat)")
     got = con.execute(
         f"SELECT {C.cell_id_sql('lon', 'lat', res)} FROM t"
@@ -60,5 +60,10 @@ def test_neighbors_center_and_corner():
 def test_spread_bits_roundtrip_property():
     v = np.arange(0, 1 << 12, dtype=np.int64)
     s = C._spread_bits_np(v)
-    # even bits carry v, odd bits zero
+    # odd bits zero AND the even bits actually carry v (compact inverse) —
+    # "odd bits zero" alone would pass for a spread that truncates payload
     assert (s & np.uint64(0xAAAAAAAAAAAAAAAA) == 0).all()
+    back = np.zeros_like(v)
+    for b in range(32):
+        back |= ((s.astype(np.int64) >> (2 * b)) & 1) << b
+    assert (back == v).all()

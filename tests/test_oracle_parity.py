@@ -26,11 +26,19 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+_DUCK_CACHE: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con
+    """One connection per sf dir for the whole session — the parametrized
+    parity test calls this per query; fresh connections would pile up ~84
+    live handles and re-register the views every time."""
+    if sf_dir not in _DUCK_CACHE:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        _DUCK_CACHE[sf_dir] = con
+    return _DUCK_CACHE[sf_dir]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -51,14 +59,16 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
     for c in s.columns:
         a, b = s[c].to_numpy(), d[c].to_numpy()
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            ok = np.allclose(a.astype(np.float64), b.astype(np.float64),
-                             rtol=0, atol=0, equal_nan=True)
+            af, bf = a.astype(np.float64), b.astype(np.float64)
+            # the bad mask must use the SAME comparison as the check:
+            # plain != would list accepted NaN==NaN rows as examples
+            badm = ~np.isclose(af, bf, rtol=0, atol=0, equal_nan=True)
         else:
-            ok = (a == b).all()
-        if not ok:
-            bad = np.nonzero(a != b)[0][:3] if a.dtype == b.dtype else []
+            badm = a != b
+        if badm.any():
+            bad = np.nonzero(badm)[0][:3]
             errs.append(f"{name}: col {c} mismatch (e.g. rows {list(bad)}: "
-                        f"{[(a[i], b[i]) for i in bad[:3]]})")
+                        f"{[(a[i], b[i]) for i in bad]})")
     return errs
 
 
@@ -82,7 +92,7 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
     assert df.columns == ["poly_id", "n_docs", "n_spans"]
-    assert len(rows) >= 0
+    assert len(rows) > 0  # >= 0 was tautological: an empty flagship must fail
 
 
 if __name__ == "__main__":

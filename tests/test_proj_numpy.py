@@ -129,10 +129,6 @@ def test_nan_propagates():
     assert np.isnan(x[0]) and np.isnan(y[1])
 
 
-@pytest.mark.skipif(
-    not pytest.importorskip("importlib").util.find_spec("pyproj") if False else False,
-    reason="pyproj differential is optional",
-)
 def test_differential_vs_pyproj_if_available():
     """Differential oracle vs pyproj (mirrors -DHAVE_PROJ4, projcl_test.c:497-605)."""
     try:

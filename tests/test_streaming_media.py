@@ -38,7 +38,12 @@ def test_stream_cell_counts_matches_batch(spark, events_dir):
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    try:
+        # MUST terminate: a timeout would leave a partial memory sink and
+        # the subset assertion below would pass vacuously
+        assert q.awaitTermination(120), "stream did not terminate"
+    finally:
+        q.stop()
     got = spark.sql(f"SELECT * FROM {name}").toPandas()
 
     batch = (
@@ -65,7 +70,10 @@ def test_sessionize_matches_batch_oracle(spark, events_dir):
         sessionize(stream).writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "stream did not terminate"
+    finally:
+        q.stop()
     got = spark.sql(f"SELECT * FROM {name}").toPandas()
     oracle = sessionize_batch_oracle(spark.read.parquet(events_dir)).toPandas()
 
