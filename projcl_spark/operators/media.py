@@ -61,25 +61,27 @@ def synth_media(spark: SparkSession, n: int, num_partitions: int | None = None) 
     )
 
 
+def _parse_headers(data: pd.Series) -> pd.DataFrame:
+    """Vectorized header parse of ``PCLMEDIA|kind|w|h|frames|payload`` blobs:
+    pandas ``.str`` byte ops (C loops), no Python-level per-row iteration."""
+    s = data.astype(object)
+    n_bytes = s.str.len().astype("Int64")
+    # latin-1 is a bijective byte↔char map, so arbitrary binary payload
+    # bytes survive the decode; the header itself is ASCII
+    parts = s.str.decode("latin-1").str.split("|", n=5, expand=True)
+    kind = parts[1]
+    width = pd.to_numeric(parts[2], errors="coerce").astype("Int64")
+    height = pd.to_numeric(parts[3], errors="coerce").astype("Int64")
+    frames = pd.to_numeric(parts[4], errors="coerce").astype("Int64")
+    return pd.DataFrame({"kind": kind, "width": width, "height": height,
+                         "n_frames": frames, "n_bytes": n_bytes})
+
+
 @F.pandas_udf(META_SCHEMA)
 def decode_meta(data: pd.Series) -> pd.DataFrame:
     """Parse the typed header out of the binary payload (real byte work,
     vectorized over the Arrow batch)."""
-    kinds, ws, hs, fs, ns = [], [], [], [], []
-    for blob in data:
-        if blob is None:
-            kinds.append(None); ws.append(None); hs.append(None)
-            fs.append(None); ns.append(None)
-            continue
-        b = bytes(blob)
-        parts = b.split(b"|", 5)
-        kinds.append(parts[1].decode())
-        ws.append(int(parts[2]))
-        hs.append(int(parts[3]))
-        fs.append(int(parts[4]))
-        ns.append(len(b))
-    return pd.DataFrame({"kind": kinds, "width": ws, "height": hs,
-                         "n_frames": fs, "n_bytes": ns})
+    return _parse_headers(data)
 
 
 def decode_pixels(blob: bytes, width: int, height: int) -> np.ndarray:
@@ -116,22 +118,23 @@ def resize_stats(df: DataFrame, target: int = 32) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            refs, ows, ohs, means = [], [], [], []
-            for _, row in pdf.iterrows():
-                b = bytes(row["data"])
-                parts = b.split(b"|", 5)
-                w, h = int(parts[2]), int(parts[3])
-                px = decode_pixels(b, min(w, 64), min(h, 64))  # cap stub size
+            # header parse is vectorized pandas byte ops; only the (stub)
+            # DECODE below is inherently per-blob (as a real codec would be)
+            hdr = _parse_headers(pdf["data"])
+            ws = np.minimum(hdr["width"].to_numpy(np.int64), 64)
+            hs = np.minimum(hdr["height"].to_numpy(np.int64), 64)
+            ows, ohs, means = [], [], []
+            for blob, w, h in zip(pdf["data"], ws, hs):
+                px = decode_pixels(bytes(blob), int(w), int(h))  # cap stub size
                 oh = min(target, px.shape[0])
                 ow = min(target, px.shape[1])
                 small = px[: oh * (px.shape[0] // oh) if px.shape[0] >= oh else oh,
                            : ow * (px.shape[1] // ow) if px.shape[1] >= ow else ow]
-                refs.append(row["media_ref"])
                 ows.append(ow)
                 ohs.append(oh)
                 means.append(int(round(float(small.mean()) * 1000)))
-            yield pd.DataFrame({"media_ref": refs, "out_w": ows, "out_h": ohs,
-                                "mean_e3": means})
+            yield pd.DataFrame({"media_ref": pdf["media_ref"].to_numpy(),
+                                "out_w": ows, "out_h": ohs, "mean_e3": means})
 
     return df.mapInPandas(fn, out_schema)
 
