@@ -300,7 +300,7 @@ def _lin_w_sql(t: str) -> list[str]:
     return [f"(1.0 - {t})", f"({t})"]
 
 
-def _tapsum_sql(filt: str, x: str = "x", y: str = "y") -> str:
+def _tapsum_sql(filt: str, x: str = "x", y: str = "y", channel: int = 0) -> str:
     """Analytic weighted tap sum — the oracle twin of warp.sample_tiles
     (pixel values from oracle.pixel_sql; no tile table needed)."""
     from projcl_spark.operators.warp import _taps
@@ -326,11 +326,20 @@ def _tapsum_sql(filt: str, x: str = "x", y: str = "y") -> str:
             w = f"({_lin_w_sql(fx)[dx]} * {_cubic_w_sql(fy)[dy + 1]})"
         px = f"least(greatest({bx} + {dx}, 0), {IMG_W - 1})"
         py = f"least(greatest({by} + {dy}, 0), {IMG_H - 1})"
-        terms.append(f"{w} * {O.pixel_sql(px, py)}")
+        terms.append(f"{w} * {O.pixel_sql(px, py, channel=channel)}")
     s = "(" + " + ".join(terms) + ")"
     if filt in ("bicubic", "quasi_bicubic"):
         s = f"least(greatest({s}, 0.0), 255.0)"
     return s
+
+
+# RGBA mosaic: the reference samples float4 pixels per tap (read_imagef,
+# kernel/pl_sample_nearest.opencl:15,40; channel order/type are load
+# parameters, src/projcl_warp.c:68-82).  The sampler gate queries run a
+# 4-channel mosaic with per-channel value oracles; the warp pipelines
+# keep single-band as the degenerate case.
+WARP_CHANNELS = 4
+_CHANNEL_COLS = ("pixels", "pixels_1", "pixels_2", "pixels_3")
 
 
 def _q_warp_sample(filt: str) -> Callable:
@@ -338,20 +347,26 @@ def _q_warp_sample(filt: str) -> Callable:
         from projcl_spark.operators.warp import grid_df, sample_tiles
         from projcl_spark.sources.synth import tiles_df
 
-        tiles = tiles_df(spark, TILES_ACROSS, TILES_DOWN, TILE_W, TILE_H)
+        tiles = tiles_df(spark, TILES_ACROSS, TILES_DOWN, TILE_W, TILE_H,
+                         channels=WARP_CHANNELS)
         g = grid_df(spark, GRID_W, GRID_H, GRID_X0, GRID_Y0, GRID_SX, GRID_SY)
-        out = sample_tiles(g, tiles, TILE_W, TILE_H, TILES_ACROSS, TILES_DOWN, filter=filt)
+        out = sample_tiles(g, tiles, TILE_W, TILE_H, TILES_ACROSS, TILES_DOWN,
+                           filter=filt, channel_cols=_CHANNEL_COLS)
         return out.select(
-            "gi", "gj", F.round(F.col("value") * 1e6, 0).cast("long").alias("value_e6")
+            "gi", "gj",
+            *[F.round(F.col(f"value_{c}") * 1e6, 0).cast("long").alias(f"c{c}_e6")
+              for c in range(WARP_CHANNELS)],
         )
 
     return q
 
 
 def _o_warp_sample(filt: str) -> str:
-    return (f"WITH g AS ({_grid_cte()}) "
-            f"SELECT gi, gj, CAST(round({_tapsum_sql(filt)} * 1e6, 0) AS BIGINT) AS value_e6 "
-            f"FROM g")
+    chans = ", ".join(
+        f"CAST(round({_tapsum_sql(filt, channel=c)} * 1e6, 0) AS BIGINT) AS c{c}_e6"
+        for c in range(WARP_CHANNELS)
+    )
+    return f"WITH g AS ({_grid_cte()}) SELECT gi, gj, {chans} FROM g"
 
 
 def q_warp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

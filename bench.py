@@ -178,8 +178,23 @@ def build_queries(spark, sf_dir):
         return n_pts
 
     def q_warp_bilinear():
-        _force(E._q_warp_sample("bilinear")(spark, sf_dir))
+        # single-band (kept comparable to r1/r2 baselines; the gate query
+        # _q_warp_sample is 4-channel since r3 — timed as warp_rgba below)
+        from projcl_spark.operators.warp import grid_df, sample_tiles
+        from projcl_spark.sources.synth import tiles_df
+
+        tiles = tiles_df(spark, E.TILES_ACROSS, E.TILES_DOWN, E.TILE_W, E.TILE_H)
+        g = grid_df(spark, E.GRID_W, E.GRID_H, E.GRID_X0, E.GRID_Y0,
+                    E.GRID_SX, E.GRID_SY)
+        _force(sample_tiles(g, tiles, E.TILE_W, E.TILE_H, E.TILES_ACROSS,
+                            E.TILES_DOWN, filter="bilinear"))
         return E.GRID_W * E.GRID_H * 4  # taps gathered
+
+    def q_warp_rgba():
+        # 4-channel mosaic sample (the r3 gate-query shape): same taps,
+        # 4 element_at gathers per tap off ONE joined tile row
+        _force(E._q_warp_sample("bilinear")(spark, sf_dir))
+        return E.GRID_W * E.GRID_H * 4 * E.WARP_CHANNELS  # channel-taps
 
     def q_dedup_minhash():
         _force(E._q_text("dedup_minhash")(spark, sf_dir))
@@ -211,6 +226,7 @@ def build_queries(spark, sf_dir):
         "ann_lsh": q_ann_lsh,
         "cell_salted": q_cell_salted,
         "warp_bilinear": q_warp_bilinear,
+        "warp_rgba": q_warp_rgba,
         "warp_large": q_warp_large,
         "dedup_minhash": q_dedup_minhash,
     }

@@ -133,6 +133,7 @@ def sample_tiles(
     filter: str = "bilinear",
     broadcast_tiles: bool = True,
     border: str = "clamp",
+    channel_cols: tuple[str, ...] = ("pixels",),
 ) -> DataFrame:
     """Gather-join sampler over a tile mosaic (reference ops #22–26).
 
@@ -141,6 +142,14 @@ def sample_tiles(
     → derive (tile_row, tile_col, intra-tile offset) exactly like the
     reference's ``idx/size`` decomposition → equi-join the tile table →
     ``element_at`` gather → weighted re-aggregation by destination pixel.
+
+    ``channel_cols`` selects the band array columns to sample — the
+    reference reads ``float4`` RGBA per tap (``read_imagef``,
+    kernel/pl_sample_nearest.opencl:15,40); here every band is gathered
+    from the SAME joined tile row and re-aggregated with the same weights,
+    so N channels cost N ``element_at`` gathers, not N joins.  With one
+    channel the output column is ``value`` (back-compat); with N > 1 it is
+    ``value_0 … value_{N-1}`` in ``channel_cols`` order.
 
     ``border`` controls taps that fall outside the mosaic:
     - ``"clamp"`` (default): clamp to the edge pixel — the reference's
@@ -199,9 +208,11 @@ def sample_tiles(
         ox.alias("ox"), oy.alias("oy"),
     )
     t = F.broadcast(tiles) if broadcast_tiles else tiles
-    gather = F.element_at(
-        "pixels", (F.col("oy") * tile_width + F.col("ox") + 1).cast("int")
-    )
+    n_ch = len(channel_cols)
+    vnames = ["v"] if n_ch == 1 else [f"v_{i}" for i in range(n_ch)]
+    onames = ["value"] if n_ch == 1 else [f"value_{i}" for i in range(n_ch)]
+    idx = (F.col("oy") * tile_width + F.col("ox") + 1).cast("int")
+    gathers = [F.element_at(ch, idx) for ch in channel_cols]
     if border == "zero":
         in_img = (
             (F.col("px") >= 0) & (F.col("px") < w_img)
@@ -209,18 +220,22 @@ def sample_tiles(
         )
         joined = taps.join(t, ["tile_row", "tile_col"], "left").select(
             "gi", "gj", "w",
-            F.when(in_img, F.coalesce(gather, F.lit(0.0))).otherwise(F.lit(0.0)).alias("v"),
+            *[F.when(in_img, F.coalesce(g, F.lit(0.0))).otherwise(F.lit(0.0)).alias(v)
+              for g, v in zip(gathers, vnames)],
         )
     else:
         joined = taps.join(t, ["tile_row", "tile_col"], "inner").select(
-            "gi", "gj", "w", gather.alias("v"),
+            "gi", "gj", "w", *[g.alias(v) for g, v in zip(gathers, vnames)],
         )
-    out = joined.groupBy("gi", "gj").agg(F.sum(F.col("w") * F.col("v")).alias("value"))
+    out = joined.groupBy("gi", "gj").agg(
+        *[F.sum(F.col("w") * F.col(v)).alias(o) for v, o in zip(vnames, onames)]
+    )
     if filter in ("bicubic", "quasi_bicubic"):
-        # final clamp to [0,255] (pl_sample_bicubic.opencl:49-53)
-        out = out.withColumn(
-            "value", F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(255.0))
-        )
+        # final clamp to [0,255] per channel (pl_sample_bicubic.opencl:49-53)
+        for o in onames:
+            out = out.withColumn(
+                o, F.least(F.greatest(F.col(o), F.lit(0.0)), F.lit(255.0))
+            )
     return out
 
 
@@ -283,6 +298,7 @@ def warp(
     datum_shift_udf=None,
     num_partitions: int | None = None,
     border: str = "clamp",
+    channel_cols: tuple[str, ...] = ("pixels",),
 ) -> DataFrame:
     """Full warp recipe (reference op #27, projcl_warp.h:30-82):
 
@@ -310,4 +326,5 @@ def warp(
         ((F.col("y") - oy) / sy).alias("y"),
     )
     return sample_tiles(g, tiles, tile_width, tile_height, tiles_across,
-                        tiles_down, filter=filter, border=border)
+                        tiles_down, filter=filter, border=border,
+                        channel_cols=channel_cols)

@@ -121,13 +121,17 @@ def spherical_direct(lon: str, lat: str, az_deg: str, dist_m: str,
     return lon2, lat2
 
 
-def pixel_sql(px: str, py: str, dialect: str = "duck") -> str:
+def pixel_sql(px: str, py: str, dialect: str = "duck", channel: int = 0) -> str:
     """The synthetic mosaic's pixel intensity as SQL — the analytic twin of
-    ``sources.synth.pixel_value`` (value depends only on GLOBAL coords, so
-    oracles verify tiled sampling without reconstructing the tile table)."""
+    ``sources.synth.pixel_value`` (value depends only on GLOBAL coords +
+    channel, so oracles verify tiled sampling without reconstructing the
+    tile table).  ``channel=0`` is byte-identical to the historical
+    single-band formula."""
     s = "STRING" if dialect == "spark" else "VARCHAR"
-    key = f"'px:' || CAST({px} AS {s}) || ':' || CAST({py} AS {s})"
-    return f"(({px} * 3 + {py} * 7 + ({hash60(key, dialect)} % 32)) % 256)"
+    salt = "px:" if channel == 0 else f"px{channel}:"
+    key = f"'{salt}' || CAST({px} AS {s}) || ':' || CAST({py} AS {s})"
+    return (f"(({px} * 3 + {py} * 7 + {channel * 11} + "
+            f"({hash60(key, dialect)} % 32)) % 256)")
 
 
 def mercator_inv_sql(params: ProjectionParams, x: str, y: str) -> tuple[str, str]:

@@ -198,17 +198,22 @@ def polygons_df(spark: SparkSession, n_polys: int = 64, seed: int = 42, res: int
 
 # ------------------------------------------------------------------ tiles ---
 
-def pixel_value(px: F.Column, py: F.Column) -> F.Column:
+def pixel_value(px: F.Column, py: F.Column, channel: int = 0) -> F.Column:
     """Deterministic pixel intensity as a pure function of GLOBAL image
     coordinates: gradient + md5 noise, in [0, 255].
 
-    Because the value depends only on (px, py) — not on the tile layout —
-    a DuckDB oracle can verify any tiled-sampling result analytically
-    without reconstructing the tile table (see ``oracle.pixel_sql``).
+    Because the value depends only on (px, py[, channel]) — not on the tile
+    layout — a DuckDB oracle can verify any tiled-sampling result
+    analytically without reconstructing the tile table (see
+    ``oracle.pixel_sql``).  ``channel=0`` is byte-identical to the
+    historical single-band formula; channels 1+ salt the noise key and
+    shift the gradient so bands are decorrelated (the reference's float4
+    RGBA semantics, ``kernel/pl_sample_nearest.opencl:15,40``).
     """
-    key = F.concat(F.lit("px:"), px.cast("string"), F.lit(":"), py.cast("string"))
+    salt = "px:" if channel == 0 else f"px{channel}:"
+    key = F.concat(F.lit(salt), px.cast("string"), F.lit(":"), py.cast("string"))
     noise = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 32
-    return ((px * 3 + py * 7 + noise) % 256).cast("int")
+    return ((px * 3 + py * 7 + F.lit(channel * 11) + noise) % 256).cast("int")
 
 
 def tiles_df(
@@ -217,11 +222,18 @@ def tiles_df(
     tiles_down: int = 4,
     width: int = 64,
     height: int = 64,
+    channels: int = 1,
 ) -> DataFrame:
     """Raster tile table mirroring ``PLImageArrayBuffer``
     (``include/projcl/projcl_warp.h:22-28``): one row per tile,
     tile_id = row·across + col (row-first, projcl_warp.h:51-52), pixels =
     row-major ints from ``pixel_value`` over global coordinates.
+
+    ``channels=1`` (default) keeps the historical single-band schema
+    (``pixels``).  ``channels=N`` adds ``pixels_1 … pixels_{N-1}`` — the
+    reference's float4 RGBA image layout (channel order/type are load
+    parameters there, ``src/projcl_warp.c:68-82``) expressed as per-band
+    array columns, so the gather join reads all bands from ONE tile row.
     """
     t = spark.range(tiles_across * tiles_down).select(
         F.col("id").alias("tile_id"),
@@ -230,11 +242,20 @@ def tiles_df(
         F.lit(width).alias("width"),
         F.lit(height).alias("height"),
     )
-    px = F.transform(
-        F.sequence(F.lit(0), F.lit(width * height - 1)),
-        lambda i: pixel_value(
-            (F.col("tile_col") * width + i % width).cast("long"),
-            (F.col("tile_row") * height + F.floor(i / width)).cast("long"),
-        ),
-    )
-    return t.select("tile_id", "tile_row", "tile_col", "width", "height", px.alias("pixels"))
+    def _band(c: int) -> F.Column:
+        # NB: F.transform inspects the lambda's arity — a second default
+        # argument would be bound to the ELEMENT INDEX, so the channel must
+        # be captured via this factory closure instead
+        def px_at(i: F.Column) -> F.Column:
+            return pixel_value(
+                (F.col("tile_col") * width + i % width).cast("long"),
+                (F.col("tile_row") * height + F.floor(i / width)).cast("long"),
+                channel=c,
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(width * height - 1)), px_at)
+
+    band_cols = [
+        _band(c).alias("pixels" if c == 0 else f"pixels_{c}") for c in range(channels)
+    ]
+    return t.select("tile_id", "tile_row", "tile_col", "width", "height", *band_cols)

@@ -132,6 +132,47 @@ def _ref_sample(img: np.ndarray, x: float, y: float, filt: str, border: str) -> 
     return v
 
 
+def _pixel_ref(px: int, py: int, c: int = 0) -> int:
+    """Direct python twin of sources.synth.pixel_value (channel-salted)."""
+    import hashlib
+
+    salt = "px:" if c == 0 else f"px{c}:"
+    h = int(hashlib.md5(f"{salt}{px}:{py}".encode()).hexdigest()[:15], 16)
+    return (px * 3 + py * 7 + c * 11 + h % 32) % 256
+
+
+def test_rgba_multichannel_sampling(spark):
+    """4-channel mosaic: every band interpolates independently with the
+    same taps/weights (reference float4 semantics, read_imagef →
+    pl_sample_nearest.opencl:15,40), and band 0 is byte-identical to the
+    historical single-band result."""
+    chans = ("pixels", "pixels_1", "pixels_2", "pixels_3")
+    tiles4 = tiles_df(spark, 2, 2, 8, 8, channels=4)
+    g = spark.createDataFrame(
+        [(0, 0, 3.5, 5.5), (0, 1, 5.0, 6.0), (0, 2, 0.25, 14.75)],
+        "gi int, gj int, x double, y double",
+    )
+    out = {r.gj: r for r in sample_tiles(
+        g, tiles4, 8, 8, 2, 2, filter="bilinear", channel_cols=chans).collect()}
+    for j, (x, y) in ((0, (3.5, 5.5)), (1, (5.0, 6.0)), (2, (0.25, 14.75))):
+        bx, by = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - bx, y - by
+        for c in range(4):
+            exp = sum(
+                wx * wy * _pixel_ref(min(max(bx + dx, 0), 15),
+                                     min(max(by + dy, 0), 15), c)
+                for dy, wy in ((0, 1 - fy), (1, fy))
+                for dx, wx in ((0, 1 - fx), (1, fx))
+            )
+            got = out[j][f"value_{c}"]
+            assert got == pytest.approx(exp, abs=1e-9), (j, c, got, exp)
+    # channel 0 of the 4-band table == the single-band sampler, bit-for-bit
+    single = {r.gj: r.value for r in sample_tiles(
+        g, tiles_df(spark, 2, 2, 8, 8), 8, 8, 2, 2, filter="bilinear").collect()}
+    for j in out:
+        assert out[j]["value_0"] == single[j]
+
+
 @pytest.mark.parametrize("filt", ["nearest", "bilinear"])
 @pytest.mark.parametrize("border", ["clamp", "zero"])
 def test_border_modes_at_rim(spark, filt, border):
