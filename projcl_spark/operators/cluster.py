@@ -1,0 +1,125 @@
+"""Duplicate-pair → cluster → canonical-doc selection (engine-added).
+
+The dedup suite (``operators.text``) emits near-dup PAIRS (MinHash/LSH
+band join, Jaccard, embedding cosine); shrinking a training corpus
+additionally needs the pairs grouped into duplicate CLUSTERS with one
+kept canonical document per cluster.  This module closes that gap with a
+pure-DataFrame connected-components pass:
+
+- **edges are LSH-bounded, never all-pairs** — the input is the band-join
+  pair list, whose size is bounded by bucket collisions, so the iterative
+  join is an equi-join on doc_id each round;
+- **min-label propagation**: every node starts labelled with itself; each
+  round every node takes the min label over itself and its neighbors.
+  Converges in O(component diameter) rounds — near-dup clusters are
+  shallow (a handful of hops), so 3–5 rounds in practice.  For adversarial
+  long-chain graphs the alternating large-star/small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce", SoCC'14) is the
+  O(log n)-round drop-in; the per-round dataflow (labels ⋈ edges →
+  groupBy-min) is identical, so the swap is local to this loop;
+- **bounded driver actions**: one tiny ``count`` per round for the
+  convergence check, nothing else leaves the executors;
+- label state is two BIGINTs per node — persisted per round (the
+  CLAUDE.md no-cache rule targets array-heavy frames), with a
+  ``localCheckpoint`` every ``checkpoint_every`` rounds so the plan depth
+  stays bounded (at cluster scale, substitute a reliable
+  parquet/checkpoint-dir materialization — ``plans.checkpoint`` has the
+  sink).
+
+DuckDB can express the same fixpoint as a recursive CTE (label sets
+dedup'd by UNION), which is the oracle twin ``__spark_entry__`` uses for
+the ``dedup_clusters`` gate query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_CC_ROUNDS = 25
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_rounds: int = MAX_CC_ROUNDS,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(nodes, undirected edges) → (id_col, cluster_id) where cluster_id is
+    the component-minimum node id.
+
+    ``nodes`` must contain every vertex (isolated docs become singleton
+    clusters); ``edges`` rows are unordered pairs.  Deterministic at any
+    parallelism: the fixpoint (component min) is parallelism-independent.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    labels.count()  # materialize round 0
+    for rnd in range(max_rounds):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "s"), "s")
+            .select(F.col("d").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        if (rnd + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "id")
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds — "
+            "pathological chain graph; switch to large-star/small-star"
+        )
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    labels.unpersist(blocking=False)
+    return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """docs(id, weight) + duplicate pairs → per-cluster
+    (cluster_id, n_docs, canonical).
+
+    The canonical document is the cluster member with the LARGEST
+    ``weight_col`` (keep-the-longest — the usual corpus-shrinking rule),
+    ties broken by smallest id; both rules are explicit so the result is
+    engine-independent.  ``cluster_id`` is the component-min doc id.
+    """
+    cc = connected_components(docs, pairs, id_col=id_col,
+                              src_col=src_col, dst_col=dst_col)
+    member = cc.join(docs.select(id_col, weight_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(weight_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        member.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("cluster_id")))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col("n_docs").cast("long").alias("n_docs"),
+                F.col(id_col).alias("canonical"))
+    )

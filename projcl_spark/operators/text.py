@@ -23,6 +23,9 @@ from ..oracle import hash60
 
 K_MINHASH = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
+# minimum matching signature components for a band-join pair to count as a
+# duplicate EDGE in the clustering stage (half the signature)
+CLUSTER_MATCH_T = 8
 SIMHASH_BITS = 16
 SHINGLE_N = 3
 WINNOW_K = 8   # char k-grams
@@ -214,14 +217,13 @@ def winnow_sql(text: str, dialect: str, k: int = WINNOW_K, w: int = WINNOW_W) ->
 # -------------------------------------------------------- query templates ---
 
 
-def minhash_split_sql(dialect: str) -> tuple[str, str]:
-    """(sig_stage_sql, pairs_sql_with_VIEW_placeholder) — the Spark engine
-    materializes the signature stage (cache + temp view) before the
-    band-join, avoiding 6× recomputation of the md5 minhash under Spark's
-    CTE inlining.  ``pairs`` references the relation ``__SIG__``."""
+def base_mut_sql(dialect: str) -> tuple[str, str]:
+    """The shared (base, mut) document CTE bodies: length/token-guarded
+    docs plus a synthesized first-token-dropped mutation of every 5th doc
+    (``mut`` references the ``base`` CTE).  ONE generator feeds the
+    minhash signature stage, the jaccard query, AND the clustering stage,
+    so the dedup suite's document universe cannot drift between queries."""
     instr = "instr(text, ' ')" if dialect == "spark" else "strpos(text, ' ')"
-    toks = tokens("text", dialect)
-    sh = shingles_sql(toks, dialect)
     ntok = ("size(split(text, ' '))" if dialect == "spark"
             else "len(string_split(text, ' '))")
     # token-count guard: a >=48-char doc can still have <3 tokens (URLs,
@@ -231,6 +233,26 @@ def minhash_split_sql(dialect: str) -> tuple[str, str]:
             f"WHERE text IS NOT NULL AND length(text) >= 48 AND {ntok} >= 4")
     mut = (f"SELECT doc_id + 10000000 AS doc_id, substring(text, {instr} + 1) AS text "
            f"FROM base WHERE doc_id % 5 = 0")
+    return base, mut
+
+
+def all_docs_len_sql(dialect: str) -> str:
+    """doc universe (base ∪ mut) with character lengths — the node table +
+    canonicalization weight for the clustering stage."""
+    base, mut = base_mut_sql(dialect)
+    return (f"WITH base AS ({base}), mut AS ({mut}) "
+            f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+            f"FROM (SELECT * FROM base UNION ALL SELECT * FROM mut)")
+
+
+def minhash_split_sql(dialect: str) -> tuple[str, str]:
+    """(sig_stage_sql, pairs_sql_with_VIEW_placeholder) — the Spark engine
+    materializes the signature stage (cache + temp view) before the
+    band-join, avoiding 6× recomputation of the md5 minhash under Spark's
+    CTE inlining.  ``pairs`` references the relation ``__SIG__``."""
+    toks = tokens("text", dialect)
+    sh = shingles_sql(toks, dialect)
+    base, mut = base_mut_sql(dialect)
     sig_stage = f"""
 WITH base AS ({base}),
 mut AS ({mut}),
@@ -268,20 +290,10 @@ def text_queries_sql(dialect: str) -> dict[str, str]:
     Near-dup pairs are made non-degenerate by synthesizing a mutated copy
     (first token dropped) of every 5th document inside the query itself.
     """
-    instr = "instr(text, ' ')" if dialect == "spark" else "strpos(text, ' ')"
     toks = tokens("text", dialect)
     sh = shingles_sql(toks, dialect)
     dsh = _d(dialect)["DIST"] + f"({sh})"
-
-    ntok = ("size(split(text, ' '))" if dialect == "spark"
-            else "len(string_split(text, ' '))")
-    # token-count guard: a >=48-char doc can still have <3 tokens (URLs,
-    # CJK); Spark's sequence(0, negative) is DESCENDING and slice(…, 0, …)
-    # throws — filter identically in both dialects instead
-    base = ("SELECT doc_id, text FROM documents "
-            f"WHERE text IS NOT NULL AND length(text) >= 48 AND {ntok} >= 4")
-    mut = (f"SELECT doc_id + 10000000 AS doc_id, substring(text, {instr} + 1) AS text "
-           f"FROM base WHERE doc_id % 5 = 0")
+    base, mut = base_mut_sql(dialect)
 
     # single-statement form (DuckDB oracle; the Spark engine materializes
     # the sig stage instead — see minhash_split_sql)

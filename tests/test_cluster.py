@@ -1,0 +1,55 @@
+"""Connected-components / dedup-cluster operator tests (operators.cluster)."""
+
+from __future__ import annotations
+
+from projcl_spark.operators.cluster import connected_components, dedup_clusters
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(None, None)], "doc_a long, doc_b long"
+    ).dropna()
+
+
+def test_cc_chain_and_singletons(spark):
+    """A 5-node chain (worst diameter per edge) + 2 isolated nodes: the
+    chain collapses to its min id, singletons label themselves."""
+    nodes = _nodes(spark, [1, 2, 3, 4, 5, 10, 20])
+    edges = _edges(spark, [(2, 1), (2, 3), (4, 3), (4, 5)])
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 20: 20}
+
+
+def test_cc_two_components_with_cycle(spark):
+    """Cycles and duplicate/reversed edges must not break convergence."""
+    nodes = _nodes(spark, [1, 2, 3, 7, 8, 9])
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1), (2, 1), (8, 7), (8, 9), (9, 7)])
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_dedup_clusters_canonical_rules(spark):
+    """Canonical = longest doc; ties broken by SMALLEST doc_id."""
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 250), (9, 50), (10, 70), (11, 70)],
+        "doc_id long, n_chars long",
+    )
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    rows = {r.cluster_id: r for r in dedup_clusters(docs, edges).collect()}
+    assert set(rows) == {1, 9, 10}
+    # cluster 1: lengths 100/250/250 → canonical = min(2,3) = 2
+    assert rows[1].n_docs == 3 and rows[1].canonical == 2
+    assert rows[9].n_docs == 1 and rows[9].canonical == 9
+    # cluster 10: tie 70/70 → canonical = 10
+    assert rows[10].n_docs == 2 and rows[10].canonical == 10
+
+
+def test_cc_no_edges_converges_round_zero(spark):
+    nodes = _nodes(spark, [5, 6])
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(nodes, _edges(spark, [])).collect()}
+    assert got == {5: 5, 6: 6}
