@@ -908,6 +908,43 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_exact_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELLIPSOIDAL exact kNN: same deliberately-lossy pruning as
+    ``knn_exact``, but with the Vincenty metric and the geocentric
+    chord-bound certificate (``_safe_radius_vincenty_col``) driving the
+    escalation.  Oracle = brute-force cross join through the fixed-unroll
+    Vincenty SQL (O.vincenty_inverse_sql) + window rank."""
+    from projcl_spark.operators.knn import knn_join_exact
+
+    cust = _points_df(spark, sf_dir, "customer", ("c_custkey",))
+    qs = spark.createDataFrame(KNN_QUERIES, "query_id long, q_lon double, q_lat double")
+    out = knn_join_exact(qs, cust, k=KNN_K, res=5, ring=1, metric="vincenty",
+                         point_id="c_custkey")
+    return out.select(
+        "query_id", "c_custkey",
+        _q10_col(F.col("dist_m")).alias("dist_10m"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _o_knn_exact_vincenty() -> str:
+    qvals = ", ".join(f"(CAST({q} AS BIGINT), {O._r(lo)}, {O._r(la)})"
+                      for q, lo, la in KNN_QUERIES)
+    ctes = O.vincenty_inverse_sql("pairs", "query_id, c_custkey")
+    return f"""
+WITH cust AS ({_points_cte('customer', ('c_custkey',))}),
+q(query_id, q_lon, q_lat) AS (VALUES {qvals}),
+pairs AS (SELECT q.query_id, c.c_custkey, q.q_lon AS lon1, q.q_lat AS lat1,
+                 c.lon AS lon2, c.lat AS lat2 FROM q, cust c),
+{ctes},
+r AS (SELECT query_id, c_custkey, dist_m,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_m ASC, c_custkey ASC) AS rnk
+      FROM vfin)
+SELECT query_id, c_custkey, {_q10('dist_m')} AS dist_10m, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= {KNN_K}"""
+
+
 def q_haversine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Many-to-many inverse geodesic (reference op #10, pl_geodesic.opencl:31-59)."""
     a = _points_df(spark, sf_dir, "nation", ("n_nationkey",)).withColumnRenamed(
@@ -1965,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         flagship_rollup=q_flagship_rollup,
         knn_customer=q_knn_customer,
         knn_exact=q_knn_exact,
+        knn_exact_vincenty=q_knn_exact_vincenty,
         haversine_matrix=q_haversine_matrix,
         geodesic_direct=q_geodesic_direct,
         geodesic_fixed_angle=q_geodesic_fixed_angle,
@@ -2020,6 +2058,7 @@ def oracle_sql() -> dict[str, str]:
         flagship_rollup=_o_flagship_rollup(),
         knn_customer=_o_knn_customer(),
         knn_exact=_o_knn_customer(),  # same true-kNN semantics, same oracle
+        knn_exact_vincenty=_o_knn_exact_vincenty(),
         haversine_matrix=_o_haversine_matrix(),
         geodesic_direct=_o_geodesic_direct(),
         geodesic_fixed_angle=_o_geodesic_fixed_angle(),

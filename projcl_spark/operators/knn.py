@@ -66,31 +66,32 @@ def knn_join(
 R_SPHERE = EARTH_RADIUS_SPHERE  # authalic sphere radius — single source of truth
 
 
-def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
-    """Conservative lower bound (meters) on the HAVERSINE distance from a
-    query point to anything OUTSIDE its (2·ring+1)² cell window.
+def _window_angle_col(q_lon, q_lat, res: int, ring: int, lat_map=None):
+    """Conservative lower bound (RADIANS of central angle) from a query
+    point to anything OUTSIDE its (2·ring+1)² cell window, on the sphere
+    whose latitude coordinate is ``lat_map(geodetic_lat_deg)`` (identity →
+    the plain sphere; geocentric conversion → the certificate sphere for
+    the ellipsoidal bound, see ``_safe_radius_vincenty_col``).
 
-    Any geodesic leaving the window first crosses a lat edge — length
-    ≥ R·Δφ (the meridional arc is the shortest curve changing latitude by
-    Δφ) — or a lon edge segment inside the lat band.  For the lon edges we
-    use the rigorous spherical bound: the haversine distance between points
-    with longitude gap Δλ is ≥ 2R·asin(√(cos φq · cos φ*) · sin(Δλ/2)),
-    where cos φ* is the MINIMUM cosine over the band (dropping the
-    always-positive Δφ term of the haversine can only shrink it).  The
-    previous linearized bound Δλ·R·cos φ* OVERestimated (asin ≤ its
-    argument scaled), which could falsely certify an inexact result.
+    A point p outside the window either has (mapped) latitude outside the
+    band — central angle ≥ the meridional margin |ψ_edge − ψ_q| (the
+    haversine's Δφ term alone) — or sits in the band beyond a lon edge:
+    angle ≥ 2·asin(√(cos ψq · cos ψ*) · sin(Δλ/2)) with cos ψ* the
+    MINIMUM cosine over the band (dropping the always-positive Δφ term of
+    the haversine can only shrink it).  An earlier linearized bound
+    Δλ·cos ψ* OVERestimated (asin ≤ its argument scaled), which could
+    falsely certify an inexact result.  ``lat_map`` must be monotone so
+    "outside the geodetic window ⇒ outside the mapped window" holds.
 
-    Windows that TOUCH a map edge get safe radius 0 (→ the query always
+    Windows that TOUCH a map edge get angle 0 (→ the query always
     escalates to brute force): near a pole the closest outside point can
     lie ACROSS the pole, and at ±180° it can lie across the antimeridian
-    wrap — neither is bounded by these edge distances, and an earlier
+    wrap — neither is bounded by these edge margins, and an earlier
     "edge ⇒ no escape that way (∞)" treatment silently certified WRONG
     results there (it also drove cos through sqrt(negative)=NaN, which
     Spark's greatest/least clamp launders into an asin(1) bound).  At
     res ≥ 4 edge-adjacent queries are a vanishing fraction of the grid.
     """
-    import math
-
     n = 1 << res
     w_lon, w_lat = 360.0 / n, 180.0 / n
     ix, iy = cell_xy_col(q_lon, q_lat, res)
@@ -98,28 +99,76 @@ def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
     lon_hi = (ix + ring + 1) * w_lon - 180.0
     lat_lo = (iy - ring) * w_lat - 90.0
     lat_hi = (iy + ring + 1) * w_lat - 90.0
-    deg = math.pi / 180.0 * R_SPHERE
-    # inside the edge guard |lat_lo|,|lat_hi| ≤ 90 → cosines ≥ 0, no NaN
-    cos_min = F.least(
-        F.cos(F.radians(F.greatest(F.abs(lat_lo), F.abs(lat_hi)))), F.cos(F.radians(q_lat))
-    )
-
-    def lon_edge(delta_deg):
-        half = F.radians(delta_deg) / 2.0
-        arg = F.sqrt(F.cos(F.radians(q_lat)) * cos_min) * F.sin(half)
-        return 2.0 * R_SPHERE * F.asin(F.least(F.greatest(arg, F.lit(0.0)), F.lit(1.0)))
-
     touches_edge = (
         (lat_hi >= 90.0) | (lat_lo <= -90.0)
         | (lon_hi >= 180.0) | (lon_lo <= -180.0)
     )
-    d_n = (lat_hi - q_lat) * deg
-    d_s = (q_lat - lat_lo) * deg
-    d_e = lon_edge(lon_hi - q_lon)
-    d_w = lon_edge(q_lon - lon_lo)
-    return F.when(touches_edge, F.lit(0.0)).otherwise(
-        F.least(d_n, d_s, d_e, d_w)
+    if lat_map is not None:
+        lat_lo_m, lat_hi_m, q_lat_m = lat_map(lat_lo), lat_map(lat_hi), lat_map(q_lat)
+    else:
+        lat_lo_m, lat_hi_m, q_lat_m = lat_lo, lat_hi, q_lat
+    # inside the edge guard |lat_lo|,|lat_hi| ≤ 90 → cosines ≥ 0, no NaN
+    cos_min = F.least(
+        F.cos(F.radians(F.greatest(F.abs(lat_lo_m), F.abs(lat_hi_m)))),
+        F.cos(F.radians(q_lat_m)),
     )
+
+    def lon_edge(delta_deg):
+        half = F.radians(delta_deg) / 2.0
+        arg = F.sqrt(F.cos(F.radians(q_lat_m)) * cos_min) * F.sin(half)
+        return 2.0 * F.asin(F.least(F.greatest(arg, F.lit(0.0)), F.lit(1.0)))
+
+    a_n = F.radians(lat_hi_m - q_lat_m)
+    a_s = F.radians(q_lat_m - lat_lo_m)
+    a_e = lon_edge(lon_hi - q_lon)
+    a_w = lon_edge(q_lon - lon_lo)
+    return F.when(touches_edge, F.lit(0.0)).otherwise(
+        F.least(a_n, a_s, a_e, a_w)
+    )
+
+
+def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
+    """Lower bound (meters) on the HAVERSINE distance from a query point to
+    anything outside its window: R · (central-angle bound)."""
+    return R_SPHERE * _window_angle_col(q_lon, q_lat, res, ring)
+
+
+def _safe_radius_vincenty_col(q_lon, q_lat, res: int, ring: int,
+                              spheroid=None):
+    """Lower bound (meters) on the ELLIPSOIDAL (Vincenty) distance from a
+    query point to anything outside its window.
+
+    Chain of inequalities, each direction-safe for a certificate (can
+    under- but never over-state the true distance):
+
+    1. the surface geodesic is ≥ the 3-D chord |P1 − P2|;
+    2. with both geocentric radii in [b, a] and geocentric central angle
+       θ:  chord² = (r1 − r2·cos θ)² + r2²·sin²θ ≥ b²·sin²θ, so
+       chord ≥ b·sin θ (θ ≤ 90°; larger margins are clamped to 90°);
+    3. θ ≥ the window's central-angle bound computed in GEOCENTRIC
+       latitude space (tan ψ = (1−f)²·tan φ is strictly monotone, so a
+       point outside the geodetic lat/lon window is outside the geocentric
+       one; longitudes are shared between the spaces).
+
+    Hence V_safe = b · sin(min(θ_bound, π/2)).  Near-antipodal pairs where
+    ``vincenty_inverse`` falls back to its haversine estimate are
+    irrelevant here: the certificate only compares k-th NEAREST distances
+    (small, converged) against this bound.
+    """
+    import math
+
+    from ..core.spheroid import Spheroid, get_spheroid_info
+
+    info = get_spheroid_info(spheroid if spheroid is not None else Spheroid.WGS_84)
+    b = info.minor_axis
+    one_mf2 = (1.0 - info.flattening) ** 2
+
+    def geocentric(phi_deg):
+        rad = F.radians(phi_deg)
+        return F.degrees(F.atan2(one_mf2 * F.sin(rad), F.cos(rad)))
+
+    ang = _window_angle_col(q_lon, q_lat, res, ring, lat_map=geocentric)
+    return b * F.sin(F.least(ang, F.lit(math.pi / 2.0)))
 
 
 def knn_join_exact(
@@ -141,21 +190,25 @@ def knn_join_exact(
     (res, ring) for the data density the escalation set is empty and the
     extra cost is one tiny aggregate.
 
-    Haversine only: the safe-radius certificate is a spherical bound, and
-    an ellipsoidal (Vincenty) k-th distance cannot be compared against it
-    soundly.
+    ``metric="haversine"`` certifies against the spherical window bound;
+    ``metric="vincenty"`` against the ellipsoidal chord bound
+    (``_safe_radius_vincenty_col`` — geocentric-latitude window angle →
+    b·sin θ, conservative in every step), so ellipsoidal kNN gets the same
+    provable escalation.
     """
-    if metric != "haversine":
-        raise ValueError("knn_join_exact certifies the haversine metric only")
+    if metric == "haversine":
+        safe = _safe_radius_col(F.col("q_lon"), F.col("q_lat"), res, ring)
+    elif metric == "vincenty":
+        safe = _safe_radius_vincenty_col(F.col("q_lon"), F.col("q_lat"), res, ring)
+    else:
+        raise ValueError(f"knn_join_exact: unknown metric {metric!r}")
     # top-k per query is tiny — persist so the expensive pruned plan runs
     # once, not once per downstream consumer (bad.count + good join)
     pruned = knn_join(queries, points, k, res, ring, metric, query_id, point_id).persist()
     per_q = pruned.groupBy(query_id).agg(
         F.max("dist_m").alias("_kth"), F.count("*").alias("_nf")
     )
-    qx = queries.join(per_q, query_id, "left").withColumn(
-        "_safe", _safe_radius_col(F.col("q_lon"), F.col("q_lat"), res, ring)
-    )
+    qx = queries.join(per_q, query_id, "left").withColumn("_safe", safe)
     bad = qx.filter(
         F.col("_nf").isNull() | (F.col("_nf") < k) | (F.col("_kth") >= F.col("_safe"))
     ).select(queries.columns)

@@ -189,6 +189,55 @@ def test_knn_exact_rescues_lossy_ring(spark):
     assert plain.exceptAll(slow).count() > 0 or slow.exceptAll(plain).count() > 0
 
 
+def test_knn_exact_vincenty_rescues_lossy_ring(spark):
+    """Ellipsoidal certificate (geocentric-angle chord bound): at a lossy
+    (res, ring) the pruned join drops true Vincenty neighbors but
+    knn_join_exact(metric='vincenty') still equals brute force."""
+    from projcl_spark.operators.knn import knn_join_exact
+
+    pts = synth.geo_points(spark, 60).withColumn(
+        "pid", F.concat_ws("#", "doc_id", "offset")
+    ).select("pid", "lon", "lat")
+    qs = spark.createDataFrame(
+        [(0, 10.0, 48.0), (1, -30.0, 20.0), (2, 0.0, 0.0), (3, 45.0, -30.0),
+         (4, 179.95, 0.05), (5, -5.0, 89.0)],
+        "query_id long, q_lon double, q_lat double",
+    )
+    exact = knn_join_exact(qs, pts, k=5, res=6, ring=1, metric="vincenty",
+                           point_id="pid").select("query_id", "pid", "rank")
+    slow = knn_bruteforce(qs, pts, k=5, metric="vincenty",
+                          point_id="pid").select("query_id", "pid", "rank")
+    assert exact.exceptAll(slow).count() == 0
+    assert slow.exceptAll(exact).count() == 0
+
+
+def test_knn_exact_vincenty_certificate_is_conservative(spark):
+    """Dense ring where pruning IS sufficient: the ellipsoidal safe radius
+    must still certify (i.e. not escalate everything to brute force) AND
+    match brute force — checks the bound is usable, not merely sound."""
+    from projcl_spark.operators.knn import knn_bruteforce, knn_join_exact
+
+    # 400 points in a tight band around (10, 48): the k-th neighbor is well
+    # inside the res-4 ring window
+    pts = synth.geo_points(spark, 400).withColumn(
+        "pid", F.concat_ws("#", "doc_id", "offset")
+    ).select(
+        "pid",
+        (F.col("lon") / 36.0 + 10.0).alias("lon"),
+        (F.col("lat") / 18.0 + 48.0).alias("lat"),
+    )
+    qs = spark.createDataFrame(
+        [(0, 10.0, 48.0), (1, 10.5, 47.8)],
+        "query_id long, q_lon double, q_lat double",
+    )
+    exact = knn_join_exact(qs, pts, k=3, res=4, ring=1, metric="vincenty",
+                           point_id="pid").select("query_id", "pid", "rank")
+    slow = knn_bruteforce(qs, pts, k=3, metric="vincenty",
+                          point_id="pid").select("query_id", "pid", "rank")
+    assert exact.exceptAll(slow).count() == 0
+    assert slow.exceptAll(exact).count() == 0
+
+
 def test_datum_shift_cols_matches_udf(spark):
     """JVM-codegen datum chain == fused pandas UDF (≤1e-12°)."""
     from projcl_spark.functions import datum_shift_cols, datum_shift_udf
