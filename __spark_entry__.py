@@ -1579,6 +1579,25 @@ WHERE (win_s + 300) * 1000 <=
       (SELECT max(epoch_us(ts)) // 1000 FROM events) - 600000"""
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, value-checked: watermark-bounded
+    dropDuplicatesWithinWatermark over a manufactured content key.
+    n_parts=1 → single availableNow micro-batch → no mid-run state expiry,
+    so the emitted set is exactly the distinct key set (the DuckDB twin's
+    SELECT DISTINCT)."""
+    from projcl_spark.streaming.ops import stream_dedup
+
+    name = _run_available_now(spark, sf_dir, "stream_dedup", 1, stream_dedup)
+    return spark.sql(f"SELECT user_id, bucket FROM {name}")
+
+
+def _o_stream_dedup() -> str:
+    from projcl_spark.streaming.ops import DEDUP_BUCKETS
+
+    return (f"SELECT DISTINCT user_id, "
+            f"CAST(event_id % {DEDUP_BUCKETS} AS BIGINT) AS bucket FROM events")
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, value-checked:
     applyInPandasWithState sessionization (30-min inactivity gap,
@@ -2028,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         checkpoint_lineage=q_checkpoint_lineage,
         stream_cells=q_stream_cells,
         stream_sessions=q_stream_sessions,
+        stream_dedup=q_stream_dedup,
         warp_pipeline=q_warp_pipeline,
         warp_datum_pipeline=q_warp_datum_pipeline,
         media_decode=q_media_decode,
@@ -2084,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         checkpoint_lineage=_o_checkpoint_lineage(),
         stream_cells=_o_stream_cells(),
         stream_sessions=_o_stream_sessions(),
+        stream_dedup=_o_stream_dedup(),
         warp_pipeline=_o_warp_pipeline(),
         warp_datum_pipeline=_o_warp_datum_pipeline(),
         media_decode=_o_media_decode(),

@@ -58,6 +58,38 @@ def stream_cell_counts(
     )
 
 
+DEDUP_BUCKETS = 50
+
+
+def stream_dedup(stream: DataFrame, buckets: int = DEDUP_BUCKETS,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup — the at-least-once-ingestion twin of the
+    batch ``dedup_exact``: drop replayed rows by content key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``, so state is
+    BOUNDED by the watermark instead of growing forever — the only shape
+    that survives an unbounded stream).
+
+    The content key here is (user_id, event_id % buckets): the modulus
+    manufactures genuine collisions in the synthetic feed, standing in for
+    a payload hash.  Only the KEY columns are emitted — the surviving
+    row's other fields depend on arrival order, the key set does not.
+
+    Determinism note (same precondition as ``sessionize``): with the
+    whole input in one availableNow micro-batch, no key's state can
+    expire mid-run, so the output is exactly one row per distinct key.
+    Across multiple micro-batches a key re-arriving after its state
+    expired re-emits — correct dedup-within-horizon semantics, but only
+    the single-batch drain is value-oracle-checkable."""
+    keyed = stream.select(
+        "user_id",
+        (F.col("event_id") % buckets).cast("long").alias("bucket"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).withWatermark("ts", watermark)
+    return keyed.dropDuplicatesWithinWatermark(["user_id", "bucket"]).select(
+        "user_id", "bucket"
+    )
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", TimestampType()),

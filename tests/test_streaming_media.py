@@ -87,6 +87,37 @@ def test_sessionize_matches_batch_oracle(spark, events_dir):
         assert k in okey and okey[k] == r.n_events, k
 
 
+def test_stream_dedup_collapses_replays(spark, tmp_path):
+    """Explicitly replayed rows (at-least-once ingestion) collapse to one
+    row per key; emitted set == batch DISTINCT of the keys."""
+    from projcl_spark.streaming.ops import stream_dedup
+
+    rows = [
+        # (event_id, user_id) — event_id 3 and 53 share bucket 3 (mod 50),
+        # and ids 7/7 are a literal replay
+        (3, 1, "2024-01-01 10:00:00"), (53, 1, "2024-01-01 10:01:00"),
+        (7, 2, "2024-01-01 10:02:00"), (7, 2, "2024-01-01 10:02:00"),
+        (3, 2, "2024-01-01 10:03:00"),  # same bucket, different user → kept
+    ]
+    p = str(tmp_path / "dedup_in")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(p)
+    schema = spark.read.parquet(p).schema
+    stream = spark.readStream.schema(schema).parquet(p)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(120), "stream did not terminate"
+    finally:
+        q.stop()
+    got = {(r.user_id, r.bucket) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {(1, 3), (2, 7), (2, 3)}
+
+
 def test_media_decode_roundtrip(spark):
     m = media.synth_media(spark, 50)
     meta = m.select("media_ref", "kind", media.decode_meta("data").alias("meta"))
