@@ -402,6 +402,49 @@ pc AS (SELECT gi, gj, ((ax - {O._r(ox)}) / {O._r(psx)}) AS x, ((ay - {O._r(oy)})
 SELECT gi, gj, CAST(round({_tapsum_sql("bilinear")} * 1e6, 0) AS BIGINT) AS value_e6 FROM pc"""
 
 
+def q_warp_rgba_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full warp recipe over a 4-channel (RGBA) mosaic — the reference's
+    float4 imagery path (read_imagef, kernel/pl_sample_nearest.opencl:15,40)
+    through the complete dst-inverse → src-forward → bilinear chain, with
+    per-channel value oracles."""
+    from projcl_spark.operators.warp import warp as warp_op
+    from projcl_spark.sources.synth import tiles_df
+
+    tiles = tiles_df(spark, TILES_ACROSS, TILES_DOWN, TILE_W, TILE_H,
+                     channels=WARP_CHANNELS)
+    out = warp_op(
+        spark, tiles, GRID_W, GRID_H, WARP_BOUNDS,
+        WARP_DST[0], WARP_DST[1], WARP_SRC[0], WARP_SRC[1],
+        WARP_SRC_ORIGIN, WARP_SRC_PXSIZE,
+        TILE_W, TILE_H, TILES_ACROSS, TILES_DOWN, filter="bilinear",
+        channel_cols=_CHANNEL_COLS,
+    )
+    return out.select(
+        "gi", "gj",
+        *[F.round(F.col(f"value_{c}") * 1e6, 0).cast("long").alias(f"c{c}_e6")
+          for c in range(WARP_CHANNELS)],
+    )
+
+
+def _o_warp_rgba_pipeline() -> str:
+    x0, y0, x1, y1 = WARP_BOUNDS
+    grid = _grid_cte(x0, y0, x1 - x0, y1 - y0, "mx", "my")
+    lon, lat = O.mercator_inv_sql(WARP_DST[1], "mx", "my")
+    ax, ay = O.fwd_xy_sql(WARP_SRC[0], WARP_SRC[1], lon="lon", lat="lat")
+    ox, oy = WARP_SRC_ORIGIN
+    psx, psy = WARP_SRC_PXSIZE
+    chans = ", ".join(
+        f"CAST(round({_tapsum_sql('bilinear', channel=c)} * 1e6, 0) AS BIGINT) AS c{c}_e6"
+        for c in range(WARP_CHANNELS)
+    )
+    return f"""
+WITH g AS ({grid}),
+ll AS (SELECT gi, gj, {lon} AS lon, {lat} AS lat FROM g),
+src AS (SELECT gi, gj, {ax} AS ax, {ay} AS ay FROM ll),
+pc AS (SELECT gi, gj, ((ax - {O._r(ox)}) / {O._r(psx)}) AS x, ((ay - {O._r(oy)}) / {O._r(psy)}) AS y FROM src)
+SELECT gi, gj, {chans} FROM pc"""
+
+
 # ------------------------------------------------------------------ queries ---
 
 
@@ -2049,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_sessions=q_stream_sessions,
         stream_dedup=q_stream_dedup,
         warp_pipeline=q_warp_pipeline,
+        warp_rgba_pipeline=q_warp_rgba_pipeline,
         warp_datum_pipeline=q_warp_datum_pipeline,
         media_decode=q_media_decode,
         media_frames=q_media_frames,
@@ -2106,6 +2150,7 @@ def oracle_sql() -> dict[str, str]:
         stream_sessions=_o_stream_sessions(),
         stream_dedup=_o_stream_dedup(),
         warp_pipeline=_o_warp_pipeline(),
+        warp_rgba_pipeline=_o_warp_rgba_pipeline(),
         warp_datum_pipeline=_o_warp_datum_pipeline(),
         media_decode=_o_media_decode(),
         media_frames=_o_media_frames(),

@@ -66,9 +66,10 @@ def _parse_headers(data: pd.Series) -> pd.DataFrame:
     pandas ``.str`` byte ops (C loops), no Python-level per-row iteration."""
     s = data.astype(object)
     n_bytes = s.str.len().astype("Int64")
-    # latin-1 is a bijective byte↔char map, so arbitrary binary payload
-    # bytes survive the decode; the header itself is ASCII
-    parts = s.str.decode("latin-1").str.split("|", n=5, expand=True)
+    # decode only the header slice (≤64 B covers "PCLMEDIA|kind|w|h|f|"),
+    # not multi-MB payloads; latin-1 is a bijective byte↔char map, so any
+    # stray binary bytes inside the slice survive the decode
+    parts = s.str.slice(0, 64).str.decode("latin-1").str.split("|", n=5, expand=True)
     kind = parts[1]
     width = pd.to_numeric(parts[2], errors="coerce").astype("Int64")
     height = pd.to_numeric(parts[3], errors="coerce").astype("Int64")

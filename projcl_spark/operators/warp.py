@@ -245,23 +245,42 @@ def assemble_tiles(
     tile_height: int,
     tiles_across: int,
     value_col: str = "value",
+    value_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Inverse of the sampling direction: destination pixel rows
-    (gi, gj, value) → a tile table (the reference's output side is
+    (gi, gj, value[, …]) → a tile table (the reference's output side is
     ``clEnqueueReadImage`` into a host image, ``src/projcl_warp.c:367,429``;
     ours is a tile-row sink, completing raster↔vector in BOTH directions).
 
     Pixels land in row-major order inside each tile via an explicit
-    positional sort (``array_sort`` on (pos, value) structs) — deterministic
-    at any parallelism.  Missing pixels are an error by contract (the
-    caller warps a full grid); tile dims must divide the grid.
-    """
+    positional sort (``array_sort`` on (pos, value…) structs) —
+    deterministic at any parallelism.  Missing pixels are an error by
+    contract (the caller warps a full grid); tile dims must divide the
+    grid.
+
+    ``value_cols`` assembles N channels in one pass (e.g. the
+    ``value_0…value_3`` output of an RGBA ``sample_tiles``): every channel
+    rides in the same sorted struct, and the output carries band columns
+    ``pixels``, ``pixels_1``, … matching the ``tiles_df`` layout, so a
+    sample → assemble round-trip is schema-closed."""
+    if value_cols is None:
+        value_cols = (value_col,)
     pos = (F.col("gi") % tile_height) * tile_width + (F.col("gj") % tile_width)
+    pv = F.struct(
+        pos.cast("int").alias("pos"),
+        *[F.col(c).alias(f"v{i}") for i, c in enumerate(value_cols)],
+    )
     keyed = pixels.select(
         F.floor(F.col("gi") / tile_height).cast("int").alias("tile_row"),
         F.floor(F.col("gj") / tile_width).cast("int").alias("tile_col"),
-        F.struct(pos.cast("int").alias("pos"), F.col(value_col).alias("v")).alias("pv"),
+        pv.alias("pv"),
     )
+    bands = [
+        F.expr(f"transform(pvs, s -> s.v{i})").alias(
+            "pixels" if i == 0 else f"pixels_{i}"
+        )
+        for i in range(len(value_cols))
+    ]
     return (
         keyed.groupBy("tile_row", "tile_col")
         .agg(F.array_sort(F.collect_list("pv")).alias("pvs"))
@@ -270,7 +289,7 @@ def assemble_tiles(
             "tile_row", "tile_col",
             F.lit(tile_width).alias("width"),
             F.lit(tile_height).alias("height"),
-            F.expr("transform(pvs, s -> s.v)").alias("pixels"),
+            *bands,
         )
     )
 

@@ -98,6 +98,32 @@ def test_assemble_tiles_identity_roundtrip(spark):
         assert src[tid] == out[tid], f"tile {tid} differs"
 
 
+def test_assemble_tiles_rgba_roundtrip(spark):
+    """4-channel tiles → nearest-sample every pixel → assemble_tiles with
+    value_cols == source bands (raster→vector→raster identity per channel)."""
+    from projcl_spark.operators.warp import assemble_tiles
+
+    chans = ("pixels", "pixels_1", "pixels_2", "pixels_3")
+    tiles = tiles_df(spark, 2, 2, 8, 8, channels=4)
+    g = grid_df(spark, 16, 16, 0.0, 0.0, 15.0, 15.0)
+    sampled = sample_tiles(g, tiles, 8, 8, 2, 2, filter="nearest",
+                           channel_cols=chans)
+    rebuilt = assemble_tiles(
+        sampled.select(
+            "gi", "gj",
+            *[F.col(f"value_{i}").cast("int").alias(f"value_{i}") for i in range(4)],
+        ),
+        8, 8, 2, value_cols=tuple(f"value_{i}" for i in range(4)),
+    )
+    band = lambda r, i: r["pixels"] if i == 0 else r[f"pixels_{i}"]
+    src = {r["tile_id"]: [band(r, i) for i in range(4)] for r in tiles.collect()}
+    out = {r["tile_id"]: [band(r, i) for i in range(4)] for r in rebuilt.collect()}
+    assert set(src) == set(out)
+    for tid in src:
+        for i in range(4):
+            assert src[tid][i] == out[tid][i], f"tile {tid} band {i} differs"
+
+
 def _mosaic_image(spark, ta=2, td=2, tw=8, th=8) -> np.ndarray:
     """Collect the synthetic tile mosaic into a (H, W) numpy image."""
     rows = tiles_df(spark, ta, td, tw, th).collect()
