@@ -200,6 +200,12 @@ def build_queries(spark, sf_dir):
         _force(E._q_text("dedup_minhash")(spark, sf_dir))
         return n_docs
 
+    def q_dedup_clusters():
+        # end-to-end pairs → connected components → canonical (includes the
+        # CC loop's per-round convergence counts — honest wall time)
+        _force(E.q_dedup_clusters(spark, sf_dir))
+        return n_docs
+
     def q_warp_large():
         # scale-shaped warp: 1M destination pixels → 4M bilinear taps
         from projcl_spark.operators.warp import grid_df, sample_tiles
@@ -229,6 +235,7 @@ def build_queries(spark, sf_dir):
         "warp_rgba": q_warp_rgba,
         "warp_large": q_warp_large,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

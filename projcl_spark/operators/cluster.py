@@ -89,7 +89,16 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds — "
             "pathological chain graph; switch to large-star/small-star"
         )
-    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    # Truncate the loop's lineage BEFORE releasing the per-round cache:
+    # returning the raw plan and unpersisting would make every downstream
+    # consumer replay all rounds from the source (measured: 60 re-scans of
+    # the signature stage in the final dedup_clusters plan).  The label
+    # table is two BIGINTs per node — the eager localCheckpoint is one tiny
+    # job; swap in a reliable checkpoint dir / parquet stage on a cluster
+    # where executor loss matters.
+    out = labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
     labels.unpersist(blocking=False)
     return out
 
