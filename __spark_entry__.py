@@ -1926,6 +1926,37 @@ def _o_media_frames() -> str:
             f"WHERE n_frames > 1")
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (payload-byte stub) → block-crop → per-image integer mean via
+    mapInPandas — the multimodal feature-extraction shape, now VALUE-
+    oracled because the stub decode reads the payload bytes through a
+    SQL-expressible index map (operators/media.decode_pixels)."""
+    from projcl_spark.operators.media import resize_stats, synth_media
+
+    m = synth_media(spark, N_MEDIA)
+    return resize_stats(m).select(
+        "media_ref", "out_w", "out_h", F.col("mean_e3").cast("long").alias("mean_e3")
+    )
+
+
+def _o_media_resize() -> str:
+    # payload = md5('payload:'||id), 32 hex chars; decode caps at 64×64
+    # (every synthetic width/height ≥ 64), target 32 divides it → the
+    # cropped region is the full 64×64 grid; pixel = ascii of payload char
+    # at (31x+17y) mod 32; mean_e3 = integer round-half-up of 1000·mean.
+    return f"""
+WITH m AS (SELECT 'm://' || md5(CAST(id AS VARCHAR)) AS media_ref,
+                  md5('payload:' || CAST(id AS VARCHAR)) AS payload
+           FROM range({N_MEDIA}) t(id)),
+s AS (SELECT media_ref,
+             CAST(sum(ascii(substr(payload, ((31 * x + 17 * y) % 32) + 1, 1))) AS BIGINT) AS tot
+      FROM m, range(64) tx(x), range(64) ty(y)
+      GROUP BY media_ref)
+SELECT media_ref, CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
+       CAST((tot * 1000 + 2048) // 4096 AS BIGINT) AS mean_e3
+FROM s"""
+
+
 # ------------------------------------------------------- text/dedup suite ---
 
 
@@ -2096,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         warp_datum_pipeline=q_warp_datum_pipeline,
         media_decode=q_media_decode,
         media_frames=q_media_frames,
+        media_resize=q_media_resize,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -2154,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         warp_datum_pipeline=_o_warp_datum_pipeline(),
         media_decode=_o_media_decode(),
         media_frames=_o_media_frames(),
+        media_resize=_o_media_resize(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

@@ -90,8 +90,12 @@ def decode_pixels(blob: bytes, width: int, height: int) -> np.ndarray:
 
     With PIL installed this would decode real image bytes; this container
     has no codecs, so a clearly-marked deterministic fake stands in —
-    the Spark-side plumbing (binary → numpy (h, w) array inside an Arrow
-    batch) is identical either way."""
+    but one that READS THE ACTUAL PAYLOAD BYTES (the part after the 5th
+    ``|``): pixel(y, x) = payload[(31·x + 17·y) mod len(payload)].  That
+    keeps the Spark-side plumbing identical to a real decoder (binary →
+    numpy (h, w) array inside an Arrow batch, per-blob byte access) AND
+    makes the decode SQL-expressible, so ``resize_stats`` gets a DuckDB
+    value oracle (``__spark_entry__._o_media_resize``)."""
     try:
         from PIL import Image  # noqa: F401
 
@@ -101,9 +105,12 @@ def decode_pixels(blob: bytes, width: int, height: int) -> np.ndarray:
         )
     except ImportError:
         pass
-    seed = int(hashlib.md5(bytes(blob)).hexdigest()[:15], 16)
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width), dtype=np.int64)
+    payload = bytes(blob).split(b"|", 5)[5]
+    if not payload:
+        payload = b"\x00"
+    pb = np.frombuffer(payload, dtype=np.uint8)
+    idx = (31 * np.arange(width)[None, :] + 17 * np.arange(height)[:, None]) % len(pb)
+    return pb[idx].astype(np.int64)
 
 
 def resize_stats(df: DataFrame, target: int = 32) -> DataFrame:
@@ -133,7 +140,10 @@ def resize_stats(df: DataFrame, target: int = 32) -> DataFrame:
                            : ow * (px.shape[1] // ow) if px.shape[1] >= ow else ow]
                 ows.append(ow)
                 ohs.append(oh)
-                means.append(int(round(float(small.mean()) * 1000)))
+                # integer round-half-up of 1000·mean: float round() would
+                # banker's-round exact .5 ties differently than SQL round()
+                tot, npix = int(small.sum()), small.size
+                means.append((tot * 1000 + npix // 2) // npix)
             yield pd.DataFrame({"media_ref": pdf["media_ref"].to_numpy(),
                                 "out_w": ows, "out_h": ohs, "mean_e3": means})
 
