@@ -11,12 +11,15 @@ pure-DataFrame connected-components pass:
   join is an equi-join on doc_id each round;
 - **min-label propagation**: every node starts labelled with itself; each
   round every node takes the min label over itself and its neighbors.
-  Converges in O(component diameter) rounds — near-dup clusters are
-  shallow (a handful of hops), so 3–5 rounds in practice.  For adversarial
-  long-chain graphs the alternating large-star/small-star contraction
-  (Kiveris et al., "Connected Components in MapReduce", SoCC'14) is the
-  O(log n)-round drop-in; the per-round dataflow (labels ⋈ edges →
-  groupBy-min) is identical, so the swap is local to this loop;
+  Hooking alone converges in O(component diameter) rounds; each round
+  additionally POINTER-JUMPS (label ← label's label, the Shiloach–Vishkin
+  path-doubling idea), which compresses label chains geometrically —
+  O(log diameter) rounds overall, so a 10^6-node path converges in ~20
+  rounds instead of 10^6.  Both steps only ever move a node's label to a
+  smaller id within its own component, so the fixpoint is the
+  component-minimum id (the alternating large-star/small-star contraction
+  of Kiveris et al., SoCC'14, is the further-optimized relative; this
+  loop keeps one code path);
 - **bounded driver actions**: one tiny ``count`` per round for the
   convergence check, nothing else leaves the executors;
 - label state is two BIGINTs per node — persisted per round (the
@@ -67,10 +70,18 @@ def connected_components(
             sym.join(labels.withColumnRenamed("id", "s"), "s")
             .select(F.col("d").alias("id"), "label")
         )
-        new_labels = (
+        hooked = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label ← label's label.  Every label IS a node id
+        # (init: own id; hooking only moves existing labels), so the
+        # self-join resolves; coalesce guards the no-match edge case.
+        parent = hooked.select(F.col("id").alias("_pid"), F.col("label").alias("_plabel"))
+        new_labels = (
+            hooked.join(parent, hooked["label"] == parent["_pid"], "left")
+            .select("id", F.coalesce("_plabel", "label").alias("label"))
         )
         if (rnd + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
@@ -87,7 +98,8 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds — "
-            "pathological chain graph; switch to large-star/small-star"
+            "with pointer jumping this needs a component diameter > "
+            f"~2^{max_rounds}; inspect the edge input"
         )
     # Truncate the loop's lineage BEFORE releasing the per-round cache:
     # returning the raw plan and unpersisting would make every downstream

@@ -48,6 +48,49 @@ def test_dedup_clusters_canonical_rules(spark):
     assert rows[10].n_docs == 2 and rows[10].canonical == 10
 
 
+def test_cc_long_chain_converges_fast(spark):
+    """A 120-node path has diameter 119 — plain min-label hooking would
+    need 119 rounds (> MAX_CC_ROUNDS); pointer jumping must converge it
+    within the round cap AND still produce the component min."""
+    n = 120
+    nodes = _nodes(spark, list(range(n)))
+    edges = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    """Deterministic pseudo-random graph vs a python union-find oracle."""
+    import hashlib
+
+    n, m = 200, 150
+    def h(i):
+        return int(hashlib.md5(f"edge:{i}".encode()).hexdigest()[:12], 16)
+    pairs = [(h(i) % n, h(i + 10_000) % n) for i in range(m)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # union-find roots are not guaranteed minimal per component — normalize
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in range(n)}
+    nodes = _nodes(spark, list(range(n)))
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(nodes, _edges(spark, pairs)).collect()}
+    assert got == want
+
+
 def test_cc_no_edges_converges_round_zero(spark):
     nodes = _nodes(spark, [5, 6])
     got = {r.doc_id: r.cluster_id
