@@ -214,7 +214,7 @@ def _triangles(n: int = 24, seed: int = 42) -> list[dict]:
 PIP_RES = 7
 
 
-_TRI_DF_CACHE: dict[int, DataFrame] = {}
+_TRI_DF_CACHE: dict[str, DataFrame] = {}
 
 
 def _triangles_df(spark: SparkSession) -> DataFrame:
@@ -223,7 +223,9 @@ def _triangles_df(spark: SparkSession) -> DataFrame:
     # DIFFERENT semanticHashes — returning the same DataFrame object keeps
     # pip_join's vert_map memo (operators/pip.py) hitting across the gate
     # queries and bench iterations instead of collecting per call
-    key = id(spark)
+    # applicationId is unique per session lifetime (a recycled python id()
+    # could alias a stopped session's entry)
+    key = spark.sparkContext.applicationId
     if key not in _TRI_DF_CACHE:
         rows = [
             (t["poly_id"],
