@@ -1971,6 +1971,51 @@ SELECT media_ref, CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
 FROM s"""
 
 
+EMBED_DIM = 16
+
+
+def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-derived fake embedding (mapInPandas, Arrow both ways) with a
+    full per-component value oracle: the stub components are md5-chunk
+    doubles and the normalization is an explicitly sequential sum of
+    squares, so DuckDB replays the identical IEEE op sequence.  Quantized
+    with floor(x·1e6 + 0.5) — half-up in BOTH engines (python round() is
+    banker's, SQL round() is half-away; floor(+0.5) sidesteps both)."""
+    from projcl_spark.operators.media import embed_stub, synth_media
+
+    m = synth_media(spark, N_MEDIA)
+    e = embed_stub(m, dim=EMBED_DIM)
+    return e.select(
+        "media_ref",
+        *[
+            F.floor(F.element_at("embedding", i + 1).cast("double") * 1e6 + 0.5)
+            .cast("long").alias(f"e{i}_e6")
+            for i in range(EMBED_DIM)
+        ],
+    )
+
+
+def _o_media_embed() -> str:
+    vs = []
+    for i in range(EMBED_DIM):
+        h = O.hash60(f"'emb:' || payload || ':{i}'", "duck")
+        vs.append(f"(CAST({h} AS DOUBLE) / {2.0 ** 59:.1f} - 1.0) AS v{i}")
+    # left-associative `+` chain == the engine's sequential accumulation
+    sumsq = " + ".join(f"v{i} * v{i}" for i in range(EMBED_DIM))
+    outs = ", ".join(
+        f"CAST(floor(CAST(CAST(v{i} / nrm AS REAL) AS DOUBLE) * 1e6 + 0.5) "
+        f"AS BIGINT) AS e{i}_e6"
+        for i in range(EMBED_DIM)
+    )
+    return f"""
+WITH m AS (SELECT 'm://' || md5(CAST(id AS VARCHAR)) AS media_ref,
+                  md5('payload:' || CAST(id AS VARCHAR)) AS payload
+           FROM range({N_MEDIA}) t(id)),
+c AS (SELECT media_ref, {', '.join(vs)} FROM m),
+n AS (SELECT *, sqrt({sumsq}) AS nrm FROM c)
+SELECT media_ref, {outs} FROM n"""
+
+
 # ------------------------------------------------------- text/dedup suite ---
 
 
@@ -2142,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_decode=q_media_decode,
         media_frames=q_media_frames,
         media_resize=q_media_resize,
+        media_embed=q_media_embed,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -2201,6 +2247,7 @@ def oracle_sql() -> dict[str, str]:
         media_decode=_o_media_decode(),
         media_frames=_o_media_frames(),
         media_resize=_o_media_resize(),
+        media_embed=_o_media_embed(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

@@ -161,22 +161,47 @@ def frame_sample(meta_df: DataFrame, stride: int = 10) -> DataFrame:
     )
 
 
+def embed_components(payload: str, dim: int) -> list[float]:
+    """Raw (pre-normalization) fake-embedding components from the payload:
+    component_i = first-60-bits(md5('emb:'+payload+':'+i)) / 2^59 − 1
+    ∈ [−1, 1).  Every step is a deterministic IEEE double op, and the same
+    formula is SQL-expressible (``oracle.hash60`` + exact power-of-two
+    scaling), so the gate query gets a value oracle."""
+    return [
+        int(hashlib.md5(f"emb:{payload}:{i}".encode()).hexdigest()[:15], 16)
+        / 2.0**59 - 1.0
+        for i in range(dim)
+    ]
+
+
 def embed_stub(df: DataFrame, dim: int = 16) -> DataFrame:
-    """Deterministic fake embedding per blob (md5-seeded) via mapInPandas —
-    the plumbing a real vision encoder would use (Arrow in, Arrow out)."""
+    """Deterministic fake embedding per blob via mapInPandas — the
+    plumbing a real vision encoder would use (Arrow in, Arrow out).  The
+    stand-in components derive from the ACTUAL payload bytes
+    (``embed_components``); normalization uses an explicitly SEQUENTIAL
+    sum of squares so the oracle's left-associative SQL sum replays the
+    identical IEEE operation sequence."""
     out_schema = StructType([
         StructField("media_ref", StringType()),
         StructField("embedding", ArrayType(FloatType())),
     ])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             embs = []
             for blob in pdf["data"]:
-                seed = int(hashlib.md5(bytes(blob)).hexdigest()[:15], 16)
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim)
-                embs.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+                payload = bytes(blob).split(b"|", 5)[5].decode("latin-1")
+                v = embed_components(payload, dim)
+                acc = 0.0
+                for x in v:  # sequential: matches the oracle's (((v0²+v1²)+…)
+                    acc += x * x
+                nrm = math.sqrt(acc)
+                embs.append(
+                    np.asarray([x / nrm for x in v], dtype=np.float64)
+                    .astype(np.float32).tolist()
+                )
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "embedding": embs})
 
     return df.mapInPandas(fn, out_schema)
