@@ -25,11 +25,11 @@ from ..functions import EARTH_RADIUS_SPHERE, haversine_col, vincenty_udf
 from ..index.cells import cell_id_col, cell_xy_col, ring_cells_col
 
 
-def _dist(metric: str):
+def _dist(metric: str, spheroid=None):
     if metric == "haversine":
         return lambda: haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("lon"), F.col("lat"))
     if metric == "vincenty":
-        udf = vincenty_udf()
+        udf = vincenty_udf(spheroid) if spheroid is not None else vincenty_udf()
         return lambda: udf(F.col("q_lon"), F.col("q_lat"), F.col("lon"), F.col("lat"))
     raise ValueError(f"unknown metric {metric!r}")
 
@@ -43,8 +43,12 @@ def knn_join(
     metric: str = "haversine",
     query_id: str = "query_id",
     point_id: str = "doc_id",
+    spheroid=None,
 ) -> DataFrame:
     """queries(query_id, q_lon, q_lat) × points(point_id, lon, lat) → top-k.
+
+    ``spheroid`` selects the Vincenty ellipsoid (default WGS-84); ignored
+    for the haversine metric.
 
     Plan shape: queries explode their cell ring (small multiplier,
     (2·ring+1)²) → equi-join points on cell_id → windowed top-k.  The big
@@ -54,7 +58,7 @@ def knn_join(
         "cell_id", F.explode(ring_cells_col(cell_id_col(F.col("q_lon"), F.col("q_lat"), res), res, ring))
     )
     p = points.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), res))
-    cand = q.join(p, "cell_id", "inner").withColumn("dist_m", _dist(metric)())
+    cand = q.join(p, "cell_id", "inner").withColumn("dist_m", _dist(metric, spheroid)())
     w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -180,6 +184,7 @@ def knn_join_exact(
     metric: str = "haversine",
     query_id: str = "query_id",
     point_id: str = "doc_id",
+    spheroid=None,
 ) -> DataFrame:
     """Exact kNN at any density: pruned pass + provable escalation.
 
@@ -199,12 +204,14 @@ def knn_join_exact(
     if metric == "haversine":
         safe = _safe_radius_col(F.col("q_lon"), F.col("q_lat"), res, ring)
     elif metric == "vincenty":
-        safe = _safe_radius_vincenty_col(F.col("q_lon"), F.col("q_lat"), res, ring)
+        safe = _safe_radius_vincenty_col(F.col("q_lon"), F.col("q_lat"), res, ring,
+                                         spheroid=spheroid)
     else:
         raise ValueError(f"knn_join_exact: unknown metric {metric!r}")
     # top-k per query is tiny — persist so the expensive pruned plan runs
     # once, not once per downstream consumer (bad.count + good join)
-    pruned = knn_join(queries, points, k, res, ring, metric, query_id, point_id).persist()
+    pruned = knn_join(queries, points, k, res, ring, metric, query_id, point_id,
+                      spheroid=spheroid).persist()
     per_q = pruned.groupBy(query_id).agg(
         F.max("dist_m").alias("_kth"), F.count("*").alias("_nf")
     )
@@ -223,7 +230,7 @@ def knn_join_exact(
     pruned.unpersist(blocking=False)
     if bad_rows == 0:
         return good
-    rescued = knn_bruteforce(bad, points, k, metric, query_id, point_id)
+    rescued = knn_bruteforce(bad, points, k, metric, query_id, point_id, spheroid)
     return good.unionByName(rescued.select(good.columns))
 
 
@@ -234,8 +241,9 @@ def knn_bruteforce(
     metric: str = "haversine",
     query_id: str = "query_id",
     point_id: str = "doc_id",
+    spheroid=None,
 ) -> DataFrame:
     """Exact kNN via cross join — the oracle twin (small inputs only)."""
-    cand = queries.crossJoin(points).withColumn("dist_m", _dist(metric)())
+    cand = queries.crossJoin(points).withColumn("dist_m", _dist(metric, spheroid)())
     w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
