@@ -58,11 +58,13 @@ def connected_components(
     clusters); ``edges`` rows are unordered pairs.  Deterministic at any
     parallelism: the fixpoint (component min) is parallelism-independent.
     """
+    # persist the symmetrized edge list: the upstream pair plan (an LSH
+    # band join in the dedup case) would otherwise re-execute EVERY round
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
-    )
+    ).persist()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
     labels.count()  # materialize round 0
     for rnd in range(max_rounds):
@@ -96,6 +98,8 @@ def connected_components(
         if changed == 0:
             break
     else:
+        labels.unpersist(blocking=False)
+        sym.unpersist(blocking=False)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds — "
             "with pointer jumping this needs a component diameter > "
@@ -112,6 +116,7 @@ def connected_components(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     ).localCheckpoint(eager=True)
     labels.unpersist(blocking=False)
+    sym.unpersist(blocking=False)
     return out
 
 
