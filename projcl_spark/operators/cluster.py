@@ -65,7 +65,15 @@ def connected_components(
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
     ).persist()
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    # the loop runs over EDGE ENDPOINTS only — the LSH-bounded dup set, a
+    # tiny fraction of the corpus.  Isolated docs never enter a shuffle:
+    # they become singletons in the final left join.  (Looping over the
+    # full node table would persist O(corpus) label state per round —
+    # ~16 TB at 10^12 docs — for rows whose label never changes.)
+    labels = (
+        sym.select(F.col("s").alias("id")).distinct()
+        .withColumn("label", F.col("id")).persist()
+    )
     labels.count()  # materialize round 0
     for rnd in range(max_rounds):
         nbr = (
@@ -112,12 +120,16 @@ def connected_components(
     # table is two BIGINTs per node — the eager localCheckpoint is one tiny
     # job; swap in a reliable checkpoint dir / parquet stage on a cluster
     # where executor loss matters.
-    out = labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    loop_labels = labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("_cc_label")
     ).localCheckpoint(eager=True)
     labels.unpersist(blocking=False)
     sym.unpersist(blocking=False)
-    return out
+    # singletons (no edges) label themselves; no shuffle of the node table
+    # beyond this one join against the (tiny) loop result
+    return nodes.select(id_col).join(loop_labels, id_col, "left").select(
+        id_col, F.coalesce("_cc_label", F.col(id_col)).alias("cluster_id")
+    )
 
 
 def dedup_clusters(
