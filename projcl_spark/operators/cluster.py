@@ -74,37 +74,50 @@ def connected_components(
         sym.select(F.col("s").alias("id")).distinct()
         .withColumn("label", F.col("id")).persist()
     )
-    labels.count()  # materialize round 0
+
+    def _label_sum(df):
+        # decimal(38,0): exact and overflow-proof (int64 sum of 10^12
+        # 10^12-scale ids would wrap)
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    # Convergence signal: both hooking and jumping only ever DECREASE a
+    # label, so the label sum is strictly decreasing until the fixpoint —
+    # sum unchanged ⟺ every label unchanged.  One scalar aggregate per
+    # round instead of a join + count.
+    prev_sum = _label_sum(labels)  # also materializes round 0
     for rnd in range(max_rounds):
         nbr = (
             sym.join(labels.withColumnRenamed("id", "s"), "s")
             .select(F.col("d").alias("id"), "label")
         )
-        hooked = (
+        new_labels = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        # pointer jump: label ← label's label.  Every label IS a node id
-        # (init: own id; hooking only moves existing labels), so the
-        # self-join resolves; coalesce guards the no-match edge case.
-        parent = hooked.select(F.col("id").alias("_pid"), F.col("label").alias("_plabel"))
-        new_labels = (
-            hooked.join(parent, hooked["label"] == parent["_pid"], "left")
-            .select("id", F.coalesce("_plabel", "label").alias("label"))
-        )
+        if rnd >= 2:
+            # pointer jump: label ← label's label (every label IS a node
+            # id, so the self-join resolves; coalesce guards no-match).
+            # Deferred past the first rounds: shallow near-dup graphs
+            # converge by round 2-3 without it, and the extra join per
+            # round is pure overhead there; deep chains still get the
+            # O(log diameter) doubling from round 2 on.
+            hooked = new_labels
+            parent = hooked.select(F.col("id").alias("_pid"),
+                                   F.col("label").alias("_plabel"))
+            new_labels = (
+                hooked.join(parent, hooked["label"] == parent["_pid"], "left")
+                .select("id", F.coalesce("_plabel", "label").alias("label"))
+            )
         if (rnd + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels.unpersist(blocking=False)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         labels.unpersist(blocking=False)
         sym.unpersist(blocking=False)
