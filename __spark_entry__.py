@@ -970,7 +970,13 @@ def q_knn_exact_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_exact``, but with the Vincenty metric and the geocentric
     chord-bound certificate (``_safe_radius_vincenty_col``) driving the
     escalation.  Oracle = brute-force cross join through the fixed-unroll
-    Vincenty SQL (O.vincenty_inverse_sql) + window rank."""
+    Vincenty SQL (O.vincenty_inverse_sql) + window rank.
+
+    Residual parity tolerance (shared with ``geodesic_vincenty``): the
+    engine iterates λ to 1e-12 rad with per-element freeze while the
+    oracle runs 6 fixed updates, so distances agree only to ~1e-5 m — a
+    rank or 10 m-bucket flip needs two candidates (or a boundary) within
+    that margin, ~1e-5 probability per run on the md5-scattered fixture."""
     from projcl_spark.operators.knn import knn_join_exact
 
     cust = _points_df(spark, sf_dir, "customer", ("c_custkey",))

@@ -70,6 +70,9 @@ def _parse_headers(data: pd.Series) -> pd.DataFrame:
     # not multi-MB payloads; latin-1 is a bijective byte↔char map, so any
     # stray binary bytes inside the slice survive the decode
     parts = s.str.slice(0, 64).str.decode("latin-1").str.split("|", n=5, expand=True)
+    # a batch of only NULL/markerless blobs yields fewer than 6 split
+    # columns — reindex so such rows parse to nulls instead of KeyError
+    parts = parts.reindex(columns=range(6))
     kind = parts[1]
     width = pd.to_numeric(parts[2], errors="coerce").astype("Int64")
     height = pd.to_numeric(parts[3], errors="coerce").astype("Int64")

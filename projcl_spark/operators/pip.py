@@ -120,7 +120,7 @@ def build_vert_map(polygons: DataFrame) -> dict:
 # ``vert_map=build_vert_map(...)`` explicitly or call
 # ``clear_vert_cache()`` (same freshness rule Spark's own file-listing
 # cache imposes on mutated paths).
-_VERT_CACHE: dict[int, dict] = {}
+_VERT_CACHE: dict[tuple, dict] = {}
 _VERT_CACHE_MAX = 16
 
 
@@ -130,7 +130,13 @@ def clear_vert_cache() -> None:
 
 def _cached_vert_map(polygons: DataFrame) -> dict:
     try:
-        key = polygons.semanticHash()
+        # scope the memo to the session lifetime (applicationId): a plan
+        # built in a NEW session after files changed on disk must re-read,
+        # matching the freshness boundary of Spark's own per-session
+        # file-listing cache; also confines 32-bit semanticHash collisions
+        # to a single session's layers
+        key = (polygons.sparkSession.sparkContext.applicationId,
+               polygons.semanticHash())
     except Exception:  # plan not hashable (e.g. local-relation quirks)
         return build_vert_map(polygons)
     if key not in _VERT_CACHE:

@@ -78,7 +78,6 @@ def test_cc_random_graph_matches_union_find(spark):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    want = {i: find(i) for i in range(n)}
     # union-find roots are not guaranteed minimal per component — normalize
     comp_min: dict[int, int] = {}
     for i in range(n):
