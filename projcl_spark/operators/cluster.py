@@ -22,12 +22,14 @@ pure-DataFrame connected-components pass:
   loop keeps one code path);
 - **bounded driver actions**: one tiny ``count`` per round for the
   convergence check, nothing else leaves the executors;
-- label state is two BIGINTs per node — persisted per round (the
-  CLAUDE.md no-cache rule targets array-heavy frames), with a
-  ``localCheckpoint`` every ``checkpoint_every`` rounds so the plan depth
-  stays bounded (at cluster scale, substitute a reliable
-  parquet/checkpoint-dir materialization — ``plans.checkpoint`` has the
-  sink).
+- label state is two BIGINTs per node — lazily ``localCheckpoint``-ed
+  every round (default) so the logical plan depth stays CONSTANT: the
+  pointer-jump self-join embeds two copies of the prior round's plan, so
+  any uncheckpointed stretch doubles the tree per round and optimizer
+  time explodes.  The lazy checkpoint materializes inside the
+  convergence-sum action (zero extra jobs); at cluster scale, substitute
+  a reliable parquet/checkpoint-dir materialization —
+  ``plans.checkpoint`` has the sink.
 
 DuckDB can express the same fixpoint as a recursive CTE (label sets
 dedup'd by UNION), which is the oracle twin ``__spark_entry__`` uses for
@@ -49,7 +51,8 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_rounds: int = MAX_CC_ROUNDS,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """(nodes, undirected edges) → (id_col, cluster_id) where cluster_id is
     the component-minimum node id.
@@ -57,22 +60,34 @@ def connected_components(
     ``nodes`` must contain every vertex (isolated docs become singleton
     clusters); ``edges`` rows are unordered pairs.  Deterministic at any
     parallelism: the fixpoint (component min) is parallelism-independent.
+    Pass ``dedupe_edges=False`` when the pair list is already unique (an
+    aggregated band join is) — min-aggregation is idempotent under
+    duplicate edges, and skipping the ``distinct`` removes a full shuffle
+    of the edge list, the operator's widest table.
     """
     # persist the symmetrized edge list: the upstream pair plan (an LSH
     # band join in the dedup case) would otherwise re-execute EVERY round
-    sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .distinct()
-    ).persist()
+    sym = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).union(
+        edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    )
+    if dedupe_edges:
+        sym = sym.distinct()
+    sym = sym.persist()
     # the loop runs over EDGE ENDPOINTS only — the LSH-bounded dup set, a
     # tiny fraction of the corpus.  Isolated docs never enter a shuffle:
     # they become singletons in the final left join.  (Looping over the
     # full node table would persist O(corpus) label state per round —
     # ~16 TB at 10^12 docs — for rows whose label never changes.)
+    #
+    # Fused first hook: initializing label=id and then running a hook round
+    # computes min(id, min neighbor) — ONE groupBy over the edge list
+    # produces that directly, so the init IS round one (replaces the old
+    # endpoint-distinct + a full loop round: one shuffle instead of three).
     labels = (
-        sym.select(F.col("s").alias("id")).distinct()
-        .withColumn("label", F.col("id")).persist()
+        sym.groupBy(F.col("s").alias("id"))
+        .agg(F.min("d").alias("_mn"))
+        .select("id", F.least("id", "_mn").alias("label"))
+        .persist()
     )
 
     def _label_sum(df):
@@ -84,7 +99,7 @@ def connected_components(
     # label, so the label sum is strictly decreasing until the fixpoint —
     # sum unchanged ⟺ every label unchanged.  One scalar aggregate per
     # round instead of a join + count.
-    prev_sum = _label_sum(labels)  # also materializes round 0
+    prev_sum = _label_sum(labels)  # also materializes the fused first hook
     for rnd in range(max_rounds):
         nbr = (
             sym.join(labels.withColumnRenamed("id", "s"), "s")
@@ -95,13 +110,14 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        if rnd >= 2:
+        if rnd >= 1:
             # pointer jump: label ← label's label (every label IS a node
             # id, so the self-join resolves; coalesce guards no-match).
-            # Deferred past the first rounds: shallow near-dup graphs
-            # converge by round 2-3 without it, and the extra join per
+            # Deferred past the first post-init round: shallow near-dup
+            # graphs converge by then without it, and the extra join per
             # round is pure overhead there; deep chains still get the
-            # O(log diameter) doubling from round 2 on.
+            # O(log diameter) doubling from the second round on (the fused
+            # init already counts as one hook).
             hooked = new_labels
             parent = hooked.select(F.col("id").alias("_pid"),
                                    F.col("label").alias("_plabel"))
@@ -109,9 +125,19 @@ def connected_components(
                 hooked.join(parent, hooked["label"] == parent["_pid"], "left")
                 .select("id", F.coalesce("_plabel", "label").alias("label"))
             )
+        # Truncate the logical plan EVERY round by default: the jump join
+        # embeds TWO copies of the prior round's plan, so without
+        # truncation the logical tree doubles per round and optimizer time
+        # explodes (measured on a 120-node chain: 143 s at
+        # checkpoint_every=5 vs 7 s at 1).  The checkpoint is LAZY — its
+        # materialization rides the convergence-sum action below, adding
+        # zero extra jobs; the stored state is the label table, O(dup
+        # docs).  On a real cluster swap localCheckpoint for a reliable
+        # checkpoint dir (executor loss kills local checkpoints).
         if (rnd + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
+        else:
+            new_labels = new_labels.persist()
         new_sum = _label_sum(new_labels)
         labels.unpersist(blocking=False)
         labels = new_labels
@@ -161,8 +187,11 @@ def dedup_clusters(
     ties broken by smallest id; both rules are explicit so the result is
     engine-independent.  ``cluster_id`` is the component-min doc id.
     """
+    # the LSH band join emits each pair once (SELECT DISTINCT, doc_a <
+    # doc_b — operators/text.py:272-276), so skip the edge re-dedupe
     cc = connected_components(docs, pairs, id_col=id_col,
-                              src_col=src_col, dst_col=dst_col)
+                              src_col=src_col, dst_col=dst_col,
+                              dedupe_edges=False)
     member = cc.join(docs.select(id_col, weight_col), id_col)
     w = Window.partitionBy("cluster_id").orderBy(
         F.col(weight_col).desc(), F.col(id_col).asc()
