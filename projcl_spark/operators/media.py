@@ -5,8 +5,10 @@ Engine-added: the reference's only raster concept is the OpenCL image
 buffer (``include/projcl/projcl_warp.h:16-28``); a 100-TB training-data
 pipeline additionally needs media blobs as table columns.  The container
 has no image/audio codecs, so the DECODE step is stubbed (clearly marked):
-``decode_pixels`` uses PIL when importable, else a deterministic fake
-derived from the payload hash.  Everything Spark-side — schema, binary
+``decode_pixels`` runs a deterministic fake derived from the payload bytes
+by default (a real codec is the opt-in ``use_codec=True`` seam — never
+implicit, so the oracled gate queries are environment-independent).
+Everything Spark-side — schema, binary
 handling, Arrow batch shape, mapInPandas signatures, partitioning — is
 real and tested.
 
@@ -73,10 +75,15 @@ def _parse_headers(data: pd.Series) -> pd.DataFrame:
     # a batch of only NULL/markerless blobs yields fewer than 6 split
     # columns — reindex so such rows parse to nulls instead of KeyError
     parts = parts.reindex(columns=range(6))
-    kind = parts[1]
-    width = pd.to_numeric(parts[2], errors="coerce").astype("Int64")
-    height = pd.to_numeric(parts[3], errors="coerce").astype("Int64")
-    frames = pd.to_numeric(parts[4], errors="coerce").astype("Int64")
+    # a header whose 5th '|' lands past the 64-byte slice splits into < 6
+    # parts; its numeric fields would be TRUNCATED (e.g. frames '789' →
+    # '78') and parse to a plausible wrong value — null the whole header
+    # instead (parts[5] is the payload remainder; NaN ⟺ separator absent)
+    complete = parts[5].notna()
+    kind = parts[1].where(complete)
+    width = pd.to_numeric(parts[2].where(complete), errors="coerce").astype("Int64")
+    height = pd.to_numeric(parts[3].where(complete), errors="coerce").astype("Int64")
+    frames = pd.to_numeric(parts[4].where(complete), errors="coerce").astype("Int64")
     return pd.DataFrame({"kind": kind, "width": width, "height": height,
                          "n_frames": frames, "n_bytes": n_bytes})
 
@@ -88,26 +95,29 @@ def decode_meta(data: pd.Series) -> pd.DataFrame:
     return _parse_headers(data)
 
 
-def decode_pixels(blob: bytes, width: int, height: int) -> np.ndarray:
+def decode_pixels(blob: bytes, width: int, height: int,
+                  use_codec: bool = False) -> np.ndarray:
     """STUB DECODE: returns the pixel array for a media blob.
 
-    With PIL installed this would decode real image bytes; this container
-    has no codecs, so a clearly-marked deterministic fake stands in —
-    but one that READS THE ACTUAL PAYLOAD BYTES (the part after the 5th
+    The DEFAULT path is the deterministic stub — always, even when Pillow
+    happens to be importable: the oracled gate queries depend on the stub
+    payload formula, and the synthetic ``PCLMEDIA|...`` blobs are not real
+    image bytes anyway (a codec would raise or diverge from the DuckDB
+    oracle).  A real decoder is opt-in via ``use_codec=True``, which is
+    the clearly-marked NotImplementedError seam to wire PIL/libvips into
+    on a real cluster.
+
+    The stub READS THE ACTUAL PAYLOAD BYTES (the part after the 5th
     ``|``): pixel(y, x) = payload[(31·x + 17·y) mod len(payload)].  That
     keeps the Spark-side plumbing identical to a real decoder (binary →
     numpy (h, w) array inside an Arrow batch, per-blob byte access) AND
     makes the decode SQL-expressible, so ``resize_stats`` gets a DuckDB
     value oracle (``__spark_entry__._o_media_resize``)."""
-    try:
-        from PIL import Image  # noqa: F401
-
+    if use_codec:
         raise NotImplementedError(
             "real image decode is intentionally stubbed in this sandbox; "
             "plug a PIL/libvips decoder here on a real cluster"
         )
-    except ImportError:
-        pass
     payload = bytes(blob).split(b"|", 5)[5]
     if not payload:
         payload = b"\x00"

@@ -133,10 +133,23 @@ def _cached_vert_map(polygons: DataFrame) -> dict:
         # scope the memo to the session lifetime (applicationId): a plan
         # built in a NEW session after files changed on disk must re-read,
         # matching the freshness boundary of Spark's own per-session
-        # file-listing cache; also confines 32-bit semanticHash collisions
-        # to a single session's layers
+        # file-listing cache.  The 32-bit semanticHash alone could collide
+        # two different layers (silently serving the wrong vertex map) —
+        # pair it with a digest of the CANONICALIZED plan text (exprIds
+        # normalized).  For file-backed layers the text embeds the scanned
+        # paths, so a false hit now needs a 32-bit collision AND identical
+        # text — i.e. the same files.  For createDataFrame layers the text
+        # omits the row data (array columns also make semanticHash
+        # identity-unstable there), so re-instantiations may MISS (one
+        # extra bounded collect, r3 behavior) but a false HIT still needs
+        # the 32-bit collision on top of a same-schema text match.
+        import hashlib
+
+        plan_text = (polygons._jdf.queryExecution().analyzed()
+                     .canonicalized().toString())
         key = (polygons.sparkSession.sparkContext.applicationId,
-               polygons.semanticHash())
+               polygons.semanticHash(),
+               hashlib.md5(plan_text.encode()).hexdigest())
     except Exception:  # plan not hashable (e.g. local-relation quirks)
         return build_vert_map(polygons)
     if key not in _VERT_CACHE:

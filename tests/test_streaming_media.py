@@ -128,6 +128,36 @@ def test_media_decode_roundtrip(spark):
     assert ((rows["n_frames"] >= 1) & (rows["n_frames"] <= 240)).all()
 
 
+def test_media_header_truncated_nulls():
+    """A header whose 5th '|' lands past the 64-byte parse slice must null
+    out, not silently parse truncated numerics (ADVICE r3: frames '789'
+    cut to '78' was a plausible wrong value with no signal)."""
+    import pandas as pd
+
+    long_kind = "k" * 60  # pushes the frames field past byte 64
+    good = b"PCLMEDIA|video|320|240|789|payloadbytes"
+    trunc = f"PCLMEDIA|{long_kind}|320|240|789|payload".encode()
+    out = media._parse_headers(pd.Series([good, trunc], dtype=object))
+    assert out.loc[0, "kind"] == "video" and out.loc[0, "n_frames"] == 789
+    assert pd.isna(out.loc[1, "kind"]) and pd.isna(out.loc[1, "n_frames"])
+    assert pd.isna(out.loc[1, "width"]) and pd.isna(out.loc[1, "height"])
+    assert out.loc[1, "n_bytes"] == len(trunc)  # length still reported
+
+
+def test_media_decode_pixels_codec_seam_is_opt_in():
+    """decode_pixels must run the SQL-expressible stub by default even if
+    Pillow is importable; the real-codec seam is explicit opt-in."""
+    import pytest
+
+    blob = b"PCLMEDIA|image|4|3|1|abcdef"
+    px = media.decode_pixels(blob, 4, 3)
+    payload = b"abcdef"
+    assert px.shape == (3, 4)
+    assert px[0, 0] == payload[0] and px[1, 2] == payload[(31 * 2 + 17) % 6]
+    with pytest.raises(NotImplementedError):
+        media.decode_pixels(blob, 4, 3, use_codec=True)
+
+
 def test_media_resize_stats_deterministic(spark):
     m = media.synth_media(spark, 20)
     a = media.resize_stats(m).toPandas().sort_values("media_ref").reset_index(drop=True)
