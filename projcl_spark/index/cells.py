@@ -63,13 +63,19 @@ def morton_np(lon, lat, res: int):
 
 
 def neighbors_np(cell_id: int, res: int, ring: int = 1) -> np.ndarray:
-    """All cell ids within a square (2·ring+1)² window, clipped at borders."""
+    """All cell ids within a square (2·ring+1)² window.
+
+    Longitude WRAPS (ix modulo 2^res — the grid is a cylinder, so a cell
+    at ix=0 is adjacent to ix=2^res−1 across the antimeridian); latitude
+    clips at the poles (no wrap — the grid is not a sphere topologically,
+    and pole-adjacent queries escalate in the kNN certificate instead)."""
     n = _scale(res)
     ix, iy = cell_id // n, cell_id % n
     dx = np.arange(-ring, ring + 1)
     gx, gy = np.meshgrid(ix + dx, iy + dx, indexing="ij")
-    ok = (gx >= 0) & (gx < n) & (gy >= 0) & (gy < n)
-    return (gx[ok] * n + gy[ok]).astype(np.int64)
+    gx = np.mod(gx, n)  # lon wrap
+    ok = (gy >= 0) & (gy < n)  # lat clip
+    return np.unique((gx[ok] * n + gy[ok]).astype(np.int64))
 
 
 def cell_bounds_np(cell_id, res: int):
@@ -130,8 +136,13 @@ def cell_id_sql(lon_expr: str, lat_expr: str, res: int) -> str:
 def ring_cells_col(cell_id: Column, res: int, ring: int = 1) -> Column:
     """array<bigint> of the square ring around ``cell_id`` (pure SQL ops).
 
-    Used to explode query-side cells for kNN candidate pruning; border cells
-    are clipped (no wraparound — matches cell_bounds semantics).
+    Used to explode query-side cells for kNN candidate pruning.  Longitude
+    WRAPS (ix modulo 2^res): a query next to ±180° prunes against the
+    cells on the other side of the antimeridian, so the kNN certificate
+    can certify there instead of brute-forcing the corpus.  Latitude clips
+    at the poles (pole-adjacent windows still escalate).  ``array_distinct``
+    guards the degenerate 2·ring+1 ≥ 2^res case where the wrap laps the
+    globe and x offsets collide.
     """
     n = _scale(res)
     # exact integer decomposition (n = 2^res): float division would lose
@@ -139,14 +150,17 @@ def ring_cells_col(cell_id: Column, res: int, ring: int = 1) -> Column:
     ix = F.shiftright(cell_id, res)
     iy = cell_id.bitwiseAND(F.lit(n - 1))
     offs = F.sequence(F.lit(-ring), F.lit(ring))
-    # flatten(transform(dx, dx -> transform(dy, dy -> id))) with border filter
+    # flatten(transform(dx, dx -> transform(dy, dy -> id))) — lon wrapped,
+    # lat border-filtered
     arr = F.flatten(
         F.transform(
             offs,
-            lambda dx: F.transform(offs, lambda dy: F.struct((ix + dx).alias("x"), (iy + dy).alias("y"))),
+            lambda dx: F.transform(
+                offs,
+                lambda dy: F.struct(F.pmod(ix + dx, F.lit(n)).alias("x"),
+                                    (iy + dy).alias("y")),
+            ),
         )
     )
-    valid = F.filter(
-        arr, lambda s: (s.x >= 0) & (s.x < n) & (s.y >= 0) & (s.y < n)
-    )
-    return F.transform(valid, lambda s: s.x * n + s.y)
+    valid = F.filter(arr, lambda s: (s.y >= 0) & (s.y < n))
+    return F.array_distinct(F.transform(valid, lambda s: s.x * n + s.y))

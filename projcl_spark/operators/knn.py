@@ -87,31 +87,37 @@ def _window_angle_col(q_lon, q_lat, res: int, ring: int, lat_map=None):
     falsely certify an inexact result.  ``lat_map`` must be monotone so
     "outside the geodetic window ⇒ outside the mapped window" holds.
 
-    Windows that TOUCH a map edge get angle 0 (→ the query always
-    escalates to brute force): near a pole the closest outside point can
-    lie ACROSS the pole, and at ±180° it can lie across the antimeridian
-    wrap — neither is bounded by these edge margins, and an earlier
-    "edge ⇒ no escape that way (∞)" treatment silently certified WRONG
-    results there (it also drove cos through sqrt(negative)=NaN, which
-    Spark's greatest/least clamp launders into an asin(1) bound).  At
-    res ≥ 4 edge-adjacent queries are a vanishing fraction of the grid.
+    The window WRAPS in longitude (matching ``ring_cells_col``): the edge
+    margins Δλ_e = lon_hi − λq and Δλ_w = λq − lon_lo stay valid across
+    the antimeridian because the haversine's longitude term sin²(Δλ/2) is
+    2π-periodic and symmetric — a point just beyond the east edge at raw
+    separation Δλ > 180° sits at wrapped separation 360° − Δλ, and
+    sin((360°−Δλ)/2) = sin(Δλ/2), so the per-edge formula already equals
+    the wrapped-angle value.  When the window laps the whole globe
+    (2·ring+1 ≥ 2^res) there IS no lon edge: the lon bounds drop out
+    (only the lat margins constrain).
+
+    Windows that TOUCH a pole get angle 0 (→ the query always escalates
+    to brute force): near a pole the closest outside point can lie ACROSS
+    the pole, which no lat/lon edge margin bounds — an earlier "edge ⇒ no
+    escape that way (∞)" treatment silently certified WRONG results there
+    (it also drove cos through sqrt(negative)=NaN, which Spark's
+    greatest/least clamp launders into an asin(1) bound).  At res ≥ 4
+    pole-adjacent queries are a vanishing fraction of the grid.
     """
     n = 1 << res
     w_lon, w_lat = 360.0 / n, 180.0 / n
     ix, iy = cell_xy_col(q_lon, q_lat, res)
-    lon_lo = (ix - ring) * w_lon - 180.0
+    lon_lo = (ix - ring) * w_lon - 180.0   # may extend past ±180: wraps
     lon_hi = (ix + ring + 1) * w_lon - 180.0
     lat_lo = (iy - ring) * w_lat - 90.0
     lat_hi = (iy + ring + 1) * w_lat - 90.0
-    touches_edge = (
-        (lat_hi >= 90.0) | (lat_lo <= -90.0)
-        | (lon_hi >= 180.0) | (lon_lo <= -180.0)
-    )
+    touches_pole = (lat_hi >= 90.0) | (lat_lo <= -90.0)
     if lat_map is not None:
         lat_lo_m, lat_hi_m, q_lat_m = lat_map(lat_lo), lat_map(lat_hi), lat_map(q_lat)
     else:
         lat_lo_m, lat_hi_m, q_lat_m = lat_lo, lat_hi, q_lat
-    # inside the edge guard |lat_lo|,|lat_hi| ≤ 90 → cosines ≥ 0, no NaN
+    # inside the pole guard |lat_lo|,|lat_hi| ≤ 90 → cosines ≥ 0, no NaN
     cos_min = F.least(
         F.cos(F.radians(F.greatest(F.abs(lat_lo_m), F.abs(lat_hi_m)))),
         F.cos(F.radians(q_lat_m)),
@@ -124,11 +130,13 @@ def _window_angle_col(q_lon, q_lat, res: int, ring: int, lat_map=None):
 
     a_n = F.radians(lat_hi_m - q_lat_m)
     a_s = F.radians(q_lat_m - lat_lo_m)
-    a_e = lon_edge(lon_hi - q_lon)
-    a_w = lon_edge(q_lon - lon_lo)
-    return F.when(touches_edge, F.lit(0.0)).otherwise(
-        F.least(a_n, a_s, a_e, a_w)
-    )
+    if 2 * ring + 1 >= n:
+        # window laps the globe in lon — nothing is "beyond a lon edge"
+        angle = F.least(a_n, a_s)
+    else:
+        angle = F.least(a_n, a_s, lon_edge(lon_hi - q_lon),
+                        lon_edge(q_lon - lon_lo))
+    return F.when(touches_pole, F.lit(0.0)).otherwise(angle)
 
 
 def _safe_radius_col(q_lon, q_lat, res: int, ring: int):
@@ -175,6 +183,33 @@ def _safe_radius_vincenty_col(q_lon, q_lat, res: int, ring: int,
     return b * F.sin(F.least(ang, F.lit(math.pi / 2.0)))
 
 
+def _pruned_and_uncertified(queries, points, k, res, ring, metric,
+                            query_id, point_id, spheroid):
+    """(pruned top-k, uncertified query rows) — the certificate step of
+    ``knn_join_exact``, separated so tests can assert directly on the
+    escalation set (e.g. antimeridian windows certify, pole windows
+    escalate).  ``pruned`` comes back persisted; the caller unpersists."""
+    if metric == "haversine":
+        safe = _safe_radius_col(F.col("q_lon"), F.col("q_lat"), res, ring)
+    elif metric == "vincenty":
+        safe = _safe_radius_vincenty_col(F.col("q_lon"), F.col("q_lat"), res, ring,
+                                         spheroid=spheroid)
+    else:
+        raise ValueError(f"knn_join_exact: unknown metric {metric!r}")
+    # top-k per query is tiny — persist so the expensive pruned plan runs
+    # once, not once per downstream consumer (bad.count + good join)
+    pruned = knn_join(queries, points, k, res, ring, metric, query_id, point_id,
+                      spheroid=spheroid).persist()
+    per_q = pruned.groupBy(query_id).agg(
+        F.max("dist_m").alias("_kth"), F.count("*").alias("_nf")
+    )
+    qx = queries.join(per_q, query_id, "left").withColumn("_safe", safe)
+    bad = qx.filter(
+        F.col("_nf").isNull() | (F.col("_nf") < k) | (F.col("_kth") >= F.col("_safe"))
+    ).select(queries.columns)
+    return pruned, bad
+
+
 def knn_join_exact(
     queries: DataFrame,
     points: DataFrame,
@@ -201,24 +236,9 @@ def knn_join_exact(
     b·sin θ, conservative in every step), so ellipsoidal kNN gets the same
     provable escalation.
     """
-    if metric == "haversine":
-        safe = _safe_radius_col(F.col("q_lon"), F.col("q_lat"), res, ring)
-    elif metric == "vincenty":
-        safe = _safe_radius_vincenty_col(F.col("q_lon"), F.col("q_lat"), res, ring,
-                                         spheroid=spheroid)
-    else:
-        raise ValueError(f"knn_join_exact: unknown metric {metric!r}")
-    # top-k per query is tiny — persist so the expensive pruned plan runs
-    # once, not once per downstream consumer (bad.count + good join)
-    pruned = knn_join(queries, points, k, res, ring, metric, query_id, point_id,
-                      spheroid=spheroid).persist()
-    per_q = pruned.groupBy(query_id).agg(
-        F.max("dist_m").alias("_kth"), F.count("*").alias("_nf")
+    pruned, bad = _pruned_and_uncertified(
+        queries, points, k, res, ring, metric, query_id, point_id, spheroid
     )
-    qx = queries.join(per_q, query_id, "left").withColumn("_safe", safe)
-    bad = qx.filter(
-        F.col("_nf").isNull() | (F.col("_nf") < k) | (F.col("_kth") >= F.col("_safe"))
-    ).select(queries.columns)
     bad_rows = bad.count()  # driver decision: escalation set is tiny by design
     good = pruned.join(
         bad.select(query_id), query_id, "left_anti"

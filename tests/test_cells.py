@@ -10,6 +10,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from projcl_spark.index import cells as C
 
@@ -54,7 +55,23 @@ def test_neighbors_center_and_corner():
     n = 1 << res
     center = (n // 2) * n + n // 2
     assert len(C.neighbors_np(center, res, ring=1)) == 9
-    assert len(C.neighbors_np(0, res, ring=1)) == 4  # corner clips
+    # corner: lat clips (2 y values), lon WRAPS across the antimeridian
+    # (3 x values: n-1, 0, 1) → 6 cells, including the far-seam column
+    corner = set(C.neighbors_np(0, res, ring=1))
+    assert corner == {0, 1, n, n + 1, (n - 1) * n, (n - 1) * n + 1}
+
+
+def test_ring_cells_col_wraps_lon_matches_numpy(spark):
+    """Spark column ring == numpy ring at seam, pole corner, and interior."""
+    res = 4
+    n = 1 << res
+    ids = [0, (n - 1) * n + (n - 1), (n // 2) * n + n // 2, 3, (n - 1) * n]
+    df = spark.createDataFrame([(i,) for i in ids], "cell_id long").select(
+        "cell_id", C.ring_cells_col(F.col("cell_id"), res, ring=1).alias("ring")
+    )
+    got = {r.cell_id: sorted(r.ring) for r in df.collect()}
+    for cid in ids:
+        assert got[cid] == sorted(C.neighbors_np(cid, res, ring=1)), cid
 
 
 def test_spread_bits_roundtrip_property():

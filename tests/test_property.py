@@ -89,10 +89,15 @@ def test_cell_contains_point(lon, lat, res):
 @given(lon=st.floats(-179.0, 179.0), lat=st.floats(-89.0, 89.0),
        res=st.integers(2, 12))
 def test_neighbors_are_adjacent(lon, lat, res):
-    """Every ring-1 neighbor's bounds touch the center cell's bounds."""
+    """Every ring-1 neighbor's bounds touch the center cell's bounds —
+    longitude adjacency holds modulo 360 (the ring wraps at ±180°)."""
     cid = int(C.cell_id_np(np.array([lon]), np.array([lat]), res)[0])
     lo0, la0, lo1, la1 = (v[0] for v in C.cell_bounds_np(np.array([cid]), res))
     for nb in C.neighbors_np(cid, res, ring=1):
         nlo0, nla0, nlo1, nla1 = (v[0] for v in C.cell_bounds_np(np.array([nb]), res))
-        assert nlo1 >= lo0 - 1e-9 and nlo0 <= lo1 + 1e-9
+        lon_touches = any(
+            nlo1 + s >= lo0 - 1e-9 and nlo0 + s <= lo1 + 1e-9
+            for s in (-360.0, 0.0, 360.0)
+        )
+        assert lon_touches
         assert nla1 >= la0 - 1e-9 and nla0 <= la1 + 1e-9

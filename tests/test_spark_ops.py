@@ -264,12 +264,15 @@ def test_pip_join_shuffle_path_matches_broadcast(spark):
 
 
 def test_knn_exact_at_pole_and_antimeridian(spark):
-    """Map-edge soundness: the closest neighbor can lie ACROSS the pole or
-    the ±180° wrap, outside the query's cell-ring window.  The certificate
-    must refuse to certify such windows (safe radius 0 → brute-force
-    escalation); the old "edge ⇒ no escape that way" bound silently
-    returned the wrong pruned neighbors as certified-exact."""
-    from projcl_spark.operators.knn import knn_bruteforce, knn_join_exact
+    """Map-edge soundness AND antimeridian efficiency: the closest neighbor
+    can lie ACROSS the pole or the ±180° wrap.  Since round 4 the cell
+    ring WRAPS in longitude, so the ±180° query finds its cross-seam
+    neighbor inside the pruned join and the wrap-aware bound CERTIFIES it
+    (empty escalation set — no full-corpus scan for Pacific data).  Pole
+    windows remain uncertifiable (escalate to brute force)."""
+    from projcl_spark.operators.knn import (
+        _pruned_and_uncertified, knn_bruteforce, knn_join_exact,
+    )
 
     pts = spark.createDataFrame(
         [  # across-the-pole pair: ~22 km apart, many cells apart
@@ -296,3 +299,40 @@ def test_knn_exact_at_pole_and_antimeridian(spark):
     # the wrapped neighbors must actually win over the same-side decoys
     assert set(g[g.query_id == 100]["pid"]) == {1, 2}
     assert set(g[g.query_id == 200]["pid"]) == {3, 4}
+    # escalation set: ONLY the pole query; the antimeridian one certifies
+    pruned, bad = _pruned_and_uncertified(
+        qs, pts, 2, 4, 1, "haversine", "query_id", "pid", None
+    )
+    escalated = {r.query_id for r in bad.collect()}
+    pruned.unpersist(blocking=False)
+    assert escalated == {100}, escalated
+
+
+def test_knn_antimeridian_certifies_vincenty(spark):
+    """The wrap-aware window bound must hold for the ellipsoidal
+    (geocentric-latitude chord) certificate too: a ±180° query with both
+    true neighbors across the seam certifies without escalation and
+    matches Vincenty brute force."""
+    from projcl_spark.operators.knn import (
+        _pruned_and_uncertified, knn_bruteforce, knn_join_exact,
+    )
+
+    pts = spark.createDataFrame(
+        [(3, 179.95, 0.0), (4, -179.95, 0.0), (6, 175.0, 3.0),
+         (7, -178.0, -2.0), (8, 170.0, 1.0)],
+        "pid long, lon double, lat double",
+    )
+    qs = spark.createDataFrame(
+        [(200, 179.95, 0.0)], "query_id long, q_lon double, q_lat double",
+    )
+    exact = knn_join_exact(qs, pts, k=2, res=4, ring=1, metric="vincenty",
+                           point_id="pid").select("query_id", "pid", "rank")
+    slow = knn_bruteforce(qs, pts, k=2, metric="vincenty",
+                          point_id="pid").select("query_id", "pid", "rank")
+    assert exact.exceptAll(slow).count() == 0
+    assert slow.exceptAll(exact).count() == 0
+    pruned, bad = _pruned_and_uncertified(
+        qs, pts, 2, 4, 1, "vincenty", "query_id", "pid", None
+    )
+    assert bad.count() == 0
+    pruned.unpersist(blocking=False)
