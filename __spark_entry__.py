@@ -2025,6 +2025,21 @@ SELECT media_ref, {outs} FROM n"""
 # ------------------------------------------------------- text/dedup suite ---
 
 
+def _minhash_sig_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch location of the minhash signature checkpoint for ``sf_dir``
+    (input+SQL-fingerprinted).  Exposed so the bench's COLD arm can delete
+    it and time the full signature build, not just the band join."""
+    import hashlib
+
+    from projcl_spark.operators.text import minhash_split_sql
+
+    sig_sql, _ = minhash_split_sql("spark")
+    sfb = os.path.basename(sf_dir.rstrip("/"))
+    tag = (_input_tag(sf_dir, "documents")
+           + hashlib.md5(sig_sql.encode()).hexdigest()[:8])
+    return _scratch_path(spark, f"projcl_mh_sig_{sfb}", tag=tag)
+
+
 def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the minhash signature stage once (parquet checkpoint)
     and return the LSH band-join pairs DataFrame — shared by
@@ -2037,18 +2052,13 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature SQL itself, so a still-fresh checkpoint is REUSED across the
     two dedup queries in one run (and invalidated by either new testdata
     or a signature-algorithm change)."""
-    import hashlib
-
     from projcl_spark.operators.text import minhash_split_sql
 
     sig_sql, pairs_sql = minhash_split_sql("spark")
     spark.read.parquet(_t(sf_dir, "documents")).repartition(
         spark.sparkContext.defaultParallelism * 2
     ).createOrReplaceTempView("documents")
-    sfb = os.path.basename(sf_dir.rstrip("/"))
-    tag = (_input_tag(sf_dir, "documents")
-           + hashlib.md5(sig_sql.encode()).hexdigest()[:8])
-    d = _scratch_path(spark, f"projcl_mh_sig_{sfb}", tag=tag)
+    d = _minhash_sig_dir(spark, sf_dir)
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         spark.sql(sig_sql).write.mode("overwrite").parquet(_fs_url(d))
     spark.read.parquet(_fs_url(d)).createOrReplaceTempView("minhash_sig")

@@ -197,6 +197,20 @@ def build_queries(spark, sf_dir):
         return E.GRID_W * E.GRID_H * 4 * E.WARP_CHANNELS  # channel-taps
 
     def q_dedup_minhash():
+        # WARM wall: the signature checkpoint persists across iterations —
+        # the honest production shape for repeated dedup queries over a
+        # stable corpus (pairs band join + scoring only)
+        _force(E._q_text("dedup_minhash")(spark, sf_dir))
+        return n_docs
+
+    def q_dedup_minhash_cold():
+        # COLD wall: delete the signature checkpoint first, so the timed
+        # run includes the full shingle→minhash build + parquet write.
+        # Reported alongside the warm arm so round-over-round trends stay
+        # apples-to-apples (VERDICT r3 "what's wrong" #3).
+        import shutil
+
+        shutil.rmtree(E._minhash_sig_dir(spark, sf_dir), ignore_errors=True)
         _force(E._q_text("dedup_minhash")(spark, sf_dir))
         return n_docs
 
@@ -218,6 +232,23 @@ def build_queries(spark, sf_dir):
                             E.TILES_DOWN, filter="bilinear"))
         return 1024 * 1024
 
+    def q_warp_rgba_large():
+        # 4-channel variant of warp_large: same 4M taps, 4 element_at
+        # gathers per tap off ONE joined tile row — evidences that the
+        # channel payload scales while the join/shuffle shape doesn't
+        # (expected within ~1.5× of single-band warp_large)
+        from projcl_spark.operators.warp import grid_df, sample_tiles
+        from projcl_spark.sources.synth import tiles_df
+
+        tiles = tiles_df(spark, E.TILES_ACROSS, E.TILES_DOWN, E.TILE_W,
+                         E.TILE_H, channels=E.WARP_CHANNELS)
+        g = grid_df(spark, 1024, 1024, 0.0, 0.0, 255.0, 255.0,
+                    num_partitions=cpus * 2)
+        _force(sample_tiles(g, tiles, E.TILE_W, E.TILE_H, E.TILES_ACROSS,
+                            E.TILES_DOWN, filter="bilinear",
+                            channel_cols=E._CHANNEL_COLS))
+        return 1024 * 1024 * E.WARP_CHANNELS
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -234,7 +265,9 @@ def build_queries(spark, sf_dir):
         "warp_bilinear": q_warp_bilinear,
         "warp_rgba": q_warp_rgba,
         "warp_large": q_warp_large,
+        "warp_rgba_large": q_warp_rgba_large,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_cold": q_dedup_minhash_cold,
         "dedup_clusters": q_dedup_clusters,
     }
 
