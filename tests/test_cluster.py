@@ -95,3 +95,55 @@ def test_cc_no_edges_converges_round_zero(spark):
     got = {r.doc_id: r.cluster_id
            for r in connected_components(nodes, _edges(spark, [])).collect()}
     assert got == {5: 5, 6: 6}
+
+
+def _union_find_oracle(n, pairs):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    return {i: comp_min[find(i)] for i in range(n)}
+
+
+def test_cc_powerlaw_10k_matches_union_find(spark):
+    """Adversarial scale/shape: 10^4 nodes, power-law degree (a few hub
+    nodes touch thousands of edges — the skew shape real near-dup graphs
+    have), hypothesis-drawn seeds vs the union-find oracle.  Two examples
+    keep it inside the CI budget; deadline disabled (Spark wall)."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    n, m = 10_000, 12_000
+
+    @settings(max_examples=2, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(seed=st.integers(0, 2**32 - 1))
+    def check(seed):
+        rng = np.random.default_rng(seed)
+        # preferential-attachment-ish: u^3 biases endpoints to low ids →
+        # hub degrees follow a heavy tail (max degree measured ~10% of m)
+        a = np.floor(n * rng.random(m) ** 3).astype(np.int64)
+        b = np.floor(n * rng.random(m)).astype(np.int64)
+        keep = a != b
+        pairs = list(zip(a[keep].tolist(), b[keep].tolist()))
+        want = _union_find_oracle(n, pairs)
+        nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in connected_components(nodes, edges).collect()}
+        assert got == want
+
+    check()
