@@ -265,6 +265,16 @@ KNN_QUERIES = [
 # sf0.1 use tighter pruning (see bench.py).
 KNN_K, KNN_RES, KNN_RING = 5, 2, 1
 
+# Seam/pole fixture for the wrap-aware certificate (round 4): queries
+# hugging ±180° at several latitudes (their rings wrap — candidates on the
+# far side of the seam join in and certify) plus one pole-adjacent query
+# (its window touches 90° → always escalates; exactness comes from the
+# brute-force rescue either way, which is what the oracle checks).
+KNN_WRAP_QUERIES = [
+    (0, 179.9, 10.0), (1, -179.9, -20.0), (2, 179.99, 0.0),
+    (3, -179.95, 45.0), (4, 178.5, -60.0), (5, 10.0, 89.5),
+]
+
 AZIMUTHS = [0, 45, 90, 135, 180, 225, 270, 315]
 GEODESIC_DIST_M = 500_000.0
 
@@ -963,6 +973,41 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q10_col(F.col("dist_m")).alias("dist_10m"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def q_knn_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN for seam-straddling queries (KNN_WRAP_QUERIES): the cell
+    ring wraps longitude (``index.cells.ring_cells_col``), so ±180°-adjacent
+    windows find their cross-seam candidates in the pruned equi-join and
+    the wrap-aware bound certifies them (no full-corpus scan); the
+    pole-adjacent query escalates.  Oracle = brute-force haversine kNN, so
+    both the certified and the escalated paths are value-checked."""
+    from projcl_spark.operators.knn import knn_join_exact
+
+    cust = _points_df(spark, sf_dir, "customer", ("c_custkey",))
+    qs = spark.createDataFrame(KNN_WRAP_QUERIES,
+                               "query_id long, q_lon double, q_lat double")
+    out = knn_join_exact(qs, cust, k=KNN_K, res=5, ring=1, point_id="c_custkey")
+    return out.select(
+        "query_id", "c_custkey",
+        _q10_col(F.col("dist_m")).alias("dist_10m"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _o_knn_antimeridian() -> str:
+    qvals = ", ".join(f"(CAST({q} AS BIGINT), {O._r(lo)}, {O._r(la)})"
+                      for q, lo, la in KNN_WRAP_QUERIES)
+    hav = O.haversine("c.lon", "c.lat", "q.q_lon", "q.q_lat")
+    return f"""
+WITH cust AS ({_points_cte('customer', ('c_custkey',))}),
+q(query_id, q_lon, q_lat) AS (VALUES {qvals}),
+d AS (SELECT q.query_id, c.c_custkey, {hav} AS dist FROM q, cust c),
+r AS (SELECT query_id, c_custkey, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, c_custkey ASC) AS rnk
+      FROM d)
+SELECT query_id, c_custkey, {_q10('dist')} AS dist_10m, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= {KNN_K}"""
 
 
 def q_knn_exact_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2180,6 +2225,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "doc_quality",
     "lang_id",
+    # -- new in round 4 (no driver row can exist yet) --
+    "knn_antimeridian",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2211,7 +2258,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "datum_shift",
     "span_interleaved",
     "dedup_exact",
-    "stream_cells",
+    # (streaming family is covered by stream_sessions/stream_dedup above)
 )
 
 
@@ -2242,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         flagship_rollup=q_flagship_rollup,
         knn_customer=q_knn_customer,
         knn_exact=q_knn_exact,
+        knn_antimeridian=q_knn_antimeridian,
         knn_exact_vincenty=q_knn_exact_vincenty,
         haversine_matrix=q_haversine_matrix,
         geodesic_direct=q_geodesic_direct,
@@ -2302,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         flagship_rollup=_o_flagship_rollup(),
         knn_customer=_o_knn_customer(),
         knn_exact=_o_knn_customer(),  # same true-kNN semantics, same oracle
+        knn_antimeridian=_o_knn_antimeridian(),
         knn_exact_vincenty=_o_knn_exact_vincenty(),
         haversine_matrix=_o_haversine_matrix(),
         geodesic_direct=_o_geodesic_direct(),
