@@ -902,6 +902,79 @@ SELECT pts.l_orderkey, pts.l_linenumber, poly.poly_id
 FROM pts, poly WHERE {inside}"""
 
 
+# the seam fixture derives its points in a Pacific band (150°–210°,
+# wrapped into ±180) so the ±180°-straddling polygons see real candidates
+# on both sides of the seam at every sf
+SEAM_LON_RNG = (150.0, 210.0)
+
+
+def q_pip_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP against polygons STRADDLING ±180° (round 4): vertices live in a
+    continuous lon frame (176…184), the cell cover wraps ix modulo 2^res,
+    and the winding refine normalizes each point's lon into the polygon's
+    ±180° window (``pip.winding_contains_np``) — so Pacific geometry joins
+    exactly like mid-map geometry, through the same broadcast
+    filter-refine plan.  The oracle folds the SAME normalization (same
+    IEEE op order) ahead of the transliterated crossing count."""
+    from projcl_spark.sources.synth import seam_polygons_df
+
+    ks = ("l_orderkey", "l_linenumber")
+    lon_e, lat_e = O.derived_lonlat(_key("lineitem", ks, "spark"), "spark",
+                                    lon_rng=SEAM_LON_RNG)
+    pts = spark.read.parquet(_t(sf_dir, "lineitem")).select(*ks).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        *ks,
+        F.expr(f"CASE WHEN {lon_e} > 180.0 THEN {lon_e} - 360.0 "
+               f"ELSE {lon_e} END").alias("lon"),
+        F.expr(lat_e).alias("lat"),
+    )
+    hits = pip_join(pts, seam_polygons_df(spark, 4, res=PIP_RES), res=PIP_RES)
+    return hits.select("l_orderkey", "l_linenumber", "poly_id")
+
+
+def _o_pip_antimeridian() -> str:
+    """Crossing-count parity with the seam normalization folded in:
+    lon2 = lon + 360·floor((cx − lon)/360 + 0.5), cx a per-polygon folded
+    literal — then the exact winding_contains_np recipe over lon2."""
+    from projcl_spark.sources.synth import seam_polygon_layer_np
+
+    rows = ", ".join(
+        "({}, {}, [{}], [{}])".format(
+            p["poly_id"],
+            O._r((float(p["xs"].min()) + float(p["xs"].max())) / 2.0),
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+        )
+        for p in seam_polygon_layer_np(4, 7)
+    )
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon2 < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    lon_e, lat_e = O.derived_lonlat(
+        _key("lineitem", ("l_orderkey", "l_linenumber"), "duck"), "duck",
+        lon_rng=SEAM_LON_RNG)
+    pts_cte = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CASE WHEN {lon_e} > 180.0 THEN {lon_e} - 360.0 ELSE {lon_e} END AS lon, "
+        f"{lat_e} AS lat FROM lineitem"
+    )
+    return f"""
+WITH pts AS ({pts_cte}),
+poly(poly_id, cx, xs, ys) AS (VALUES {rows}),
+cand AS (
+  SELECT pts.l_orderkey, pts.l_linenumber, poly.poly_id, poly.xs, poly.ys,
+         pts.lat, pts.lon + 360.0 * floor((poly.cx - pts.lon) / 360.0 + 0.5) AS lon2
+  FROM pts, poly)
+SELECT l_orderkey, l_linenumber, poly_id FROM cand WHERE {inside}"""
+
+
 def q_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (SURVEY Table B): per market segment, customers
     WITH ≥1 order (left_semi) vs WITHOUT (left_anti) — cheap scans on both
@@ -2227,6 +2300,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "lang_id",
     # -- new in round 4 (no driver row can exist yet) --
     "knn_antimeridian",
+    "pip_antimeridian",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2257,8 +2331,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "geodesic_direct",
     "datum_shift",
     "span_interleaved",
-    "dedup_exact",
-    # (streaming family is covered by stream_sessions/stream_dedup above)
+    # (streaming family is covered by stream_sessions/stream_dedup above;
+    #  exact dedup by the minhash/simhash/jaccard/clusters targets)
 )
 
 
@@ -2285,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pip_triangles=q_pip_triangles,
         pip_coverage=q_pip_coverage,
         pip_polygons=q_pip_polygons,
+        pip_antimeridian=q_pip_antimeridian,
         order_coverage=q_order_coverage,
         flagship_rollup=q_flagship_rollup,
         knn_customer=q_knn_customer,
@@ -2346,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         pip_triangles=_o_pip_triangles(),
         pip_coverage=_o_pip_coverage(),
         pip_polygons=_o_pip_polygons(),
+        pip_antimeridian=_o_pip_antimeridian(),
         order_coverage=_o_order_coverage(),
         flagship_rollup=_o_flagship_rollup(),
         knn_customer=_o_knn_customer(),

@@ -32,7 +32,22 @@ def winding_contains_np(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.n
 
     Standard crossing-count formulation (boundary-exclusive on the right
     edge); branchless numpy across points, loop only over vertices.
+
+    Antimeridian contract: a polygon crossing ±180° must be given in a
+    CONTINUOUS longitude frame (e.g. xs running 176…184, not jumping to
+    −176) — the planar crossing count is meaningless over a discontinuous
+    ring.  Each point's lon is normalized into the polygon's ±180° window
+    first: px' = px + 360·⌊(cx − px)/360 + ½⌋ with cx the bbox center.
+    For a conventional in-range polygon the shift term is EXACTLY 0.0
+    (adding it is an IEEE no-op), so planar layers and their bit-exact
+    SQL oracles are unaffected; seam oracles fold the same normalization
+    (same operation order) into their SQL.
     """
+    cx = (xs.min() + xs.max()) / 2.0
+    # floor(x + 0.5), not round(): numpy's round is banker's at half-
+    # integers while SQL's is half-away — floor+0.5 is the same IEEE op
+    # sequence in both engines
+    px = px + 360.0 * np.floor((cx - px) / 360.0 + 0.5)
     inside = np.zeros(px.shape, dtype=bool)
     nv = len(xs)
     j = nv - 1

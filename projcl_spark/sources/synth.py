@@ -171,12 +171,57 @@ def polygon_layer_np(n_polys: int = 64, seed: int = 42) -> list[dict]:
 
 
 def polygon_cover_cells(poly: dict, res: int) -> np.ndarray:
-    """Conservative cell cover: all cells intersecting the polygon bbox."""
+    """Conservative cell cover: all cells intersecting the polygon bbox.
+
+    Longitude WRAPS: a seam-crossing polygon (vertices in a CONTINUOUS
+    frame, e.g. xs 176…184 — see ``pip.winding_contains_np``) covers the
+    cells on both sides of ±180° (ix modulo 2^res, matching
+    ``index.cells.neighbors_np``); latitude clips as before."""
     n = 1 << res
-    ix0, iy0 = cellmod.cell_xy_np(poly["xs"].min(), poly["ys"].min(), res)
-    ix1, iy1 = cellmod.cell_xy_np(poly["xs"].max(), poly["ys"].max(), res)
-    gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1), indexing="ij")
-    return (gx * n + gy).ravel().astype(np.int64)
+    xs, ys = np.asarray(poly["xs"], dtype=np.float64), np.asarray(poly["ys"], dtype=np.float64)
+    # raw (unclipped) ix span of the continuous-frame bbox, then wrap
+    ix0 = int(np.floor((xs.min() + 180.0) / 360.0 * n))
+    ix1 = int(np.floor((xs.max() + 180.0) / 360.0 * n))
+    gx_range = np.arange(ix0, ix1 + 1) % n
+    _, iy0 = cellmod.cell_xy_np(0.0, ys.min(), res)
+    _, iy1 = cellmod.cell_xy_np(0.0, ys.max(), res)
+    gx, gy = np.meshgrid(gx_range, np.arange(iy0, iy1 + 1), indexing="ij")
+    return np.unique((gx * n + gy).ravel().astype(np.int64))
+
+
+def seam_polygon_layer_np(n_polys: int = 4, seed: int = 7) -> list[dict]:
+    """Deterministic polygons STRADDLING ±180°, in the continuous-frame
+    convention (vertex lons around 180, e.g. 176…184 — the winding test
+    and cell cover wrap them; see ``pip.winding_contains_np``).  poly_id
+    starts at 1000 so layers can be mixed with ``polygon_layer_np``."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for p in range(n_polys):
+        cx = 180.0 + 4.0 * (rng.random() - 0.5)           # 178…182
+        cy = -60.0 + 120.0 * (p + 0.5) / n_polys           # spread in lat
+        nv = int(rng.integers(5, 13))
+        radius = 1.0 + 2.0 * rng.random()
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        out.append({
+            "poly_id": 1000 + p,
+            "xs": (cx + radius * np.cos(ang)),
+            "ys": (cy + radius * np.sin(ang) * 0.8),
+        })
+    return out
+
+
+def seam_polygons_df(spark: SparkSession, n_polys: int = 4, seed: int = 7,
+                     res: int = 8) -> DataFrame:
+    """Seam-straddling polygon layer as a DataFrame (wrapped cell covers)."""
+    layer = seam_polygon_layer_np(n_polys, seed)
+    rows = [
+        (p["poly_id"], [float(v) for v in p["xs"]], [float(v) for v in p["ys"]],
+         [int(c) for c in polygon_cover_cells(p, res)])
+        for p in layer
+    ]
+    return spark.createDataFrame(
+        rows, "poly_id long, xs array<double>, ys array<double>, cells array<long>"
+    )
 
 
 def polygons_df(spark: SparkSession, n_polys: int = 64, seed: int = 42, res: int = 8) -> DataFrame:

@@ -95,18 +95,18 @@ def test_sample_priority_prefix():
     priority list must not drop or duplicate registry entries."""
     q = list(E.queries())
     first50 = set(q[:50])
-    assert len(q) == len(set(q)) == 91
+    assert len(q) == len(set(q)) == 92
     for name in E._SAMPLE_PRIORITY:
         assert name in first50, f"{name} fell out of the driver sample window"
     # the 20 queries whose driver record is absent or red as of r3, plus
-    # the round-4 addition (knn_antimeridian — no row can exist yet)
+    # the round-4 additions (knn/pip_antimeridian — no rows can exist yet)
     targets = {
         "events_json", "geodesic_vincenty_direct", "ann_ivf",
         "dedup_clusters", "checkpoint_lineage", "stream_sessions",
         "stream_dedup", "warp_rgba_pipeline", "media_resize", "media_embed",
         "warp_nearest", "warp_bilinear", "warp_bicubic", "warp_quasi_bicubic",
         "dedup_jaccard", "dedup_minhash", "dedup_simhash", "doc_fingerprint",
-        "doc_quality", "lang_id", "knn_antimeridian",
+        "doc_quality", "lang_id", "knn_antimeridian", "pip_antimeridian",
     }
     assert targets <= first50
     # queries() and oracle_sql() must stay in the same order so the driver's

@@ -263,6 +263,34 @@ def test_pip_join_shuffle_path_matches_broadcast(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_pip_join_antimeridian_polygons(spark):
+    """Seam-straddling polygons (continuous-frame vertices around 180°):
+    the wrapped cell cover + lon-normalized winding must (a) match brute
+    force on both join paths and (b) actually catch points on BOTH sides
+    of ±180°."""
+    from projcl_spark.sources.synth import seam_polygons_df
+
+    pts = synth.geo_points(spark, 400).select(
+        "doc_id", "offset",
+        # squeeze the synthetic lons into a band hugging the seam so a
+        # meaningful fraction of the 400 points lands inside the polygons
+        F.when(F.col("lon") >= 0, 180.0 - F.col("lon") / 60.0)
+        .otherwise(-180.0 - F.col("lon") / 60.0).alias("lon"),
+        "lat",
+    )
+    polys = seam_polygons_df(spark, 4, res=8)
+    fast = pip_join(pts, polys, res=8).select("doc_id", "offset", "poly_id")
+    shuf = pip_join(pts, polys, res=8, broadcast_polygons=False).select(
+        "doc_id", "offset", "poly_id")
+    slow = pip_join_bruteforce(pts, polys).select("doc_id", "offset", "poly_id")
+    assert fast.exceptAll(slow).count() == 0 and slow.exceptAll(fast).count() == 0
+    assert shuf.exceptAll(slow).count() == 0 and slow.exceptAll(shuf).count() == 0
+    hits = fast.join(pts, ["doc_id", "offset"]).select("lon").toPandas()
+    assert len(hits) > 0, "no seam hits — fixture band missed the polygons"
+    assert (hits["lon"] > 0).any() and (hits["lon"] < 0).any(), \
+        "hits landed on only one side of the seam"
+
+
 def test_knn_exact_at_pole_and_antimeridian(spark):
     """Map-edge soundness AND antimeridian efficiency: the closest neighbor
     can lie ACROSS the pole or the ±180° wrap.  Since round 4 the cell
