@@ -1760,6 +1760,49 @@ WHERE (win_s + 300) * 1000 <=
       (SELECT max(epoch_us(ts)) // 1000 FROM events) - 600000"""
 
 
+def q_stream_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static PIP enrichment, value-checked: the events stream
+    derives (lon, lat), broadcast-joins the 16-polygon layer's cell cover
+    and passes the exact winding refine — the batch ``pip_join`` plan on a
+    live feed.  STATELESS (no watermark/state store), so the availableNow
+    append output equals the batch join row-for-row; the DuckDB twin is
+    the same folded crossing count over the events derivation."""
+    from projcl_spark.sources.synth import polygons_df
+    from projcl_spark.streaming.ops import stream_pip
+
+    polys = polygons_df(spark, 16, res=6)
+    name = _run_available_now(spark, sf_dir, "stream_pip", 4,
+                              lambda s: stream_pip(s, polys, res=6))
+    return spark.sql(f"SELECT event_id, poly_id FROM {name}")
+
+
+def _o_stream_pip() -> str:
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    rows = ", ".join(
+        "({}, [{}], [{}])".format(
+            p["poly_id"],
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+        )
+        for p in polygon_layer_np(16, 42)
+    )
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)", "duck")
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    return f"""
+WITH pts AS (SELECT event_id, {lon_e} AS lon, {lat_e} AS lat FROM events),
+poly(poly_id, xs, ys) AS (VALUES {rows})
+SELECT pts.event_id, poly.poly_id FROM pts, poly WHERE {inside}"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup, value-checked: watermark-bounded
     dropDuplicatesWithinWatermark over a manufactured content key.
@@ -2298,9 +2341,10 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "doc_quality",
     "lang_id",
-    # -- new in round 4 (no driver row can exist yet) --
+    # -- new in round 4 (no driver rows can exist yet) --
     "knn_antimeridian",
     "pip_antimeridian",
+    "stream_pip",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2312,7 +2356,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "proj_stereo_e",
     "proj_tmerc_e",
     "proj_robinson_s",
-    "proj_winkel_s",
     "proj_mercator_s_inv",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
@@ -2392,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_cells=q_stream_cells,
         stream_sessions=q_stream_sessions,
         stream_dedup=q_stream_dedup,
+        stream_pip=q_stream_pip,
         warp_pipeline=q_warp_pipeline,
         warp_rgba_pipeline=q_warp_rgba_pipeline,
         warp_datum_pipeline=q_warp_datum_pipeline,
@@ -2454,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         stream_cells=_o_stream_cells(),
         stream_sessions=_o_stream_sessions(),
         stream_dedup=_o_stream_dedup(),
+        stream_pip=_o_stream_pip(),
         warp_pipeline=_o_warp_pipeline(),
         warp_rgba_pipeline=_o_warp_rgba_pipeline(),
         warp_datum_pipeline=_o_warp_datum_pipeline(),

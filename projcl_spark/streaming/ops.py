@@ -58,6 +58,23 @@ def stream_cell_counts(
     )
 
 
+def stream_pip(stream: DataFrame, polygons: DataFrame, res: int = 6) -> DataFrame:
+    """Stream-static PIP enrichment — live tile/polygon assignment: each
+    incoming event derives (lon, lat), equi-joins the BROADCAST polygon
+    cell cover, and passes the exact winding refine (the same
+    ``operators.pip.pip_join`` plan the batch side runs; Structured
+    Streaming allows static broadcast joins and pandas-UDF filters in a
+    stream).  STATELESS — no watermark, no state store: availableNow
+    append output equals the batch join row-for-row, which is what makes
+    the gate query value-checkable against the batch oracle.  At scale
+    this is the \"project → cell-encode → join against polygon layers\"
+    north-star path running on a live feed."""
+    from ..operators.pip import pip_join
+
+    pts = event_points(stream)
+    return pip_join(pts, polygons, res=res).select("event_id", "poly_id")
+
+
 DEDUP_BUCKETS = 50
 
 

@@ -118,6 +118,36 @@ def test_stream_dedup_collapses_replays(spark, tmp_path):
     assert got == {(1, 3), (2, 7), (2, 3)}
 
 
+def test_stream_pip_matches_batch(spark, tmp_path):
+    """Stateless stream-static PIP enrichment: availableNow append output
+    must equal the batch pip_join row-for-row (no watermark/state)."""
+    import uuid
+
+    from projcl_spark.operators.pip import pip_join
+    from projcl_spark.sources.synth import polygons_df
+    from projcl_spark.streaming.ops import event_points, stream_pip
+
+    rows = [(i, 7 * i % 40, f"2024-01-01 10:{i % 60:02d}:00") for i in range(400)]
+    p = str(tmp_path / "pip_in")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.parquet(p)
+    polys = polygons_df(spark, 16, res=6)
+    schema = spark.read.parquet(p).schema
+    stream = spark.readStream.schema(schema).parquet(p)
+    name = f"spip_{uuid.uuid4().hex[:8]}"
+    q = (stream_pip(stream, polys, res=6).writeStream.format("memory")
+         .queryName(name).outputMode("append").trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(120), "stream did not terminate"
+    finally:
+        q.stop()
+    got = {(r.event_id, r.poly_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    batch = pip_join(event_points(spark.read.parquet(p)), polys, res=6)
+    want = {(r.event_id, r.poly_id) for r in batch.select("event_id", "poly_id").collect()}
+    assert got == want and len(want) > 0
+
+
 def test_media_decode_roundtrip(spark):
     m = media.synth_media(spark, 50)
     meta = m.select("media_ref", "kind", media.decode_meta("data").alias("meta"))
