@@ -1803,6 +1803,28 @@ poly(poly_id, xs, ys) AS (VALUES {rows})
 SELECT pts.event_id, poly.poly_id FROM pts, poly WHERE {inside}"""
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join, value-checked: same-user event
+    pairs within 300 s (a_id < b_id).  n_parts=1 → each side drains in one
+    availableNow micro-batch → no join state evicted mid-run, so the
+    emitted set equals the batch interval join (the DuckDB twin).  The
+    timestamp comparisons stay on raw TIMESTAMPs in both engines — exact,
+    no float epochs (CLAUDE.md time-arithmetic invariant)."""
+    from projcl_spark.streaming.ops import stream_interval_join
+
+    name = _run_available_now(spark, sf_dir, "stream_ij", 1,
+                              stream_interval_join)
+    return spark.sql(f"SELECT user_id, a_id, b_id FROM {name}")
+
+
+def _o_stream_interval_join() -> str:
+    return """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup, value-checked: watermark-bounded
     dropDuplicatesWithinWatermark over a manufactured content key.
@@ -2345,6 +2367,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_antimeridian",
     "pip_antimeridian",
     "stream_pip",
+    "stream_interval_join",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2355,7 +2378,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "proj_polyconic_e",
     "proj_stereo_e",
     "proj_tmerc_e",
-    "proj_robinson_s",
     "proj_mercator_s_inv",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
@@ -2436,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_sessions=q_stream_sessions,
         stream_dedup=q_stream_dedup,
         stream_pip=q_stream_pip,
+        stream_interval_join=q_stream_interval_join,
         warp_pipeline=q_warp_pipeline,
         warp_rgba_pipeline=q_warp_rgba_pipeline,
         warp_datum_pipeline=q_warp_datum_pipeline,
@@ -2499,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         stream_sessions=_o_stream_sessions(),
         stream_dedup=_o_stream_dedup(),
         stream_pip=_o_stream_pip(),
+        stream_interval_join=_o_stream_interval_join(),
         warp_pipeline=_o_warp_pipeline(),
         warp_rgba_pipeline=_o_warp_rgba_pipeline(),
         warp_datum_pipeline=_o_warp_datum_pipeline(),

@@ -75,6 +75,40 @@ def stream_pip(stream: DataFrame, polygons: DataFrame, res: int = 6) -> DataFram
     return pip_join(pts, polygons, res=res).select("event_id", "poly_id")
 
 
+def stream_interval_join(stream: DataFrame, horizon_s: int = 300,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked STREAM-STREAM self-join: pairs of events from the same
+    user within ``horizon_s`` seconds ((a, b) with a_id < b_id and
+    b_ts ∈ [a_ts, a_ts + horizon]).  The event-time range condition is on
+    the raw timestamp columns — that is what lets Spark bound each side's
+    join state by the watermark instead of keeping every row forever (the
+    only stream-stream join shape that survives an unbounded feed).
+
+    Determinism note (same precondition as ``stream_dedup``): an INNER
+    stream-stream join emits every match whose partner is still in state;
+    with each side drained in ONE availableNow micro-batch no state is
+    evicted mid-run, so the emitted set equals the batch interval join —
+    the value-checkable drain.  Multi-batch runs can only miss pairs
+    separated by more than the watermark, which is correct
+    join-within-horizon semantics."""
+    a = stream.select(
+        "user_id", F.col("event_id").alias("a_id"),
+        F.col("ts").cast("timestamp").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    b = stream.select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"),
+        F.col("ts").cast("timestamp").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")),
+        "inner",
+    ).select("user_id", "a_id", "b_id")
+
+
 DEDUP_BUCKETS = 50
 
 
