@@ -1370,6 +1370,83 @@ def _o_span_roundtrip() -> str:
             "WHERE text IS NOT NULL AND length(text) > 0")
 
 
+def q_span_pip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's explode→project→join→reassemble invariant as ONE
+    value-checked query: 16-char text spans explode, each SPAN derives its
+    own (lon, lat) and Albers-forward x (JVM codegen), the spans LEFT-join
+    the triangle PIP layer (matched spans pick up min poly_id, unmatched
+    SURVIVE — enrichment must never drop rows), and ``reassemble`` rebuilds
+    the per-doc sequence by offset with the enrichment riding in the span
+    structs.  The output proves sequence survival (rebuilt text == source)
+    plus the join/projection payloads computed FROM the reassembled array
+    (hit count, poly-id sum, quantized-x sum).  Spans are capped at 8 ×
+    64-char chunks per doc so the per-span md5 derivation stays bounded at
+    every sf (rebuilt == substring(text, 1, 512) on both sides)."""
+    from projcl_spark.functions import project_fwd_cols
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(
+        "text IS NOT NULL AND length(text) > 0"
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, least(CAST(ceil(length(text) / 64.0) AS INT), 8) - 1), "
+            "i -> struct('text' AS kind, substring(text, i * 64 + 1, 64) AS text, "
+            "CAST(NULL AS STRING) AS media_ref, i AS offset))"
+        ).alias("spans"),
+    )
+    ex = explode_spans(docs)
+    lon_e, lat_e = O.derived_lonlat(
+        "'span:' || doc_id || ':' || CAST(offset AS STRING)", "spark")
+    geo = ex.select("*", F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    proj, params = PROJ_CASES["proj_albers_e"]
+    xc, _yc = project_fwd_cols(proj, params)
+    geo = geo.withColumn("x_10m", _q10_col(xc))
+    hits = pip_join(geo, _triangles_df(spark), res=PIP_RES).groupBy(
+        "doc_id", "offset").agg(F.min("poly_id").alias("poly_id"))
+    enriched = geo.join(hits, ["doc_id", "offset"], "left")
+    re = reassemble(enriched, extra_cols=("poly_id", "x_10m"))
+    return re.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("array_join(transform(spans, s -> s.text), '')").alias("rebuilt"),
+        F.expr("CAST(size(filter(spans, s -> s.poly_id IS NOT NULL)) AS BIGINT)")
+        .alias("n_hit_spans"),
+        F.expr("aggregate(spans, CAST(0 AS BIGINT), "
+               "(a, s) -> a + coalesce(s.poly_id, CAST(0 AS BIGINT)))")
+        .alias("poly_sum"),
+        F.expr("aggregate(spans, CAST(0 AS BIGINT), (a, s) -> a + s.x_10m)")
+        .alias("x_sum_10m"),
+    )
+
+
+def _o_span_pip_roundtrip() -> str:
+    lon_e, lat_e = O.derived_lonlat(
+        "'span:' || doc_id || ':' || CAST(i AS VARCHAR)", "duck")
+    proj, params = PROJ_CASES["proj_albers_e"]
+    x, _y = O.fwd_xy_sql(proj, params)
+    inside = _tri_inside_sql()
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did, text,
+         least(CAST(ceil(length(text) / 64.0) AS BIGINT), 8) AS nc
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+s AS (SELECT doc_id, did, unnest(range(nc)) AS i FROM d),
+g AS (SELECT doc_id, did, i, {lon_e} AS lon, {lat_e} AS lat FROM s),
+gx AS (SELECT doc_id, did, i, lon, lat, {_q10(x)} AS x10 FROM g),
+tri(poly_id, x1, y1, x2, y2, x3, y3) AS (VALUES {_triangles_values_sql()}),
+h AS (SELECT gx.doc_id, gx.i, min(tri.poly_id) AS p
+      FROM gx, tri WHERE {inside} GROUP BY 1, 2),
+e AS (SELECT gx.did, gx.x10, h.p
+      FROM gx LEFT JOIN h ON h.doc_id = gx.doc_id AND h.i = gx.i),
+agg AS (SELECT did, count(p) AS n_hit_spans,
+               coalesce(sum(p), 0) AS poly_sum, sum(x10) AS x_sum_10m
+        FROM e GROUP BY 1)
+SELECT agg.did AS doc_id, substring(documents.text, 1, 512) AS rebuilt,
+       CAST(agg.n_hit_spans AS BIGINT) AS n_hit_spans,
+       CAST(agg.poly_sum AS BIGINT) AS poly_sum,
+       CAST(agg.x_sum_10m AS BIGINT) AS x_sum_10m
+FROM agg JOIN documents ON documents.doc_id = agg.did"""
+
+
 def q_span_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved text+media+geo spans (the driver input-hint shape):
     build spans (kind, text, media_ref, offset) → explode → reassemble →
@@ -2456,6 +2533,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_pip",
     "stream_interval_join",
     "ann_ivf_pq",
+    "span_pip_roundtrip",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2463,7 +2541,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "proj_albers_e",
     "proj_lcc_e",
     "proj_laea_e",
-    "proj_polyconic_e",
     "proj_stereo_e",
     "proj_mercator_s_inv",
     "proj_tmerc_e_inv",
@@ -2526,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         datum_shift=q_datum_shift,
         datum_roundtrip=q_datum_roundtrip,
         span_roundtrip=q_span_roundtrip,
+        span_pip_roundtrip=q_span_pip_roundtrip,
         span_interleaved=q_span_interleaved,
         dedup_exact=q_dedup_exact,
         token_stats=q_token_stats,
@@ -2591,6 +2669,7 @@ def oracle_sql() -> dict[str, str]:
         datum_shift=_o_datum_shift(),
         datum_roundtrip=_o_datum_roundtrip(),
         span_roundtrip=_o_span_roundtrip(),
+        span_pip_roundtrip=_o_span_pip_roundtrip(),
         span_interleaved=_o_span_interleaved(),
         dedup_exact=_o_dedup_exact(),
         token_stats=_o_token_stats(),
