@@ -1083,6 +1083,39 @@ SELECT query_id, c_custkey, {_q10('dist')} AS dist_10m, CAST(rnk AS INT) AS rank
 FROM r WHERE rnk <= {KNN_K}"""
 
 
+DWITHIN_RADIUS_M, DWITHIN_RES, DWITHIN_RING = 600_000.0, 4, 1
+
+
+def q_dwithin_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-within spatial join: every customer within 600 km of each
+    query point (``operators.knn.dwithin_join``).  At res 4 / ring 1 the
+    window margin exceeds 600 km for queries 0-6 (they certify → pure cell
+    equi-join), while query 7 (lat 70) has a pole-touching window (safe
+    radius 0) and exercises the brute-force rescue — both branches are
+    value-checked against the cross-join oracle."""
+    from projcl_spark.operators.knn import dwithin_join
+
+    cust = _points_df(spark, sf_dir, "customer", ("c_custkey",))
+    qs = spark.createDataFrame(KNN_QUERIES, "query_id long, q_lon double, q_lat double")
+    out = dwithin_join(qs, cust, DWITHIN_RADIUS_M, res=DWITHIN_RES,
+                       ring=DWITHIN_RING, point_id="c_custkey")
+    return out.select(
+        "query_id", "c_custkey",
+        _q10_col(F.col("dist_m")).alias("dist_10m"),
+    )
+
+
+def _o_dwithin_customer() -> str:
+    qvals = ", ".join(f"(CAST({q} AS BIGINT), {O._r(lo)}, {O._r(la)})"
+                      for q, lo, la in KNN_QUERIES)
+    hav = O.haversine("c.lon", "c.lat", "q.q_lon", "q.q_lat")
+    return f"""
+WITH cust AS ({_points_cte('customer', ('c_custkey',))}),
+q(query_id, q_lon, q_lat) AS (VALUES {qvals})
+SELECT q.query_id, c.c_custkey, {_q10(hav)} AS dist_10m
+FROM q, cust c WHERE {hav} <= {O._r(DWITHIN_RADIUS_M)}"""
+
+
 def q_knn_exact_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ELLIPSOIDAL exact kNN: same deliberately-lossy pruning as
     ``knn_exact``, but with the Vincenty metric and the geocentric
@@ -1656,6 +1689,44 @@ def _o_events_topn() -> str:
             "FROM events ORDER BY value_c DESC, event_id ASC LIMIT 20")
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (``operators.asof.asof_join``): for each click, the
+    latest view by the same user at-or-before the click (left-outer; ties
+    on ts break by max view id).  One shuffle on user_id + a running
+    last() window — never a per-key range join.  Timestamps exported as
+    integer epoch-µs on both sides (CLAUDE.md time-arithmetic rule)."""
+    from projcl_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    l = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    r = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value")
+    out = asof_join(l, r, on="user_id", right_id="event_id")
+    return out.select(
+        "event_id",
+        F.col("r_event_id").alias("view_id"),
+        # parquet ts is TIMESTAMP_NTZ; the cast is identity under the
+        # engine's fixed UTC session tz (session.py) — same integer µs
+        # DuckDB's epoch_us(naive ts) produces
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("view_ts_us"),
+        F.round(F.col("r_value") * 1000000.0, 0).cast("long").alias("view_value_e6"),
+    )
+
+
+def _o_events_asof() -> str:
+    return """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id AS view_id, user_id, ts AS vts, value
+      FROM events WHERE event_type = 'view'),
+j AS (SELECT l.event_id, r.view_id, r.vts, r.value,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY r.vts DESC, r.view_id DESC) AS rn
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.vts <= l.ts)
+SELECT event_id, view_id, epoch_us(vts) AS view_ts_us,
+       CAST(round(value * 1000000.0, 0) AS BIGINT) AS view_value_e6
+FROM j WHERE rn = 1"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -2073,6 +2144,61 @@ UNION ALL
 SELECT 'lang_hist' AS stage,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_rows
 FROM documents WHERE n_chars >= 200"""
+
+
+# Z-order sink: write at res 12, query one res-2 quadrant (cell 6 = lon
+# [-90,0) × lat [0,45) — populated at every sf), roll up per res-5 cell.
+SINK_RES, SINK_CELL, SINK_CELL_RES, SINK_AGG_RES = 12, 6, 2, 5
+
+
+def _spatial_sink_dir(spark: SparkSession, sf_dir: str) -> str:
+    sfb = os.path.basename(sf_dir.rstrip("/"))
+    return _scratch_path(spark, f"projcl_zsink_{sfb}",
+                         tag=_input_tag(sf_dir, "customer"))
+
+
+def q_spatial_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered sink + prefix-range pruned read
+    (``plans.spatial_sink``): customer points are written once clustered
+    by res-12 Morton key (range-partitioned files, sorted row groups);
+    the query then reads ONE res-2 quadrant as a single pushed-down
+    morton range predicate — min-max stats skip every non-overlapping
+    file/row group — and rolls the survivors up per res-5 cell.  The
+    oracle computes the same quadrant directly from the raw table (a
+    morton prefix range IS the quadrant rectangle), so the value hash
+    proves the layout round-trips losslessly AND prunes to exactly the
+    right rows; cents are summed as integers (exact, order-free)."""
+    from projcl_spark.index.cells import cell_id_col
+    from projcl_spark.plans.spatial_sink import read_spatial_cell, write_spatial
+
+    d = _spatial_sink_dir(spark, sf_dir)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        pts = _points_df(spark, sf_dir, "customer", ("c_custkey", "c_acctbal"))
+        write_spatial(pts, _fs_url(d), res=SINK_RES, buckets=16)
+    sub = read_spatial_cell(spark, _fs_url(d), SINK_CELL, SINK_CELL_RES,
+                            res=SINK_RES)
+    return (
+        sub.withColumn("cell5", cell_id_col(F.col("lon"), F.col("lat"),
+                                            SINK_AGG_RES))
+        .groupBy("cell5")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias("bal_c"),
+        )
+        .select(F.col("cell5").alias("cell_id"), "n", "bal_c")
+    )
+
+
+def _o_spatial_sink_prune() -> str:
+    from projcl_spark.index.cells import cell_id_sql
+
+    c_quad = cell_id_sql("lon", "lat", SINK_CELL_RES)
+    c_agg = cell_id_sql("lon", "lat", SINK_AGG_RES)
+    return f"""
+WITH cust AS ({_points_cte('customer', ('c_custkey', 'c_acctbal'))})
+SELECT {c_agg} AS cell_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_c
+FROM cust WHERE {c_quad} = {SINK_CELL} GROUP BY 1"""
 
 
 IVF_CELLS, IVF_PROBE, IVF_SEED = 16, 4, 7
@@ -2534,6 +2660,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_interval_join",
     "ann_ivf_pq",
     "span_pip_roundtrip",
+    "dwithin_customer",
+    "events_asof",
+    "spatial_sink_prune",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2556,9 +2685,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_customer",
     "knn_exact",
     "knn_exact_vincenty",
-    "haversine_matrix",
-    "geodesic_direct",
-    "datum_shift",
     "span_interleaved",
     # (streaming family is covered by stream_sessions/stream_dedup above;
     #  exact dedup by the minhash/simhash/jaccard/clusters targets)
@@ -2595,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_exact=q_knn_exact,
         knn_antimeridian=q_knn_antimeridian,
         knn_exact_vincenty=q_knn_exact_vincenty,
+        dwithin_customer=q_dwithin_customer,
         haversine_matrix=q_haversine_matrix,
         geodesic_direct=q_geodesic_direct,
         geodesic_fixed_angle=q_geodesic_fixed_angle,
@@ -2613,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_cube=q_doc_cube,
         cell_setops=q_cell_setops,
         events_topn=q_events_topn,
+        events_asof=q_events_asof,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -2620,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_pq=q_ann_ivf_pq,
         dedup_clusters=q_dedup_clusters,
         checkpoint_lineage=q_checkpoint_lineage,
+        spatial_sink_prune=q_spatial_sink_prune,
         stream_cells=q_stream_cells,
         stream_sessions=q_stream_sessions,
         stream_dedup=q_stream_dedup,
@@ -2661,6 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         knn_exact=_o_knn_customer(),  # same true-kNN semantics, same oracle
         knn_antimeridian=_o_knn_antimeridian(),
         knn_exact_vincenty=_o_knn_exact_vincenty(),
+        dwithin_customer=_o_dwithin_customer(),
         haversine_matrix=_o_haversine_matrix(),
         geodesic_direct=_o_geodesic_direct(),
         geodesic_fixed_angle=_o_geodesic_fixed_angle(),
@@ -2679,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         doc_cube=_o_doc_cube(),
         cell_setops=_o_cell_setops(),
         events_topn=_o_events_topn(),
+        events_asof=_o_events_asof(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),
@@ -2686,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
         ann_ivf_pq=_o_ann_ivf_pq(),
         dedup_clusters=_o_dedup_clusters(),
         checkpoint_lineage=_o_checkpoint_lineage(),
+        spatial_sink_prune=_o_spatial_sink_prune(),
         stream_cells=_o_stream_cells(),
         stream_sessions=_o_stream_sessions(),
         stream_dedup=_o_stream_dedup(),

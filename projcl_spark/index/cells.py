@@ -62,6 +62,27 @@ def morton_np(lon, lat, res: int):
     return (_spread_bits_np(ix) << np.uint64(1) | _spread_bits_np(iy)).astype(np.int64)
 
 
+def cell_morton_np(cell_id, res: int):
+    """Morton key of a CELL (row-major id → Z-order id, same res)."""
+    n = _scale(res)
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    ix, iy = cell_id // n, cell_id % n
+    return (_spread_bits_np(ix) << np.uint64(1) | _spread_bits_np(iy)).astype(np.int64)
+
+
+def morton_range_np(cell_id: int, cell_res: int, sink_res: int) -> tuple[int, int]:
+    """Half-open morton range [lo, hi) at ``sink_res`` covering one cell at
+    the coarser ``cell_res`` — the Z-order prefix property: a quadtree
+    cell IS a contiguous morton interval, so a quadrant query over a
+    morton-sorted layout becomes one range predicate (file/row-group
+    min-max pruning does the rest)."""
+    if sink_res < cell_res:
+        raise ValueError(f"sink_res {sink_res} < cell_res {cell_res}")
+    m = int(cell_morton_np(np.asarray([cell_id]), cell_res)[0])
+    shift = 2 * (sink_res - cell_res)
+    return m << shift, (m + 1) << shift
+
+
 def neighbors_np(cell_id: int, res: int, ring: int = 1) -> np.ndarray:
     """All cell ids within a square (2·ring+1)² window.
 

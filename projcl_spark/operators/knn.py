@@ -254,6 +254,73 @@ def knn_join_exact(
     return good.unionByName(rescued.select(good.columns))
 
 
+def dwithin_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius_m: float,
+    res: int = 6,
+    ring: int = 1,
+    metric: str = "haversine",
+    point_id: str = "doc_id",
+    spheroid=None,
+) -> DataFrame:
+    """All (query, point) pairs within ``radius_m`` geodesic meters — exact.
+
+    The distance-within spatial join (the set-returning sibling of
+    ``knn_join_exact``; the reference exposes only the all-pairs distance
+    matrix ``pl_inverse_geodesic_s``, kernel/pl_geodesic.opencl:31-59, from
+    which a user would filter — here the filter IS the join, cell-pruned).
+
+    Certificate (query-only, no result inspection needed): if the window's
+    safe radius (``_safe_radius_col`` — a lower bound on the distance to
+    anything OUTSIDE the (2·ring+1)² cell window) strictly exceeds
+    ``radius_m``, the whole radius disk lies inside the window, so the cell
+    equi-join finds every qualifying point.  Queries that fail the
+    certificate (pole-adjacent windows where the bound is 0, or a ring too
+    small for the radius at that latitude) escalate to a brute-force scan.
+    Callers size ``ring ≥ radius / (ring-1 cell height at res)`` so the
+    escalation set is empty away from the poles.
+
+    Scale shape: the big point side is scanned once, shuffled on cell_id
+    only; the query side multiplies by (2·ring+1)².  The brute branch is
+    gated on a driver count over the (small) query side — zero extra point
+    scans when everything certifies.
+    """
+    if metric == "haversine":
+        safe = _safe_radius_col(F.col("q_lon"), F.col("q_lat"), res, ring)
+    elif metric == "vincenty":
+        safe = _safe_radius_vincenty_col(F.col("q_lon"), F.col("q_lat"), res,
+                                         ring, spheroid=spheroid)
+    else:
+        raise ValueError(f"dwithin_join: unknown metric {metric!r}")
+    r = float(radius_m)
+    qx = queries.withColumn("_safe", safe)
+    good_q = qx.filter(F.lit(r) < F.col("_safe")).drop("_safe")
+    bad_q = qx.filter(~(F.lit(r) < F.col("_safe"))).drop("_safe")
+    p = points.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), res))
+    cand = (
+        good_q.withColumn(
+            "cell_id",
+            F.explode(ring_cells_col(
+                cell_id_col(F.col("q_lon"), F.col("q_lat"), res), res, ring)),
+        )
+        .join(p, "cell_id", "inner")
+        .withColumn("dist_m", _dist(metric, spheroid)())
+        .filter(F.col("dist_m") <= r)
+        .drop("cell_id")
+    )
+    # certificate is a pure function of the query row → deciding the brute
+    # branch costs one count over the SMALL query side, never a point scan
+    if bad_q.count() == 0:
+        return cand
+    rescued = (
+        bad_q.crossJoin(points)
+        .withColumn("dist_m", _dist(metric, spheroid)())
+        .filter(F.col("dist_m") <= r)
+    )
+    return cand.unionByName(rescued.select(cand.columns))
+
+
 def knn_bruteforce(
     queries: DataFrame,
     points: DataFrame,

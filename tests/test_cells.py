@@ -84,3 +84,18 @@ def test_spread_bits_roundtrip_property():
     for b in range(32):
         back |= ((s.astype(np.int64) >> (2 * b)) & 1) << b
     assert (back == v).all()
+
+
+def test_morton_range_prefix_property():
+    """A coarse cell's [lo, hi) morton interval at sink res contains a
+    point's sink-res morton IFF the point lies in that cell — the
+    identity the Z-order sink's pruned reads stand on."""
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 4000)
+    lat = rng.uniform(-90, 90, 4000)
+    m12 = C.morton_np(lon, lat, 12)
+    c2 = C.cell_id_np(lon, lat, 2)
+    for cell in np.unique(c2):
+        lo, hi = C.morton_range_np(int(cell), 2, 12)
+        inside = (m12 >= lo) & (m12 < hi)
+        assert np.array_equal(inside, c2 == cell)

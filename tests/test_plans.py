@@ -61,3 +61,31 @@ def test_knn_join_is_broadcast_no_cross(spark):
 def test_topn_uses_take_ordered(spark):
     p = plan_of(E.q_events_topn(spark, SF))
     assert "TakeOrderedAndProject" in p, "global top-k must not global-sort"
+
+
+def test_spatial_sink_range_read_pushes_down(spark, tmp_path):
+    """Z-order sink round trip: the pruned quadrant read returns exactly
+    the rows whose res-2 cell matches, and the morton range predicate is
+    pushed into the parquet scan (min-max stats can prune row groups)."""
+    from projcl_spark.index.cells import cell_id_col
+    from projcl_spark.plans.spatial_sink import read_spatial_cell, write_spatial
+    from projcl_spark.sources import synth
+
+    pts = synth.geo_points(spark, 3000).withColumn(
+        "pid", F.concat_ws("#", "doc_id", "offset")
+    ).select("pid", "lon", "lat")
+    path = f"file://{tmp_path}/zsink"
+    write_spatial(pts, path, res=12, buckets=8)
+
+    sub = read_spatial_cell(spark, path, cell_id=6, cell_res=2, res=12)
+    got = {r["pid"] for r in sub.select("pid").collect()}
+    want = {
+        r["pid"]
+        for r in pts.withColumn("c2", cell_id_col(F.col("lon"), F.col("lat"), 2))
+        .filter(F.col("c2") == 6).select("pid").collect()
+    }
+    assert got == want and len(want) > 0
+
+    p = plan_of(sub)
+    assert "PushedFilters" in p and "_morton" in p.split("PushedFilters", 1)[1].split("]", 1)[0], \
+        "morton range must reach the parquet scan"

@@ -115,6 +115,92 @@ def test_knn_matches_bruteforce(spark):
     assert slow.exceptAll(fast).count() == 0
 
 
+def test_dwithin_matches_bruteforce(spark):
+    """dwithin_join == cross-join filter, with BOTH branches live: mid-lat
+    queries certify (disk inside the cell window), the pole-adjacent query
+    has a 0 safe radius and takes the brute-force rescue."""
+    from projcl_spark.operators.knn import dwithin_join
+    from projcl_spark.functions import haversine_col
+
+    pts = synth.geo_points(spark, N_DOCS).withColumn(
+        "pid", F.concat_ws("#", "doc_id", "offset")
+    ).select("pid", "lon", "lat")
+    qs = spark.createDataFrame(
+        [(0, 10.0, 48.0), (1, -30.0, 20.0), (2, 0.0, 0.0), (3, 12.0, 86.0)],
+        "query_id long, q_lon double, q_lat double",
+    )
+    r = 500_000.0
+    fast = dwithin_join(qs, pts, r, res=4, ring=1, point_id="pid").select(
+        "query_id", "pid"
+    )
+    slow = (
+        qs.crossJoin(pts)
+        .withColumn("d", haversine_col(F.col("q_lon"), F.col("q_lat"),
+                                       F.col("lon"), F.col("lat")))
+        .filter(F.col("d") <= r)
+        .select("query_id", "pid")
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.filter(F.col("query_id") < 3).count() > 0  # non-degenerate
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """asof_join (union + running-last window) == the O(L·R)-per-key
+    brute-force range formulation, both directions, incl. equal-ts
+    matching, max-id tie-breaks, unmatched-left nulls, and tolerance."""
+    from projcl_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 50), (5, 30, 7)],
+        "lid long, k long, t long",
+    ).select("lid", "k", F.timestamp_micros(F.col("t")).alias("ts"))
+    r = spark.createDataFrame(
+        # k=10: rows at 100 (tie pair 11/12), 205, 290; k=20: only at 60
+        [(11, 10, 100, 1.0), (12, 10, 100, 2.0), (13, 10, 205, 3.0),
+         (14, 10, 290, 4.0), (15, 20, 60, 5.0)],
+        "rid long, k long, t long, v double",
+    ).select("rid", "k", F.timestamp_micros(F.col("t")).alias("ts"), "v")
+
+    got = {
+        row["lid"]: (row["r_rid"], row["r_v"])
+        for row in asof_join(l, r, on="k", right_id="rid").collect()
+    }
+    # lid 1: ties at ts=100 → max rid 12; lid 2: equal-ts 205 matches 13;
+    # lid 3: latest ≤300 is 290 → 14; lid 4: 60 > 50 → null; lid 5: no k
+    assert got == {1: (12, 2.0), 2: (13, 3.0), 3: (14, 4.0),
+                   4: (None, None), 5: (None, None)}
+
+    fwd = {
+        row["lid"]: row["r_rid"]
+        for row in asof_join(l, r, on="k", right_id="rid",
+                             direction="forward").collect()
+    }
+    # forward: earliest ≥ left ts; lid 1 ties at 100 → still max rid 12
+    assert fwd == {1: 12, 2: 13, 3: None, 4: 15, 5: None}
+
+    tol = {
+        row["lid"]: row["r_rid"]
+        for row in asof_join(l, r, on="k", right_id="rid",
+                             tolerance_us=50).collect()
+    }
+    # lid 3's match (290) is 10 µs back → kept; lid 2's (205) is 0 → kept;
+    # lid 1 exact-ts → kept; tolerance never *adds* matches
+    assert tol == {1: 12, 2: 13, 3: 14, 4: None, 5: None}
+
+    # TIMESTAMP_NTZ inputs (what parquet scans produce) must survive the
+    # tolerance path: unix_micros rejects raw ntz (regression: the gate
+    # drive caught an AnalysisException here)
+    l_ntz = l.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    r_ntz = r.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    tol_ntz = {
+        row["lid"]: row["r_rid"]
+        for row in asof_join(l_ntz, r_ntz, on="k", right_id="rid",
+                             tolerance_us=50).collect()
+    }
+    assert tol_ntz == tol
+
+
 def test_datum_udf_roundtrip(spark):
     from projcl_spark.functions import datum_shift_udf
 
