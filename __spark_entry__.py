@@ -1727,6 +1727,50 @@ SELECT event_id, view_id, epoch_us(vts) AS view_ts_us,
 FROM j WHERE rn = 1"""
 
 
+def q_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory rollup (``operators.trajectory.track_stats``): each
+    user's events, time-ordered (ties broken by event_id), hop distances
+    by the spherical inverse geodesic, reduced to per-track stats.  One
+    shuffle on user_id (window + groupBy share it); duration exported as
+    exact integer µs.  Residual float risk: track_m is an order-dependent
+    double sum (~1e-7 m absolute) quantized to 10 m — a flip needs a
+    track length within ~1e-7 of a bucket edge."""
+    from projcl_spark.operators.trajectory import track_stats
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = track_stats(ev, key="user_id", ts="ts", order_id="event_id")
+    return out.select(
+        "user_id", "n_pts", "n_hops",
+        _q10_col(F.col("track_m")).alias("track_10m"),
+        "duration_us",
+    )
+
+
+def _o_track_length() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    hav = O.haversine("plon", "plat", "lon", "lat")
+    return f"""
+WITH pts AS (SELECT event_id, user_id, ts, {lon_e} AS lon, {lat_e} AS lat
+             FROM events),
+s AS (SELECT user_id, ts, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(count(*) - 1 AS BIGINT) AS n_hops,
+       {_q10('sum(CASE WHEN plon IS NULL THEN 0.0 ELSE ' + hav + ' END)')} AS track_10m,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -2663,6 +2707,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dwithin_customer",
     "events_asof",
     "spatial_sink_prune",
+    "track_length",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2683,7 +2728,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "order_coverage",
     "flagship_rollup",
     "knn_customer",
-    "knn_exact",
     "knn_exact_vincenty",
     "span_interleaved",
     # (streaming family is covered by stream_sessions/stream_dedup above;
@@ -2741,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cell_setops=q_cell_setops,
         events_topn=q_events_topn,
         events_asof=q_events_asof,
+        track_length=q_track_length,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -2810,6 +2855,7 @@ def oracle_sql() -> dict[str, str]:
         cell_setops=_o_cell_setops(),
         events_topn=_o_events_topn(),
         events_asof=_o_events_asof(),
+        track_length=_o_track_length(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -89,3 +89,14 @@ def test_spatial_sink_range_read_pushes_down(spark, tmp_path):
     p = plan_of(sub)
     assert "PushedFilters" in p and "_morton" in p.split("PushedFilters", 1)[1].split("]", 1)[0], \
         "morton range must reach the parquet scan"
+
+
+def test_track_stats_reuses_key_exchange(spark):
+    """Trajectory rollup: the lag window and the per-track aggregate share
+    ONE hash exchange on user_id (plus the input round-robin spread) —
+    a second key shuffle here would double the op's cost at scale."""
+    import re
+
+    p = plan_of(E.q_track_length(spark, SF))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_ex == 2, p
