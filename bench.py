@@ -249,6 +249,29 @@ def build_queries(spark, sf_dir):
                             channel_cols=E._CHANNEL_COLS))
         return 1024 * 1024 * E.WARP_CHANNELS
 
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    def q_events_asof():
+        # as-of join: union + running-last window, one shuffle on user_id
+        _force(E.q_events_asof(spark, sf_dir))
+        return n_events
+
+    def q_track_length():
+        # trajectory rollup: lag-window hops + per-track agg on ONE exchange
+        _force(E.q_track_length(spark, sf_dir))
+        return n_events
+
+    def q_dwithin():
+        # distance-within join: certified queries stay a cell equi-join
+        _force(E.q_dwithin_customer(spark, sf_dir))
+        return n_cust * len(E.KNN_QUERIES)
+
+    def q_sink_prune():
+        # pruned quadrant read off the Z-order sink (sink written once per
+        # input fingerprint; steady-state read is what repeats at scale)
+        _force(E.q_spatial_sink_prune(spark, sf_dir))
+        return n_cust
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -269,6 +292,10 @@ def build_queries(spark, sf_dir):
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_cold": q_dedup_minhash_cold,
         "dedup_clusters": q_dedup_clusters,
+        "events_asof": q_events_asof,
+        "track_length": q_track_length,
+        "dwithin": q_dwithin,
+        "sink_prune": q_sink_prune,
     }
 
 
