@@ -1727,6 +1727,72 @@ SELECT event_id, view_id, epoch_us(vts) AS view_ts_us,
 FROM j WHERE rn = 1"""
 
 
+def _polygon_verts_rows() -> list[tuple[int, int, float, float]]:
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    return [
+        (int(p["poly_id"]), i, float(x), float(y))
+        for p in polygon_layer_np(16, 42)
+        for i, (x, y) in enumerate(zip(p["xs"], p["ys"]))
+    ]
+
+
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon measurement (``operators.geometry.polygon_metrics``): the
+    16-polygon PIP layer as a DISTRIBUTED vertex table → Albers
+    (equal-area) forward codegen per vertex → shoelace area / perimeter /
+    centroid via one cyclic lead/first window + an aggregate sharing its
+    poly_id exchange.  Equal-area projection makes planar m² ≈ on-earth
+    m²; quantization (km², 10 m, 1 m) sits ~6 orders above the
+    order-dependent float-sum noise."""
+    from projcl_spark.operators.geometry import polygon_metrics
+
+    verts = spark.createDataFrame(
+        _polygon_verts_rows(), "poly_id long, v_idx long, lon double, lat double"
+    )
+    proj, params = PROJ_CASES["proj_albers_e"]
+    out = polygon_metrics(verts, proj, params)
+    return out.select(
+        "poly_id", "n_verts",
+        F.round(F.col("area_m2") / 1e6, 0).cast("long").alias("area_km2"),
+        _q10_col(F.col("perim_m")).alias("perim_10m"),
+        F.round("cx", 0).cast("long").alias("cx_m"),
+        F.round("cy", 0).cast("long").alias("cy_m"),
+    )
+
+
+def _o_polygon_metrics() -> str:
+    proj, params = PROJ_CASES["proj_albers_e"]
+    x_sql, y_sql = O.fwd_xy_sql(proj, params, lon="lon", lat="lat",
+                                dialect="duck")
+    rows = ", ".join(
+        f"(CAST({pid} AS BIGINT), CAST({i} AS BIGINT), {O._r(lo)}, {O._r(la)})"
+        for pid, i, lo, la in _polygon_verts_rows()
+    )
+    return f"""
+WITH v(poly_id, v_idx, lon, lat) AS (VALUES {rows}),
+p AS (SELECT poly_id, v_idx, {x_sql} AS x, {y_sql} AS y FROM v),
+e AS (SELECT poly_id, x, y,
+        coalesce(lead(x) OVER w, first_value(x) OVER w2) AS nx,
+        coalesce(lead(y) OVER w, first_value(y) OVER w2) AS ny
+      FROM p WINDOW w AS (PARTITION BY poly_id ORDER BY v_idx),
+                   w2 AS (PARTITION BY poly_id ORDER BY v_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)),
+c AS (SELECT poly_id, x, y, nx, ny, x * ny - nx * y AS cr FROM e),
+a AS (SELECT poly_id, CAST(count(*) AS BIGINT) AS n_verts,
+        sum(cr) / 2.0 AS signed,
+        sum(sqrt((nx - x) * (nx - x) + (ny - y) * (ny - y))) AS perim,
+        sum((x + nx) * cr) AS sx, sum((y + ny) * cr) AS sy
+      FROM c GROUP BY poly_id)
+SELECT poly_id, n_verts,
+       CAST(round(abs(signed) / 1000000.0, 0) AS BIGINT) AS area_km2,
+       {_q10('perim')} AS perim_10m,
+       CAST(round(sx / (6.0 * signed), 0) AS BIGINT) AS cx_m,
+       CAST(round(sy / (6.0 * signed), 0) AS BIGINT) AS cy_m
+FROM a"""
+
+
 def q_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory rollup (``operators.trajectory.track_stats``): each
     user's events, time-ordered (ties broken by event_id), hop distances
@@ -2708,6 +2774,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_asof",
     "spatial_sink_prune",
     "track_length",
+    "polygon_metrics",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2719,7 +2786,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "proj_mercator_s_inv",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
-    "cell_count",
     "cell_count_salted",
     "tile_pyramid",
     "pip_triangles",
@@ -2786,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_topn=q_events_topn,
         events_asof=q_events_asof,
         track_length=q_track_length,
+        polygon_metrics=q_polygon_metrics,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -2856,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
         events_topn=_o_events_topn(),
         events_asof=_o_events_asof(),
         track_length=_o_track_length(),
+        polygon_metrics=_o_polygon_metrics(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

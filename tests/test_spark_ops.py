@@ -201,6 +201,36 @@ def test_asof_join_matches_bruteforce(spark):
     assert tol_ntz == tol
 
 
+def test_polygon_metrics_known_square(spark):
+    """Shoelace sanity on an analytically-known figure: a 0.01°×0.01°
+    square at the equator under spherical Mercator is (R·Δλ)² planar to
+    ~1e-8 relative; centroid lands at the center, perimeter at 4 sides.
+    Vertex order is the stored ring order, so the check also covers the
+    cyclic lead/first closure edge."""
+    import math
+
+    from projcl_spark.functions import EARTH_RADIUS_SPHERE as R
+    from projcl_spark.operators.geometry import polygon_metrics
+
+    d = 0.01
+    ring = [(0.0, 0.0), (d, 0.0), (d, d), (0.0, d)]
+    verts = spark.createDataFrame(
+        [(1, i, x, y) for i, (x, y) in enumerate(ring)],
+        "poly_id long, v_idx long, lon double, lat double",
+    )
+    from projcl_spark.core.params import ProjectionParams
+    from projcl_spark.core.spheroid import Spheroid
+
+    row = polygon_metrics(
+        verts, "mercator", ProjectionParams(spheroid=Spheroid.SPHERE)
+    ).collect()[0]
+    side = R * math.radians(d)
+    assert row["n_verts"] == 4
+    assert abs(row["area_m2"] - side * side) / (side * side) < 1e-4
+    assert abs(row["perim_m"] - 4 * side) / (4 * side) < 1e-4
+    assert abs(row["cx"] - side / 2) < 1.0 and abs(row["cy"] - side / 2) < 1.0
+
+
 def test_datum_udf_roundtrip(spark):
     from projcl_spark.functions import datum_shift_udf
 
