@@ -314,12 +314,18 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
     times, thr = {}, {}
     for name, fn in qs.items():
-        best, rows = float("inf"), -1
-        for _ in range(3):  # best-of-3: single-JVM runs are GC-noisy
+        best, worst, rows = float("inf"), 0.0, -1
+        iters = 0
+        # best-of-3, extended to 6 while the spread says the host was
+        # steal-bursting (documented in BENCH/BASELINE.md: wall tracks
+        # /proc/stat steal 1:1; a quiet iteration recovers the true wall)
+        while iters < 3 or (iters < 6 and worst > 2.5 * best):
             spark.catalog.clearCache()
             t0 = time.time()
             rows = fn()
-            best = min(best, time.time() - t0)
+            w = time.time() - t0
+            best, worst = min(best, w), max(worst, w)
+            iters += 1
         times[name] = round(best, 3)
         if rows and rows > 0:
             thr[name] = round(rows / best, 1)
