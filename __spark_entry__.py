@@ -1793,6 +1793,99 @@ SELECT poly_id, n_verts,
 FROM a"""
 
 
+_SEG_RES = 7  # 2.8° cells ≈ the ±1.5°/±1.0° per-hop envelope below
+
+
+def _seg_xy_exprs(dialect: str) -> tuple[str, str]:
+    """Localized trajectory positions: a per-user base anywhere in the
+    test envelope plus a small per-event offset, so hops are short and
+    crossings happen between users whose bases are near each other (the
+    realistic shape — raw md5 positions would make every hop span the
+    whole envelope and every segment pair cross)."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    b_lon, b_lat = O.derived_lonlat(f"'segbase:' || CAST(user_id AS {cast})",
+                                    dialect)
+    o_lon, o_lat = O.derived_lonlat(f"'segoff:' || CAST(event_id AS {cast})",
+                                    dialect, lon_rng=(-1.5, 1.5),
+                                    lat_rng=(-1.0, 1.0))
+    return f"({b_lon} + {o_lon})", f"({b_lat} + {o_lat})"
+
+
+def q_segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-intersection join (``operators.geometry.
+    segment_intersect_join``): per-user trajectory segments (lag window
+    over time-ordered events) → candidate pairs via an EQUI-join on
+    bbox-cover cells at res 7 → exact strict-crossing orientation test →
+    closed-form canonical-cell dedup (zero extra shuffle, no distinct).
+    Intersection points exported at micro-degree quantization; the
+    orientation predicates are identical expression trees on both
+    engines, so the crossing SET matches exactly."""
+    from pyspark.sql import Window
+
+    from projcl_spark.operators.geometry import segment_intersect_join
+
+    x_e, y_e = _seg_xy_exprs("spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(x_e).alias("x"), F.expr(y_e).alias("y"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    segs = (
+        ev.select(
+            F.col("user_id").alias("track_id"),
+            F.col("event_id").alias("seg_id"),
+            F.lag("x").over(w).alias("ax"), F.lag("y").over(w).alias("ay"),
+            F.col("x").alias("bx"), F.col("y").alias("by"),
+        ).where(F.col("ax").isNotNull())
+    )
+    out = segment_intersect_join(segs, res=_SEG_RES)
+    return out.select(
+        "track_a", "seg_a", "track_b", "seg_b",
+        F.round(F.col("xi") * 1e6, 0).cast("long").alias("xi_e6"),
+        F.round(F.col("yi") * 1e6, 0).cast("long").alias("yi_e6"),
+    )
+
+
+def _o_segment_crossings() -> str:
+    x_e, y_e = _seg_xy_exprs("duck")
+    return f"""
+WITH pos AS (SELECT event_id, user_id, ts, {x_e} AS x, {y_e} AS y
+             FROM events),
+seg0 AS (SELECT user_id AS track_id, event_id AS seg_id,
+           lag(x) OVER w AS ax, lag(y) OVER w AS ay, x AS bx, y AS by
+         FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT track_id, seg_id, ax, ay, bx, by,
+        least(ax, bx) AS xmn, greatest(ax, bx) AS xmx,
+        least(ay, by) AS ymn, greatest(ay, by) AS ymx
+      FROM seg0 WHERE ax IS NOT NULL),
+j AS (SELECT a.track_id AS track_a, a.seg_id AS seg_a,
+             b.track_id AS track_b, b.seg_id AS seg_b,
+             a.ax AS axa, a.ay AS aya, a.bx AS bxa, a.by AS bya,
+             b.ax AS axb, b.ay AS ayb, b.bx AS bxb, b.by AS byb
+      FROM s a JOIN s b
+        ON a.track_id < b.track_id
+       AND a.xmn <= b.xmx AND b.xmn <= a.xmx
+       AND a.ymn <= b.ymx AND b.ymn <= a.ymx),
+c AS (SELECT *,
+        ((bxb - axb) * (aya - ayb) - (byb - ayb) * (axa - axb)) AS d1,
+        ((bxb - axb) * (bya - ayb) - (byb - ayb) * (bxa - axb)) AS d2,
+        ((bxa - axa) * (ayb - aya) - (bya - aya) * (axb - axa)) AS d3,
+        ((bxa - axa) * (byb - aya) - (bya - aya) * (bxb - axa)) AS d4
+      FROM j)
+SELECT track_a, seg_a, track_b, seg_b,
+       CAST(round((axa + ((axb - axa) * (byb - ayb) - (ayb - aya) * (bxb - axb))
+             / ((bxa - axa) * (byb - ayb) - (bya - aya) * (bxb - axb))
+             * (bxa - axa)) * 1e6, 0) AS BIGINT) AS xi_e6,
+       CAST(round((aya + ((axb - axa) * (byb - ayb) - (ayb - aya) * (bxb - axb))
+             / ((bxa - axa) * (byb - ayb) - (bya - aya) * (bxb - axb))
+             * (bya - aya)) * 1e6, 0) AS BIGINT) AS yi_e6
+FROM c WHERE d1 * d2 < 0 AND d3 * d4 < 0"""
+
+
 def q_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory rollup (``operators.trajectory.track_stats``): each
     user's events, time-ordered (ties broken by event_id), hop distances
@@ -2775,6 +2868,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "spatial_sink_prune",
     "track_length",
     "polygon_metrics",
+    "segment_crossings",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_s",
@@ -2790,7 +2884,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "tile_pyramid",
     "pip_triangles",
     "pip_polygons",
-    "pip_coverage",
     "order_coverage",
     "flagship_rollup",
     "knn_customer",
@@ -2853,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_asof=q_events_asof,
         track_length=q_track_length,
         polygon_metrics=q_polygon_metrics,
+        segment_crossings=q_segment_crossings,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -2924,6 +3018,7 @@ def oracle_sql() -> dict[str, str]:
         events_asof=_o_events_asof(),
         track_length=_o_track_length(),
         polygon_metrics=_o_polygon_metrics(),
+        segment_crossings=_o_segment_crossings(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

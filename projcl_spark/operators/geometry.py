@@ -18,10 +18,11 @@ ring order (``v_idx``), so every term of every sum is fixed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import project_fwd_cols
+from ..index.cells import _scale
 
 
 def polygon_metrics(
@@ -79,4 +80,98 @@ def polygon_metrics(
         "perim_m",
         (F.col("_sx") / (6.0 * F.col("_signed"))).alias("cx"),
         (F.col("_sy") / (6.0 * F.col("_signed"))).alias("cy"),
+    )
+
+
+def _cell_ix(v: Column, lo: float, span: float, n: int) -> Column:
+    return F.least(
+        F.greatest(F.floor((v - lo) / span * n), F.lit(0)), F.lit(n - 1)
+    ).cast("long")
+
+
+def segment_intersect_join(
+    segs: DataFrame,
+    res: int = 7,
+    track_id: str = "track_id",
+    seg_id: str = "seg_id",
+) -> DataFrame:
+    """Pairs of strictly-crossing segments from DIFFERENT tracks.
+
+    ``segs`` has one row per directed segment: (track_id, seg_id, ax, ay,
+    bx, by) in lon/lat degrees.  Returns (track_a, seg_a, track_b, seg_b,
+    xi, yi) with track_a < track_b and (xi, yi) the planar intersection
+    point.  Strict crossings only (proper interior intersection — the
+    orientation products are < 0); touching endpoints and collinear
+    overlap are excluded, which keeps the predicate sign-stable under
+    float evaluation.
+
+    Scale shape (the point of the operator): candidate pairs come from an
+    EQUI-join on covering grid cells of each segment's bbox at ``res`` —
+    never an all-pairs or range join.  A pair sharing k cells would
+    surface k times, so each pair is emitted only in its CANONICAL cell —
+    the cell containing the min corner of the two bboxes' intersection, a
+    closed-form function of the joined row.  Dedup therefore costs zero
+    extra shuffle and no distinct: the only exchanges are the two hash
+    partitions the equi-join needs.  ``res`` is the caller's knob: cells
+    comparable to segment bbox size keep the per-segment cover fan-out
+    O(1) and the per-cell candidate population bounded.
+    """
+    n = _scale(res)
+
+    def cover(df: DataFrame, side: str) -> DataFrame:
+        xmin = F.least("ax", "bx")
+        xmax = F.greatest("ax", "bx")
+        ymin = F.least("ay", "by")
+        ymax = F.greatest("ay", "by")
+        d = df.select(
+            F.col(track_id).alias(f"track_{side}"),
+            F.col(seg_id).alias(f"seg_{side}"),
+            F.col("ax").alias(f"ax{side}"), F.col("ay").alias(f"ay{side}"),
+            F.col("bx").alias(f"bx{side}"), F.col("by").alias(f"by{side}"),
+            xmin.alias(f"xmin{side}"), xmax.alias(f"xmax{side}"),
+            ymin.alias(f"ymin{side}"), ymax.alias(f"ymax{side}"),
+        )
+        ix0 = _cell_ix(F.col(f"xmin{side}"), -180.0, 360.0, n)
+        ix1 = _cell_ix(F.col(f"xmax{side}"), -180.0, 360.0, n)
+        iy0 = _cell_ix(F.col(f"ymin{side}"), -90.0, 180.0, n)
+        iy1 = _cell_ix(F.col(f"ymax{side}"), -90.0, 180.0, n)
+        cells = F.flatten(F.transform(
+            F.sequence(ix0, ix1),
+            lambda x: F.transform(F.sequence(iy0, iy1), lambda y: x * n + y),
+        ))
+        return d.withColumn("cell", F.explode(cells))
+
+    a, b = cover(segs, "a"), cover(segs, "b")
+    j = a.join(b, on=(a.cell == b.cell) & (a.track_a < b.track_b)).drop(b.cell)
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = cross(F.col("axb"), F.col("ayb"), F.col("bxb"), F.col("byb"),
+               F.col("axa"), F.col("aya"))
+    d2 = cross(F.col("axb"), F.col("ayb"), F.col("bxb"), F.col("byb"),
+               F.col("bxa"), F.col("bya"))
+    d3 = cross(F.col("axa"), F.col("aya"), F.col("bxa"), F.col("bya"),
+               F.col("axb"), F.col("ayb"))
+    d4 = cross(F.col("axa"), F.col("aya"), F.col("bxa"), F.col("bya"),
+               F.col("bxb"), F.col("byb"))
+    crossing = (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    # canonical cell: the min corner of the bbox intersection lies in BOTH
+    # bboxes, so its cell is in both covers and exactly one join row has it
+    cx = _cell_ix(F.greatest("xmina", "xminb"), -180.0, 360.0, n)
+    cy = _cell_ix(F.greatest("ymina", "yminb"), -90.0, 180.0, n)
+    canonical = F.col("cell") == cx * n + cy
+
+    # planar intersection point: p + t·r with t = cross(q−p, s) / cross(r, s)
+    rx, ry = F.col("bxa") - F.col("axa"), F.col("bya") - F.col("aya")
+    sx, sy = F.col("bxb") - F.col("axb"), F.col("byb") - F.col("ayb")
+    denom = rx * sy - ry * sx
+    t = ((F.col("axb") - F.col("axa")) * sy
+         - (F.col("ayb") - F.col("aya")) * sx) / denom
+
+    return j.where(crossing & canonical).select(
+        "track_a", "seg_a", "track_b", "seg_b",
+        (F.col("axa") + t * rx).alias("xi"),
+        (F.col("aya") + t * ry).alias("yi"),
     )

@@ -480,3 +480,55 @@ def test_knn_antimeridian_certifies_vincenty(spark):
     )
     assert bad.count() == 0
     pruned.unpersist(blocking=False)
+
+
+def test_segment_intersect_join_matches_bruteforce(spark):
+    """Cell-bucketed candidate join + canonical-cell dedup must reproduce
+    the all-pairs orientation-test result exactly — same pair SET, no
+    duplicates — at several grid resolutions (coarse cells = many shared
+    cells per pair exercises the dedup; fine cells = multi-cell covers
+    exercise the bbox explode)."""
+    import itertools
+
+    import numpy as np
+
+    from projcl_spark.operators.geometry import segment_intersect_join
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for trk in range(25):
+        bx, by = rng.uniform(-50, 50), rng.uniform(-30, 30)
+        px, py = bx + rng.uniform(-1, 1), by + rng.uniform(-1, 1)
+        for s in range(10):
+            qx, qy = bx + rng.uniform(-1, 1), by + rng.uniform(-1, 1)
+            rows.append((trk, s, float(px), float(py), float(qx), float(qy)))
+            px, py = qx, qy
+
+    def cr(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    expect = set()
+    for r1, r2 in itertools.combinations(rows, 2):
+        if r1[0] == r2[0]:
+            continue
+        if r1[0] > r2[0]:
+            r1, r2 = r2, r1
+        ax, ay, bx, by = r1[2:]
+        cx, cy, dx, dy = r2[2:]
+        d1 = cr(cx, cy, dx, dy, ax, ay)
+        d2 = cr(cx, cy, dx, dy, bx, by)
+        d3 = cr(ax, ay, bx, by, cx, cy)
+        d4 = cr(ax, ay, bx, by, dx, dy)
+        if d1 * d2 < 0 and d3 * d4 < 0:
+            expect.add((r1[0], r1[1], r2[0], r2[1]))
+    assert expect  # fixture must actually produce crossings
+
+    segs = spark.createDataFrame(
+        rows, "track_id long, seg_id long, ax double, ay double, "
+              "bx double, by double")
+    for res in (5, 7, 9):
+        pdf = segment_intersect_join(segs, res=res).toPandas()
+        pairs = set(map(tuple, pdf[["track_a", "seg_a", "track_b", "seg_b"]]
+                        .itertuples(index=False)))
+        assert len(pdf) == len(pairs), f"res {res}: duplicate pair rows"
+        assert pairs == expect, f"res {res}: pair set mismatch"
