@@ -1886,6 +1886,70 @@ SELECT track_a, seg_a, track_b, seg_b,
 FROM c WHERE d1 * d2 < 0 AND d3 * d4 < 0"""
 
 
+_DEM_W, _DEM_H = 192, 192
+_DEM_DX, _DEM_DY = 30.0, 30.0
+_DEM_ELEV = ("(500.0 * sin(gi * 0.05) * cos(gj * 0.07)"
+             " + 3.0 * gi + 2.0 * gj)")  # identical text on both engines
+
+
+def q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster focal op (``operators.raster.dem_hillshade``): Horn
+    slope/aspect/hillshade over a 192×192 synthetic DEM via the
+    separable-kernel window formulation (three 1×-volume shuffles, zero
+    data amplification, all codegen — see PLANS.md §19).  The DEM is a
+    closed-form function of (gi, gj) evaluated from the same expression
+    text on both engines; outputs quantized (slope/aspect µrad,
+    hillshade ×1e3) with ~6 orders of headroom over transcendental
+    last-ulp noise."""
+    from projcl_spark.operators.raster import dem_hillshade
+
+    n = _DEM_W * _DEM_H
+    dem = (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select((F.col("id") % _DEM_W).alias("gi"),
+                (F.col("id") / _DEM_W).cast("long").alias("gj"))
+        .select("gi", "gj", F.expr(_DEM_ELEV).alias("elev"))
+    )
+    out = dem_hillshade(dem, _DEM_DX, _DEM_DY)
+    return out.select(
+        "gi", "gj",
+        F.round(F.col("slope_rad") * 1e6, 0).cast("long").alias("slope_urad"),
+        F.round(F.col("aspect_rad") * 1e6, 0).cast("long").alias("aspect_urad"),
+        F.round(F.col("hillshade") * 1e3, 0).cast("long").alias("hs_e3"),
+    )
+
+
+def _o_dem_hillshade() -> str:
+    zen = math.radians(45.0)
+    az = math.radians(315.0)
+    return f"""
+WITH g AS (SELECT a.range AS gi, b.range AS gj
+           FROM range(0, {_DEM_W}) a CROSS JOIN range(0, {_DEM_H}) b),
+dem AS (SELECT gi, gj, {_DEM_ELEV} AS elev FROM g),
+p1 AS (SELECT gi, gj, elev,
+         (lag(elev) OVER rw + 2.0 * elev + lead(elev) OVER rw) AS rs
+       FROM dem WINDOW rw AS (PARTITION BY gj ORDER BY gi)),
+p2 AS (SELECT gi, gj,
+         (lag(elev) OVER cw + 2.0 * elev + lead(elev) OVER cw) AS cs,
+         (lead(rs) OVER cw - lag(rs) OVER cw) / (8.0 * {O._r(_DEM_DY)}) AS dzdy
+       FROM p1 WINDOW cw AS (PARTITION BY gi ORDER BY gj)),
+p3 AS (SELECT gi, gj, dzdy,
+         (lead(cs) OVER rw - lag(cs) OVER rw) / (8.0 * {O._r(_DEM_DX)}) AS dzdx
+       FROM p2 WINDOW rw AS (PARTITION BY gj ORDER BY gi)),
+d AS (SELECT gi, gj, dzdx, dzdy,
+        atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope,
+        atan2(dzdy, -dzdx) AS aspect
+      FROM p3 WHERE dzdx IS NOT NULL AND dzdy IS NOT NULL)
+SELECT gi, gj,
+       CAST(round(slope * 1e6, 0) AS BIGINT) AS slope_urad,
+       CAST(round(aspect * 1e6, 0) AS BIGINT) AS aspect_urad,
+       CAST(round(255.0 * greatest(0.0, {O._r(math.cos(zen))} * cos(slope)
+            + {O._r(math.sin(zen))} * sin(slope) * cos({O._r(az)} - aspect))
+            * 1e3, 0) AS BIGINT) AS hs_e3
+FROM d"""
+
+
 def q_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory rollup (``operators.trajectory.track_stats``): each
     user's events, time-ordered (ties broken by event_id), hop distances
@@ -2869,9 +2933,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "track_length",
     "polygon_metrics",
     "segment_crossings",
+    "dem_hillshade",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
-    "proj_mercator_s",
     "proj_mercator_e",
     "proj_albers_e",
     "proj_lcc_e",
@@ -2947,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         track_length=q_track_length,
         polygon_metrics=q_polygon_metrics,
         segment_crossings=q_segment_crossings,
+        dem_hillshade=q_dem_hillshade,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3019,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         track_length=_o_track_length(),
         polygon_metrics=_o_polygon_metrics(),
         segment_crossings=_o_segment_crossings(),
+        dem_hillshade=_o_dem_hillshade(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -532,3 +532,38 @@ def test_segment_intersect_join_matches_bruteforce(spark):
                         .itertuples(index=False)))
         assert len(pdf) == len(pairs), f"res {res}: duplicate pair rows"
         assert pairs == expect, f"res {res}: pair set mismatch"
+
+
+def test_dem_hillshade_analytic_planes(spark):
+    """Horn on an inclined plane must return the exact plane gradient at
+    every interior cell (the [1,2,1]/central-difference stencil is exact
+    for affine surfaces), and a flat DEM must shade at 255·cos(zenith)
+    with slope 0 everywhere."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from projcl_spark.operators.raster import dem_hillshade
+
+    w = h = 12
+    base = spark.range(w * h).select(
+        (F.col("id") % w).alias("gi"),
+        (F.col("id") / w).cast("long").alias("gj"))
+
+    # plane z = 0.5·x − 0.25·y  (x = gi·dx, y = gj·dy, dx = dy = 10 m)
+    plane = base.select("gi", "gj",
+                        (0.5 * F.col("gi") * 10.0
+                         - 0.25 * F.col("gj") * 10.0).alias("elev"))
+    rows = dem_hillshade(plane, 10.0, 10.0).collect()
+    assert len(rows) == (w - 2) * (h - 2)  # interior only
+    exp_slope = math.atan(math.hypot(0.5, -0.25))
+    exp_aspect = math.atan2(-0.25, -0.5)
+    for r in rows[:5]:
+        assert abs(r["slope_rad"] - exp_slope) < 1e-12
+        assert abs(r["aspect_rad"] - exp_aspect) < 1e-12
+
+    flat = base.select("gi", "gj", F.lit(100.0).alias("elev"))
+    fr = dem_hillshade(flat, 10.0, 10.0, altitude_deg=45.0).collect()
+    for r in fr[:5]:
+        assert r["slope_rad"] == 0.0
+        assert abs(r["hillshade"] - 255.0 * math.cos(math.radians(45.0))) < 1e-9
