@@ -1886,6 +1886,57 @@ SELECT track_a, seg_a, track_b, seg_b,
 FROM c WHERE d1 * d2 < 0 AND d3 * d4 < 0"""
 
 
+_DENSIFY_N = 8
+
+
+def q_geodesic_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle path densification (``geo.geodesic.
+    densify_spherical``): each supplier gets a deterministic endpoint
+    pair; the operator explodes it into 8 intermediate slerp points.
+    Narrow map + generate — zero shuffle; the slerp expression text is
+    SHARED with the oracle (``oracle.slerp_lonlat``), so values match to
+    the last ulp and micro-degree quantization has ~7 orders of
+    headroom."""
+    from projcl_spark.geo.geodesic import densify_spherical
+
+    lon1_e, lat1_e = O.derived_lonlat("'gda:' || CAST(s_suppkey AS STRING)",
+                                      "spark")
+    lon2_e, lat2_e = O.derived_lonlat("'gdb:' || CAST(s_suppkey AS STRING)",
+                                      "spark")
+    df = (
+        spark.read.parquet(_t(sf_dir, "supplier"))
+        .select("s_suppkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("s_suppkey",
+                F.expr(lon1_e).alias("lon1"), F.expr(lat1_e).alias("lat1"),
+                F.expr(lon2_e).alias("lon2"), F.expr(lat2_e).alias("lat2"))
+    )
+    out = densify_spherical(df, _DENSIFY_N)
+    return out.select(
+        "s_suppkey", "seg_k",
+        F.round(F.col("ilon") * 1e6, 0).cast("long").alias("ilon_e6"),
+        F.round(F.col("ilat") * 1e6, 0).cast("long").alias("ilat_e6"),
+    )
+
+
+def _o_geodesic_densify() -> str:
+    lon1_e, lat1_e = O.derived_lonlat("'gda:' || CAST(s_suppkey AS VARCHAR)",
+                                      "duck")
+    lon2_e, lat2_e = O.derived_lonlat("'gdb:' || CAST(s_suppkey AS VARCHAR)",
+                                      "duck")
+    frac = f"(CAST(seg_k AS DOUBLE) / {float(_DENSIFY_N + 1)!r})"
+    ilon, ilat = O.slerp_lonlat("lon1", "lat1", "lon2", "lat2", frac)
+    return f"""
+WITH s AS (SELECT s_suppkey, {lon1_e} AS lon1, {lat1_e} AS lat1,
+             {lon2_e} AS lon2, {lat2_e} AS lat2 FROM supplier),
+k AS (SELECT s.*, r.range AS seg_k
+      FROM s CROSS JOIN range(1, {_DENSIFY_N + 1}) r)
+SELECT s_suppkey, seg_k,
+       CAST(round({ilon} * 1e6, 0) AS BIGINT) AS ilon_e6,
+       CAST(round({ilat} * 1e6, 0) AS BIGINT) AS ilat_e6
+FROM k"""
+
+
 _DEM_W, _DEM_H = 192, 192
 _DEM_DX, _DEM_DY = 30.0, 30.0
 _DEM_ELEV = ("(500.0 * sin(gi * 0.05) * cos(gj * 0.07)"
@@ -2934,11 +2985,11 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "polygon_metrics",
     "segment_crossings",
     "dem_hillshade",
+    "geodesic_densify",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
     "proj_albers_e",
-    "proj_lcc_e",
     "proj_laea_e",
     "proj_stereo_e",
     "proj_mercator_s_inv",
@@ -3012,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         polygon_metrics=q_polygon_metrics,
         segment_crossings=q_segment_crossings,
         dem_hillshade=q_dem_hillshade,
+        geodesic_densify=q_geodesic_densify,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3085,6 +3137,7 @@ def oracle_sql() -> dict[str, str]:
         polygon_metrics=_o_polygon_metrics(),
         segment_crossings=_o_segment_crossings(),
         dem_hillshade=_o_dem_hillshade(),
+        geodesic_densify=_o_geodesic_densify(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

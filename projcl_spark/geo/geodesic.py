@@ -189,3 +189,33 @@ def vincenty_direct(lon, lat, azimuth_deg, distance_m, spheroid: Spheroid = Sphe
     lam2 = lam1 + L
     lam2 = np.where(np.abs(lam2) > np.pi, lam2 - np.copysign(2 * np.pi, lam2), lam2)
     return np.degrees(lam2), np.degrees(phi2)
+
+
+def densify_spherical(df, n: int, lon1="lon1", lat1="lat1",
+                      lon2="lon2", lat2="lat2"):
+    """Explode each (p1, p2) row into ``n`` intermediate great-circle
+    points (fractions k/(n+1), k = 1..n, endpoints excluded) — the
+    geodesic-path companion to the reference's point geodesics
+    (kernel/pl_geodesic.opencl): where the reference evaluates distance
+    and destination, an analytics engine materializes the path itself
+    (flight corridors, route tiling, densified track rendering).
+
+    Pure codegen: the slerp is generated from the SAME SQL text as the
+    DuckDB oracle (``oracle.slerp_lonlat``); the explode is a
+    ``posexplode(sequence(...))`` — no Python, no shuffle (narrow map +
+    generate), output columns appended as (seg_k, ilon, ilat).
+    Degenerate pairs (coincident or exactly antipodal, where the slerp
+    denominator sin(d) = 0) yield NaN — callers filter; the md5-derived
+    test envelope makes them measure-zero.
+    """
+    from pyspark.sql import functions as F
+
+    from .. import oracle as _o
+
+    frac = f"(CAST(_k AS DOUBLE) / {float(n + 1)!r})"
+    lon_e, lat_e = _o.slerp_lonlat(lon1, lat1, lon2, lat2, frac)
+    return (
+        df.select("*", F.explode(F.sequence(F.lit(1), F.lit(n))).alias("_k"))
+        .select("*", F.expr(lon_e).alias("ilon"), F.expr(lat_e).alias("ilat"))
+        .withColumnRenamed("_k", "seg_k")
+    )

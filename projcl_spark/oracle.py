@@ -1019,3 +1019,28 @@ def phi2_inverse_sql(base: str, keys: str, proj: str,
         prev = q
     ctes.append(f"pfin AS (SELECT {k}, ilon, degrees(phi) AS ilat FROM {prev})")
     return ", ".join(ctes)
+
+
+def slerp_lonlat(lon1: str, lat1: str, lon2: str, lat2: str,
+                 f: str) -> tuple[str, str]:
+    """Great-circle interpolation (spherical slerp) at fraction ``f`` as
+    SQL — lon/lat in degrees in, degrees out.  Dialect-free (degrees/
+    radians/atan2/asin/acos/least/greatest exist identically in Spark SQL
+    and DuckDB), so ONE text feeds the engine codegen column AND the
+    oracle, keeping both expression trees bit-identical."""
+    x1 = f"(cos(radians({lat1})) * cos(radians({lon1})))"
+    y1 = f"(cos(radians({lat1})) * sin(radians({lon1})))"
+    z1 = f"sin(radians({lat1}))"
+    x2 = f"(cos(radians({lat2})) * cos(radians({lon2})))"
+    y2 = f"(cos(radians({lat2})) * sin(radians({lon2})))"
+    z2 = f"sin(radians({lat2}))"
+    d = (f"acos(least(greatest({x1} * {x2} + {y1} * {y2} + {z1} * {z2},"
+         f" -1.0), 1.0))")
+    a = f"(sin((1.0 - {f}) * {d}) / sin({d}))"
+    b = f"(sin({f} * {d}) / sin({d}))"
+    x = f"({a} * {x1} + {b} * {x2})"
+    y = f"({a} * {y1} + {b} * {y2})"
+    z = f"({a} * {z1} + {b} * {z2})"
+    lon = f"degrees(atan2({y}, {x}))"
+    lat = f"degrees(asin(least(greatest({z}, -1.0), 1.0)))"
+    return lon, lat

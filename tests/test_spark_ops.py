@@ -567,3 +567,34 @@ def test_dem_hillshade_analytic_planes(spark):
     for r in fr[:5]:
         assert r["slope_rad"] == 0.0
         assert abs(r["hillshade"] - 255.0 * math.cos(math.radians(45.0))) < 1e-9
+
+
+def test_densify_spherical_analytic(spark):
+    """Slerp along the equator must land exactly at lon = f·span, lat = 0,
+    and a meridian path at lat = f·span; generic pairs must satisfy the
+    on-great-circle additivity d(p1,m) + d(m,p2) = d(p1,p2)."""
+    from projcl_spark.functions import haversine_col
+    from projcl_spark.geo.geodesic import densify_spherical
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 90.0, 0.0),    # equator arc
+         (2, 10.0, 0.0, 10.0, 60.0),  # meridian arc
+         (3, -30.0, -20.0, 40.0, 35.0)],
+        "pair_id long, lon1 double, lat1 double, lon2 double, lat2 double")
+    out = densify_spherical(df, 5)
+    rows = {(r["pair_id"], r["seg_k"]): r for r in out.collect()}
+    assert len(rows) == 15
+    for k in range(1, 6):
+        f = k / 6.0
+        eq = rows[(1, k)]
+        assert abs(eq["ilon"] - 90.0 * f) < 1e-9 and abs(eq["ilat"]) < 1e-9
+        me = rows[(2, k)]
+        assert abs(me["ilon"] - 10.0) < 1e-9
+        assert abs(me["ilat"] - 60.0 * f) < 1e-9
+
+    from pyspark.sql import functions as F
+    chk = out.select(
+        (haversine_col("lon1", "lat1", "ilon", "ilat")
+         + haversine_col("ilon", "ilat", "lon2", "lat2")
+         - haversine_col("lon1", "lat1", "lon2", "lat2")).alias("gap"))
+    assert chk.agg(F.max(F.abs("gap"))).first()[0] < 1e-6  # meters
