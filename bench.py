@@ -272,6 +272,59 @@ def build_queries(spark, sf_dir):
         _force(E.q_spatial_sink_prune(spark, sf_dir))
         return n_cust
 
+    def q_segment_cross():
+        # trajectory-crossing join: cell equi-join + canonical-cell dedup
+        _force(E.q_segment_crossings(spark, sf_dir))
+        return n_events  # ~1 segment per event
+
+    def q_hillshade():
+        # separable Horn stencil at 1024²: three 1×-volume window passes
+        from projcl_spark.operators.raster import dem_hillshade
+
+        w = 1024
+        dem = (spark.range(w * w)
+               .repartition(cpus * 2)
+               .select((F.col("id") % w).alias("gi"),
+                       (F.col("id") / w).cast("long").alias("gj"))
+               .select("gi", "gj", F.expr(E._DEM_ELEV).alias("elev")))
+        _force(dem_hillshade(dem, 30.0, 30.0))
+        return w * w
+
+    def q_polygon_metrics():
+        # shoelace rollup over a 512-poly × 2048-vertex distributed ring
+        # table (1M vertices): projection codegen + one poly_id exchange
+        from projcl_spark.operators.geometry import polygon_metrics
+
+        nv, npoly = 2048, 512
+        verts = (spark.range(nv * npoly)
+                 .repartition(cpus * 2)
+                 .select((F.col("id") / nv).cast("long").alias("poly_id"),
+                         (F.col("id") % nv).alias("v_idx"))
+                 .select("poly_id", "v_idx", F.expr(
+                     "((poly_id % 32) * 3.0 - 48.0"
+                     " + (0.5 + 0.3 * sin(7 * v_idx * 0.00306796157577128))"
+                     " * cos(v_idx * 0.00306796157577128)) ").alias("lon"),
+                     F.expr(
+                     "(CAST(poly_id AS DOUBLE) / 32 * 4.0 - 30.0"
+                     " + (0.5 + 0.3 * sin(7 * v_idx * 0.00306796157577128))"
+                     " * sin(v_idx * 0.00306796157577128) * 0.7)").alias("lat")))
+        _force(polygon_metrics(verts))
+        return nv * npoly
+
+    def q_densify():
+        # great-circle densify: 16 slerp points per lineitem pair, pure map
+        from projcl_spark.geo.geodesic import densify_spherical
+
+        import projcl_spark.oracle as O
+
+        l2, t2 = O.derived_lonlat("'b:' || CAST(l_orderkey AS STRING)", "spark")
+        pairs = pts.select(
+            "l_orderkey", F.col("lon").alias("lon1"), F.col("lat").alias("lat1"),
+            F.expr(l2).alias("lon2"), F.expr(t2).alias("lat2"))
+        _force(densify_spherical(pairs, 16).select("l_orderkey", "seg_k",
+                                                   "ilon", "ilat"))
+        return n_pts * 16
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -296,6 +349,10 @@ def build_queries(spark, sf_dir):
         "track_length": q_track_length,
         "dwithin": q_dwithin,
         "sink_prune": q_sink_prune,
+        "segment_cross": q_segment_cross,
+        "hillshade": q_hillshade,
+        "polygon_metrics": q_polygon_metrics,
+        "densify": q_densify,
     }
 
 
