@@ -902,6 +902,53 @@ SELECT pts.l_orderkey, pts.l_linenumber, poly.poly_id
 FROM pts, poly WHERE {inside}"""
 
 
+def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI-join (``pip.pip_anti_join``): points contained by NO
+    polygon of the layer.  Not a join-then-anti-join (two corpus
+    shuffles): the broadcast cover is inverted into a {cell → candidate
+    polys} closure map and the whole operator is ONE vectorized filter —
+    zero joins, zero shuffles.  Input thinned with a scan-pushed modulo
+    so the gate compares a few-thousand-row anti set."""
+    from projcl_spark.operators.pip import pip_anti_join
+    from projcl_spark.sources.synth import polygons_df
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+        F.col("l_orderkey") % 13 == 0)
+    out = pip_anti_join(pts, polygons_df(spark, 16, res=PIP_RES), res=PIP_RES)
+    return out.select("l_orderkey", "l_linenumber")
+
+
+def _o_pip_anti() -> str:
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    rows = ", ".join(
+        "({}, [{}], [{}])".format(
+            p["poly_id"],
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+        )
+        for p in polygon_layer_np(16, 42)
+    )
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    return f"""
+WITH pts AS (SELECT * FROM ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+             WHERE l_orderkey % 13 = 0),
+poly(poly_id, xs, ys) AS (VALUES {rows}),
+hits AS (SELECT DISTINCT pts.l_orderkey, pts.l_linenumber
+         FROM pts, poly WHERE {inside})
+SELECT l_orderkey, l_linenumber
+FROM pts ANTI JOIN hits USING (l_orderkey, l_linenumber)"""
+
+
 # the seam fixture derives its points in a Pacific band (150°–210°,
 # wrapped into ±180) so the ±180°-straddling polygons see real candidates
 # on both sides of the seam at every sf
@@ -2986,13 +3033,13 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "segment_crossings",
     "dem_hillshade",
     "geodesic_densify",
+    "pip_anti",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
     "proj_albers_e",
     "proj_laea_e",
     "proj_stereo_e",
-    "proj_mercator_s_inv",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
     "cell_count_salted",
@@ -3064,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         segment_crossings=q_segment_crossings,
         dem_hillshade=q_dem_hillshade,
         geodesic_densify=q_geodesic_densify,
+        pip_anti=q_pip_anti,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3138,6 +3186,7 @@ def oracle_sql() -> dict[str, str]:
         segment_crossings=_o_segment_crossings(),
         dem_hillshade=_o_dem_hillshade(),
         geodesic_densify=_o_geodesic_densify(),
+        pip_anti=_o_pip_anti(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -598,3 +598,31 @@ def test_densify_spherical_analytic(spark):
          + haversine_col("ilon", "ilat", "lon2", "lat2")
          - haversine_col("lon1", "lat1", "lon2", "lat2")).alias("gap"))
     assert chk.agg(F.max(F.abs("gap"))).first()[0] < 1e-6  # meters
+
+
+def test_pip_anti_join_complements_pip_join(spark):
+    """pip_anti_join must return exactly the points the brute-force PIP
+    join matches to NO polygon — the anti set and the matched-point set
+    partition the corpus."""
+    from pyspark.sql import functions as F
+
+    from projcl_spark.operators.pip import pip_anti_join, pip_join
+
+    from projcl_spark.sources.synth import polygons_df
+
+    import __spark_entry__ as E
+
+    pts = E._points_df(spark, "/root/testdata/sf0.001", "lineitem",
+                       ("l_orderkey", "l_linenumber")).where(
+        F.col("l_orderkey") % 4 == 0)
+    polys = polygons_df(spark, 16, res=E.PIP_RES)
+    key = ["l_orderkey", "l_linenumber"]
+    all_keys = {tuple(r) for r in pts.select(*key).collect()}
+    inside = {tuple(r) for r in
+              pip_join(pts, polys, res=E.PIP_RES)
+              .select(*key).distinct().collect()}
+    anti = {tuple(r) for r in
+            pip_anti_join(pts, polys, res=E.PIP_RES).select(*key).collect()}
+    assert anti and inside
+    assert anti | inside == all_keys
+    assert not (anti & inside)
