@@ -719,6 +719,56 @@ def q_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KDE_RES, _KDE_RADIUS, _KDE_SIGMA = 7, 2, 1.0
+
+
+def q_cell_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse heatmap smoothing (``operators.raster.kde_smooth``): the
+    res-7 cell counts blurred by a separable normalized Gaussian — two
+    scatter-gather passes of (2r+1) taps each instead of a (2r+1)²
+    stencil; lon wraps, lat truncates.  Density is an order-dependent
+    float sum quantized at micro-units (~9 orders of headroom at gate
+    magnitudes)."""
+    from projcl_spark.operators.raster import kde_smooth
+
+    pts = _points_df(spark, sf_dir, "lineitem", ("l_orderkey",))
+    cells = (
+        pts.withColumn("cell_id",
+                       cell_id_col(F.col("lon"), F.col("lat"), _KDE_RES))
+        .groupBy("cell_id").agg(F.count("*").alias("cnt"))
+    )
+    out = kde_smooth(cells, _KDE_RES, _KDE_RADIUS, _KDE_SIGMA)
+    return out.select(
+        "cell_id",
+        F.round(F.col("density") * 1e6, 0).cast("long").alias("density_e6"),
+    )
+
+
+def _o_cell_kde() -> str:
+    from projcl_spark.operators.raster import gaussian_weights
+
+    n = 1 << _KDE_RES
+    w = gaussian_weights(_KDE_RADIUS, _KDE_SIGMA)
+    taps = ", ".join(
+        f"({d}, {O._r(wd)})"
+        for d, wd in zip(range(-_KDE_RADIUS, _KDE_RADIUS + 1), w)
+    )
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey',))}),
+c AS (SELECT {cell_id_sql('lon', 'lat', _KDE_RES)} AS cell_id,
+        count(*) AS cnt FROM pts GROUP BY 1),
+b AS (SELECT cell_id // {n} AS ix, cell_id % {n} AS iy,
+        CAST(cnt AS DOUBLE) AS v FROM c),
+t(d, w) AS (VALUES {taps}),
+x AS (SELECT ((ix + d) % {n} + {n}) % {n} AS ix, iy, sum(v * w) AS v
+      FROM b, t GROUP BY 1, 2),
+y AS (SELECT ix, iy + d AS iy, sum(v * w) AS v
+      FROM x, t WHERE iy + d >= 0 AND iy + d < {n} GROUP BY 1, 2)
+SELECT ix * {n} + iy AS cell_id,
+       CAST(round(v * 1e6, 0) AS BIGINT) AS density_e6
+FROM y"""
+
+
 SALT_RES, SALT_N, SALT_RATIO = 4, 16, 1.0
 
 
@@ -3034,12 +3084,12 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dem_hillshade",
     "geodesic_densify",
     "pip_anti",
+    "cell_kde",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
     "proj_albers_e",
     "proj_laea_e",
-    "proj_stereo_e",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
     "cell_count_salted",
@@ -3112,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dem_hillshade=q_dem_hillshade,
         geodesic_densify=q_geodesic_densify,
         pip_anti=q_pip_anti,
+        cell_kde=q_cell_kde,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3187,6 +3238,7 @@ def oracle_sql() -> dict[str, str]:
         dem_hillshade=_o_dem_hillshade(),
         geodesic_densify=_o_geodesic_densify(),
         pip_anti=_o_pip_anti(),
+        cell_kde=_o_cell_kde(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

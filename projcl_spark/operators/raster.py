@@ -79,3 +79,65 @@ def dem_hillshade(
         aspect.alias("aspect_rad"),
         hs.alias("hillshade"),
     )
+
+
+def gaussian_weights(radius: int, sigma: float) -> list[float]:
+    """Normalized 1-D Gaussian taps for the separable KDE blur — computed
+    once in Python so the engine column and the SQL oracle embed the SAME
+    float literals."""
+    raw = [math.exp(-(k * k) / (2.0 * sigma * sigma))
+           for k in range(-radius, radius + 1)]
+    s = sum(raw)
+    return [w / s for w in raw]
+
+
+def kde_smooth(
+    cells: DataFrame,
+    res: int,
+    radius: int = 2,
+    sigma: float = 1.0,
+    cell_id: str = "cell_id",
+    cnt: str = "cnt",
+) -> DataFrame:
+    """Separable Gaussian KDE over a SPARSE cell-count table (heatmap
+    smoothing): each count spreads to (2·radius+1) neighbors per axis in
+    two scatter-gather passes, so total work is O(nnz · (2r+1) · 2)
+    instead of the O(nnz · (2r+1)²) of a 2-D stencil — the same
+    separability trick as ``dem_hillshade`` §19, but scatter-based
+    because the input is sparse (window lag/lead over sparse rows would
+    treat missing cells as adjacent, which is wrong).
+
+    Longitude wraps (ix modulo 2^res — cylinder topology, consistent with
+    ``index.cells``); latitude contributions falling off the grid are
+    dropped (truncated kernel).  Returns (cell_id, density).  The density
+    is an order-dependent float sum; callers quantize (micro-units leave
+    ~9 orders of headroom at gate magnitudes).
+    """
+    n = 1 << res
+    w = gaussian_weights(radius, sigma)
+    taps = F.array(*[
+        F.struct(F.lit(d).alias("d"), F.lit(wd).alias("w"))
+        for d, wd in zip(range(-radius, radius + 1), w)
+    ])
+    base = cells.select(
+        F.shiftright(F.col(cell_id), res).alias("ix"),
+        F.col(cell_id).bitwiseAND(F.lit(n - 1)).alias("iy"),
+        F.col(cnt).cast("double").alias("_v"),
+    )
+    px = (
+        base.select("ix", "iy", "_v", F.explode(taps).alias("t"))
+        .select(F.pmod(F.col("ix") + F.col("t.d"), F.lit(n)).alias("ix"),
+                "iy", (F.col("_v") * F.col("t.w")).alias("_c"))
+        .groupBy("ix", "iy").agg(F.sum("_c").alias("_v"))
+    )
+    py = (
+        px.select("ix", "iy", "_v", F.explode(taps).alias("t"))
+        .select("ix", (F.col("iy") + F.col("t.d")).alias("iy"),
+                (F.col("_v") * F.col("t.w")).alias("_c"))
+        .where((F.col("iy") >= 0) & (F.col("iy") < n))
+        .groupBy("ix", "iy").agg(F.sum("_c").alias("_v"))
+    )
+    return py.select(
+        (F.col("ix") * n + F.col("iy")).alias(cell_id),
+        F.col("_v").alias("density"),
+    )

@@ -626,3 +626,37 @@ def test_pip_anti_join_complements_pip_join(spark):
     assert anti and inside
     assert anti | inside == all_keys
     assert not (anti & inside)
+
+
+def test_kde_smooth_impulse_and_mass(spark):
+    """A unit impulse must spread to exactly the (2r+1)² separable
+    product weights, and total mass must be conserved when nothing falls
+    off the latitude border (the kernel is normalized; lon wraps)."""
+    import numpy as np
+
+    from projcl_spark.operators.raster import gaussian_weights, kde_smooth
+
+    res, r, sig = 5, 2, 1.0
+    n = 1 << res
+    w = gaussian_weights(r, sig)
+    assert abs(sum(w) - 1.0) < 1e-15
+
+    # impulse at interior cell (10, 12), weight 8
+    cells = spark.createDataFrame([(10 * n + 12, 8)], "cell_id long, cnt long")
+    out = {r0["cell_id"]: r0["density"]
+           for r0 in kde_smooth(cells, res, r, sig).collect()}
+    assert len(out) == (2 * r + 1) ** 2
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            got = out[(10 + dx) * n + (12 + dy)]
+            assert abs(got - 8 * w[dx + r] * w[dy + r]) < 1e-12
+    assert abs(sum(out.values()) - 8.0) < 1e-12
+
+    # lon wrap: an impulse at ix = 0 spreads across the antimeridian
+    rng = np.random.default_rng(5)
+    pts = [((int(ix) % n) * n + int(iy), int(c)) for ix, iy, c in
+           zip(rng.integers(0, n, 40), rng.integers(r, n - r, 40),
+               rng.integers(1, 9, 40))]
+    df = spark.createDataFrame(pts, "cell_id long, cnt long")
+    dens = kde_smooth(df, res, r, sig).agg(F.sum("density")).first()[0]
+    assert abs(dens - sum(c for _, c in pts)) < 1e-9
