@@ -999,6 +999,74 @@ SELECT l_orderkey, l_linenumber
 FROM pts ANTI JOIN hits USING (l_orderkey, l_linenumber)"""
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (``pip.zonal_stats``): per-polygon count/sum/min/
+    max/mean of ``l_quantity`` over the contained lineitem points — the
+    ``pip_join`` broadcast filter-refine plan plus ONE map-side-combinable
+    ``poly_id`` aggregate (the exchange moves pre-aggregated zone rows,
+    never points).  ``l_quantity`` is integral 1–50 stored as double, so
+    sum/min/max are exact integers (cast to long on both sides) and the
+    mean is an exact-integer ratio — order-independent, safe at ×1e6."""
+    from projcl_spark.operators.pip import zonal_stats
+    from projcl_spark.sources.synth import polygons_df
+
+    ks = ("l_orderkey", "l_linenumber")
+    lon_e, lat_e = O.derived_lonlat(_key("lineitem", ks, "spark"), "spark")
+    pts = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .select(*ks, "l_quantity")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(*ks, F.col("l_quantity").alias("val"),
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = zonal_stats(pts, polygons_df(spark, 16, res=PIP_RES),
+                      value_col="val", res=PIP_RES)
+    return out.select(
+        "poly_id",
+        "n_pts",
+        F.col("val_sum").cast("long").alias("qty_sum"),
+        F.col("val_min").cast("long").alias("qty_min"),
+        F.col("val_max").cast("long").alias("qty_max"),
+        F.round(F.col("val_avg") * 1e6, 0).cast("long").alias("qty_avg_e6"),
+    )
+
+
+def _o_zonal_stats() -> str:
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    rows = ", ".join(
+        "({}, [{}], [{}])".format(
+            p["poly_id"],
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+        )
+        for p in polygon_layer_np(16, 42)
+    )
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    lon_e, lat_e = O.derived_lonlat(
+        _key("lineitem", ("l_orderkey", "l_linenumber"), "duck"), "duck")
+    return f"""
+WITH pts AS (SELECT l_quantity AS val, {lon_e} AS lon, {lat_e} AS lat
+             FROM lineitem),
+poly(poly_id, xs, ys) AS (VALUES {rows}),
+hits AS (SELECT poly.poly_id, pts.val FROM pts, poly WHERE {inside})
+SELECT poly_id,
+       count(*) AS n_pts,
+       CAST(sum(val) AS BIGINT) AS qty_sum,
+       CAST(min(val) AS BIGINT) AS qty_min,
+       CAST(max(val) AS BIGINT) AS qty_max,
+       CAST(round(avg(val) * 1e6, 0) AS BIGINT) AS qty_avg_e6
+FROM hits GROUP BY 1"""
+
+
 # the seam fixture derives its points in a Pacific band (150°–210°,
 # wrapped into ±180) so the ±180°-straddling polygons see real candidates
 # on both sides of the seam at every sf
@@ -3085,11 +3153,11 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "geodesic_densify",
     "pip_anti",
     "cell_kde",
+    "zonal_stats",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
     "proj_albers_e",
-    "proj_laea_e",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
     "cell_count_salted",
@@ -3163,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         geodesic_densify=q_geodesic_densify,
         pip_anti=q_pip_anti,
         cell_kde=q_cell_kde,
+        zonal_stats=q_zonal_stats,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3239,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         geodesic_densify=_o_geodesic_densify(),
         pip_anti=_o_pip_anti(),
         cell_kde=_o_cell_kde(),
+        zonal_stats=_o_zonal_stats(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

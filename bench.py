@@ -325,6 +325,27 @@ def build_queries(spark, sf_dir):
                                                    "ilon", "ilat"))
         return n_pts * 16
 
+    def q_pip_anti():
+        # spatial anti-join: inverted broadcast cover as ONE vectorized
+        # filter over the full point table — zero joins, zero shuffles
+        from projcl_spark.operators.pip import pip_anti_join
+        from projcl_spark.sources.synth import polygons_df
+
+        _force(pip_anti_join(pts, polygons_df(spark, 16, res=E.PIP_RES),
+                             res=E.PIP_RES).select("l_orderkey"))
+        return n_pts
+
+    def q_cell_kde():
+        # sparse separable-Gaussian heatmap: count agg + two (2r+1)-tap
+        # scatter-gather passes (O(nnz·2(2r+1)), not the (2r+1)² stencil)
+        from projcl_spark.operators.raster import kde_smooth
+
+        cells = (pts.select(cell_id_col(F.col("lon"), F.col("lat"), 7)
+                            .alias("cell_id"))
+                 .groupBy("cell_id").agg(F.count("*").alias("cnt")))
+        _force(kde_smooth(cells, 7, 2, 1.0))
+        return n_pts
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -353,6 +374,8 @@ def build_queries(spark, sf_dir):
         "hillshade": q_hillshade,
         "polygon_metrics": q_polygon_metrics,
         "densify": q_densify,
+        "pip_anti": q_pip_anti,
+        "cell_kde": q_cell_kde,
     }
 
 

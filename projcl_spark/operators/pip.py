@@ -309,3 +309,28 @@ def pip_anti_join(points: DataFrame, polygons: DataFrame, res: int = 8,
         cell_map = _cached_cell_map(polygons)
     return points.filter(
         _pip_outside_closure(vert_map, cell_map, res)("lon", "lat"))
+
+
+def zonal_stats(points: DataFrame, polygons: DataFrame,
+                value_col: str = "val", res: int = 8,
+                **pip_kwargs) -> DataFrame:
+    """Zonal statistics: per-polygon count/sum/min/max/mean of a point
+    measure (the raster-analysis classic — aggregate a field by zone;
+    engine-added, no analogue in the reference's kernel list).
+
+    Composition, not new machinery: the ``pip_join`` filter-refine plan
+    (broadcast vertex-free cover, winding refine in the UDF closure —
+    the 10^12-row point side is never shuffled) followed by ONE partial
+    aggregate on ``poly_id``.  The agg is map-side combinable, so the
+    only exchange moves ~n_polys × n_partitions pre-aggregated rows, not
+    points.  Points inside k overlapping zones contribute to all k —
+    standard zonal semantics for non-disjoint layers.
+    """
+    hits = pip_join(points, polygons, res=res, **pip_kwargs)
+    return hits.groupBy("poly_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum(value_col).alias("val_sum"),
+        F.min(value_col).alias("val_min"),
+        F.max(value_col).alias("val_max"),
+        F.avg(value_col).alias("val_avg"),
+    )

@@ -660,3 +660,45 @@ def test_kde_smooth_impulse_and_mass(spark):
     df = spark.createDataFrame(pts, "cell_id long, cnt long")
     dens = kde_smooth(df, res, r, sig).agg(F.sum("density")).first()[0]
     assert abs(dens - sum(c for _, c in pts)) < 1e-9
+
+
+def test_zonal_stats_two_squares(spark):
+    """Hand-built zones: two disjoint squares; stats must be the exact
+    per-zone count/sum/min/max/mean, a point in neither zone must not
+    appear, and a point inside BOTH zones of an overlapping layer
+    contributes to both (standard zonal semantics)."""
+    from projcl_spark.operators.pip import clear_vert_cache, zonal_stats
+    from projcl_spark.sources.synth import polygon_cover_cells
+
+    res = 6
+
+    def layer(polys):
+        rows = [(pid, xs, ys,
+                 [int(c) for c in polygon_cover_cells(
+                     {"xs": xs, "ys": ys}, res)])
+                for pid, xs, ys in polys]
+        return spark.createDataFrame(
+            rows, "poly_id long, xs array<double>, ys array<double>, "
+                  "cells array<long>")
+
+    sq = lambda x0, y0, w: ([x0, x0 + w, x0 + w, x0], [y0, y0, y0 + w, y0 + w])
+    zones = layer([(0, *sq(0.0, 0.0, 10.0)), (1, *sq(20.0, 0.0, 10.0))])
+    pts = spark.createDataFrame(
+        [(1, 2.0, 2.0, 5.0), (2, 8.0, 9.0, 7.0), (3, 25.0, 5.0, 11.0),
+         (4, 50.0, 50.0, 99.0)],
+        "pt_id long, lon double, lat double, val double")
+    clear_vert_cache()
+    got = {r["poly_id"]: r for r in
+           zonal_stats(pts, zones, value_col="val", res=res).collect()}
+    assert set(got) == {0, 1}
+    z0, z1 = got[0], got[1]
+    assert (z0["n_pts"], z0["val_sum"], z0["val_min"], z0["val_max"]) == (2, 12.0, 5.0, 7.0)
+    assert abs(z0["val_avg"] - 6.0) < 1e-12
+    assert (z1["n_pts"], z1["val_sum"]) == (1, 11.0)
+
+    # overlapping zones: the shared point lands in both aggregates
+    over = layer([(0, *sq(0.0, 0.0, 10.0)), (1, *sq(5.0, 5.0, 10.0))])
+    clear_vert_cache()
+    got2 = {r["poly_id"]: r["n_pts"] for r in
+            zonal_stats(pts, over, value_col="val", res=res).collect()}
+    assert got2 == {0: 2, 1: 1}  # (8,9) is inside both squares
