@@ -335,6 +335,17 @@ def build_queries(spark, sf_dir):
                              res=E.PIP_RES).select("l_orderkey"))
         return n_pts
 
+    def q_zonal_stats():
+        # zonal stats: the pip_join broadcast plan + one map-side-combinable
+        # poly_id aggregate (exchange moves zone rows, never points)
+        from projcl_spark.operators.pip import zonal_stats
+        from projcl_spark.sources.synth import polygons_df
+
+        zpts = pts.withColumn("val", (F.col("l_orderkey") % 50 + 1).cast("double"))
+        _force(zonal_stats(zpts, polygons_df(spark, 16, res=E.PIP_RES),
+                           value_col="val", res=E.PIP_RES))
+        return n_pts
+
     def q_cell_kde():
         # sparse separable-Gaussian heatmap: count agg + two (2r+1)-tap
         # scatter-gather passes (O(nnz·2(2r+1)), not the (2r+1)² stencil)
@@ -376,6 +387,7 @@ def build_queries(spark, sf_dir):
         "densify": q_densify,
         "pip_anti": q_pip_anti,
         "cell_kde": q_cell_kde,
+        "zonal_stats": q_zonal_stats,
     }
 
 
