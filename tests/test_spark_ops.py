@@ -702,3 +702,35 @@ def test_zonal_stats_two_squares(spark):
     got2 = {r["poly_id"]: r["n_pts"] for r in
             zonal_stats(pts, over, value_col="val", res=res).collect()}
     assert got2 == {0: 2, 1: 1}  # (8,9) is inside both squares
+
+
+def test_kde_smooth_matches_dense_convolution(spark):
+    """Random sparse counts vs a dense numpy separable convolution with
+    the same wrap/truncate boundary rules — pins every tap, not just the
+    impulse response."""
+    import numpy as np
+
+    from projcl_spark.operators.raster import gaussian_weights, kde_smooth
+
+    res, r, sig = 4, 2, 0.8
+    n = 1 << res
+    w = np.array(gaussian_weights(r, sig))
+    rng = np.random.default_rng(11)
+    dense = np.zeros((n, n))
+    pts = []
+    for _ in range(30):
+        ix, iy, c = rng.integers(0, n), rng.integers(0, n), int(rng.integers(1, 20))
+        dense[ix, iy] += c
+        pts.append((int(ix) * n + int(iy), c))
+    # lon (axis 0) wraps, lat (axis 1) truncates
+    wrapped = sum(np.roll(dense, d, axis=0) * w[d + r] for d in range(-r, r + 1))
+    trunc = np.zeros_like(wrapped)
+    for d in range(-r, r + 1):
+        src = wrapped[:, max(0, -d):n - d if d > 0 else n]
+        trunc[:, max(0, d):n + d if d < 0 else n] += src * w[d + r]
+    df = (spark.createDataFrame(pts, "cell_id long, cnt long")
+          .groupBy("cell_id").agg(F.sum("cnt").alias("cnt")))
+    got = np.zeros((n, n))
+    for row in kde_smooth(df, res, r, sig).collect():
+        got[row["cell_id"] // n, row["cell_id"] % n] = row["density"]
+    assert np.abs(got - trunc).max() < 1e-9
