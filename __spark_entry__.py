@@ -2107,6 +2107,58 @@ _DEM_DX, _DEM_DY = 30.0, 30.0
 _DEM_ELEV = ("(500.0 * sin(gi * 0.05) * cos(gj * 0.07)"
              " + 3.0 * gi + 2.0 * gj)")  # identical text on both engines
 
+# marching-squares surface: INTEGER-exact on both engines (a boolean
+# threshold has no quantization headroom, so the corner values must be
+# bit-identical — pure long arithmetic, no transcendentals)
+_MS_SURF = "((gi * gi * 7 + gj * gj * 11 + gi * gj * 5) % 256)"
+_MS_LEVEL = 127.5
+
+
+def q_contour_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour classification
+    (``operators.raster.contour_cases``): every 2×2 block of a 192×192
+    integer-exact surface → 4-bit case index + per-case segment count,
+    via two 1×-volume window passes (zero data amplification, all
+    codegen — the contour dual of the hillshade stencil, PLANS.md §24).
+    The surface is pure long arithmetic so the boolean threshold is
+    bit-reproducible across engines."""
+    from projcl_spark.operators.raster import contour_cases
+
+    n = _DEM_W * _DEM_H
+    dem = (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select((F.col("id") % _DEM_W).alias("gi"),
+                (F.col("id") / _DEM_W).cast("long").alias("gj"))
+        .select("gi", "gj", F.expr(_MS_SURF).alias("elev"))
+    )
+    return contour_cases(dem, _MS_LEVEL)
+
+
+def _o_contour_cases() -> str:
+    def b(c: str) -> str:
+        return f"(CASE WHEN {c} > {_MS_LEVEL} THEN 1 ELSE 0 END)"
+
+    return f"""
+WITH g AS (SELECT a.range AS gi, b.range AS gj
+           FROM range(0, {_DEM_W}) a CROSS JOIN range(0, {_DEM_H}) b),
+dem AS (SELECT gi, gj, {_MS_SURF} AS elev FROM g),
+p1 AS (SELECT gi, gj, elev, lead(elev) OVER rw AS ze
+       FROM dem WINDOW rw AS (PARTITION BY gj ORDER BY gi)),
+p2 AS (SELECT gi, gj, elev, ze,
+         lead(elev) OVER cw AS zn, lead(ze) OVER cw AS zne
+       FROM p1 WINDOW cw AS (PARTITION BY gi ORDER BY gj)),
+c AS (SELECT gi, gj,
+        CAST({b('elev')} + 2 * {b('ze')} + 4 * {b('zne')} + 8 * {b('zn')}
+             AS BIGINT) AS ms_case
+      FROM p2
+      WHERE ze IS NOT NULL AND zn IS NOT NULL AND zne IS NOT NULL)
+SELECT gi, gj, ms_case,
+       CAST(CASE WHEN ms_case IN (0, 15) THEN 0
+                 WHEN ms_case IN (5, 10) THEN 2
+                 ELSE 1 END AS BIGINT) AS n_segs
+FROM c"""
+
 
 def q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster focal op (``operators.raster.dem_hillshade``): Horn
@@ -3154,10 +3206,10 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "pip_anti",
     "cell_kde",
     "zonal_stats",
+    "contour_cases",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
-    "proj_albers_e",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
     "cell_count_salted",
@@ -3232,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pip_anti=q_pip_anti,
         cell_kde=q_cell_kde,
         zonal_stats=q_zonal_stats,
+        contour_cases=q_contour_cases,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3309,6 +3362,7 @@ def oracle_sql() -> dict[str, str]:
         pip_anti=_o_pip_anti(),
         cell_kde=_o_cell_kde(),
         zonal_stats=_o_zonal_stats(),
+        contour_cases=_o_contour_cases(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -335,6 +335,19 @@ def build_queries(spark, sf_dir):
                              res=E.PIP_RES).select("l_orderkey"))
         return n_pts
 
+    def q_contour_cases():
+        # marching squares at 1024²: two 1×-volume window passes, codegen
+        from projcl_spark.operators.raster import contour_cases
+
+        w = 1024
+        dem = (spark.range(w * w)
+               .repartition(cpus * 2)
+               .select((F.col("id") % w).alias("gi"),
+                       (F.col("id") / w).cast("long").alias("gj"))
+               .select("gi", "gj", F.expr(E._MS_SURF).alias("elev")))
+        _force(contour_cases(dem, E._MS_LEVEL))
+        return w * w
+
     def q_zonal_stats():
         # zonal stats: the pip_join broadcast plan + one map-side-combinable
         # poly_id aggregate (exchange moves zone rows, never points)
@@ -388,6 +401,7 @@ def build_queries(spark, sf_dir):
         "pip_anti": q_pip_anti,
         "cell_kde": q_cell_kde,
         "zonal_stats": q_zonal_stats,
+        "contour_cases": q_contour_cases,
     }
 
 

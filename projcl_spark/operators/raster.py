@@ -141,3 +141,58 @@ def kde_smooth(
         (F.col("ix") * n + F.col("iy")).alias(cell_id),
         F.col("_v").alias("density"),
     )
+
+
+def contour_cases(
+    dem: DataFrame,
+    level: float,
+    gi: str = "gi",
+    gj: str = "gj",
+    elev: str = "elev",
+) -> DataFrame:
+    """Marching-squares classification at one iso level — the first stage
+    of contour extraction (engine-added; the reference warps rasters but
+    derives no isolines).
+
+    Every 2×2 block, anchored at its south-west corner (gi, gj), gets the
+    standard 4-bit case index: bit0 = SW, bit1 = SE, bit2 = NE, bit3 = NW,
+    a bit set iff that corner's elevation exceeds ``level``.  ``n_segs``
+    is the contour-segment count of the case (0 for empty/full 0 and 15,
+    2 for the saddles 5 and 10, else 1).  Blocks missing a neighbor
+    (grid edge) are dropped.
+
+    Plan shape, same discipline as ``dem_hillshade``: one ``lead`` over
+    the row window fetches the east corner, one ``lead`` pair over the
+    column window fetches the two north corners — two 1×-volume window
+    passes, zero data amplification, all whole-stage codegen (vs the
+    naive explode-×4 + groupBy, a 4×-volume shuffle).
+
+    Threshold caveat: ``corner > level`` is a BOOLEAN — it has no
+    quantization headroom, so reproducible classification across engines
+    needs an elevation that is EXACT in both (integer-valued surfaces,
+    quantized rasters), not a transcendental whose last ulp differs
+    between libm implementations.
+    """
+    row_w = Window.partitionBy(gj).orderBy(F.col(gi).asc())
+    col_w = Window.partitionBy(gi).orderBy(F.col(gj).asc())
+
+    d1 = dem.select(gi, gj, elev, F.lead(elev).over(row_w).alias("_ze"))
+    d2 = d1.select(
+        gi, gj, elev, "_ze",
+        F.lead(elev).over(col_w).alias("_zn"),
+        F.lead("_ze").over(col_w).alias("_zne"),
+    ).where(F.col("_ze").isNotNull() & F.col("_zn").isNotNull()
+            & F.col("_zne").isNotNull())
+
+    def b(c):
+        return F.when(c > level, 1).otherwise(0)
+
+    case = (b(F.col(elev)) + 2 * b(F.col("_ze"))
+            + 4 * b(F.col("_zne")) + 8 * b(F.col("_zn"))).cast("long")
+    out = d2.select(gi, gj, case.alias("ms_case"))
+    return out.withColumn(
+        "n_segs",
+        F.when(F.col("ms_case").isin(0, 15), 0)
+         .when(F.col("ms_case").isin(5, 10), 2)
+         .otherwise(1).cast("long"),
+    )

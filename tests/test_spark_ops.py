@@ -734,3 +734,30 @@ def test_kde_smooth_matches_dense_convolution(spark):
     for row in kde_smooth(df, res, r, sig).collect():
         got[row["cell_id"] // n, row["cell_id"] % n] = row["density"]
     assert np.abs(got - trunc).max() < 1e-9
+
+
+def test_contour_cases_hand_grid(spark):
+    """3×3 hand grid → 4 blocks with hand-computed case indices, incl. a
+    saddle (case 5 → 2 segments); a uniform grid must classify every
+    block as 0 with no segments."""
+    from projcl_spark.operators.raster import contour_cases
+
+    # elevations:  gj=2 | 0 9 0      (saddle block at (1,1): SW=9 NE=9)
+    #              gj=1 | 9 0 9
+    #              gj=0 | 0 9 0
+    rows = [(gi, gj, 9.0 if (gi + gj) % 2 == 1 else 0.0)
+            for gi in range(3) for gj in range(3)]
+    dem = spark.createDataFrame(rows, "gi long, gj long, elev double")
+    got = {(r["gi"], r["gj"]): (r["ms_case"], r["n_segs"])
+           for r in contour_cases(dem, 5.0).collect()}
+    # block (0,0): SW=0 SE=9 NE=0 NW=9 → 2+8=10 (saddle, 2 segs)
+    # block (1,0): SW=9 SE=0 NE=9 NW=0 → 1+4=5  (saddle, 2 segs)
+    assert got == {(0, 0): (10, 2), (1, 0): (5, 2),
+                   (0, 1): (5, 2), (1, 1): (10, 2)}
+
+    flat = spark.createDataFrame(
+        [(gi, gj, 1.0) for gi in range(3) for gj in range(3)],
+        "gi long, gj long, elev double")
+    fg = contour_cases(flat, 5.0).collect()
+    assert len(fg) == 4
+    assert all(r["ms_case"] == 0 and r["n_segs"] == 0 for r in fg)
