@@ -1067,6 +1067,69 @@ SELECT poly_id,
 FROM hits GROUP BY 1"""
 
 
+_IDW_RES, _IDW_RING, _IDW_EPS = 6, 2, 1e-12
+
+
+def q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW gridding (``operators.interp.idw_grid``): lineitem samples
+    (val = l_quantity) interpolated onto every res-6 cell within ring 2
+    of a sample — sparse scatter + one partial aggregate, no joins
+    (PLANS.md §25).  Both Σw·v and Σw are positive sums (well-
+    conditioned under any order), so the ×1e6 quantization of their
+    ratio has ~7 orders of headroom."""
+    from projcl_spark.operators.interp import idw_grid
+
+    ks = ("l_orderkey", "l_linenumber")
+    lon_e, lat_e = O.derived_lonlat(_key("lineitem", ks, "spark"), "spark")
+    pts = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .select(*ks, "l_quantity")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("l_quantity").alias("val"),
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = idw_grid(pts, _IDW_RES, ring=_IDW_RING, power=2, eps=_IDW_EPS)
+    return out.select(
+        "cell_id", "n_contrib",
+        F.round(F.col("idw") * 1e6, 0).cast("long").alias("idw_e6"),
+    )
+
+
+def _o_idw_grid() -> str:
+    n = 1 << _IDW_RES
+    r = _IDW_RING
+    taps = ", ".join(f"({dx}, {dy})"
+                     for dx in range(-r, r + 1) for dy in range(-r, r + 1))
+    ixs = (f"least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT)"
+           f", 0), {n - 1})")
+    iys = (f"least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT)"
+           f", 0), {n - 1})")
+    lon_e, lat_e = O.derived_lonlat(
+        _key("lineitem", ("l_orderkey", "l_linenumber"), "duck"), "duck")
+    return f"""
+WITH pts AS (SELECT l_quantity AS val, {lon_e} AS lon, {lat_e} AS lat
+             FROM lineitem),
+b AS (SELECT lon, lat, CAST(val AS DOUBLE) AS val,
+        {ixs} AS ix, {iys} AS iy FROM pts),
+t(dx, dy) AS (VALUES {taps}),
+sc AS (SELECT ((ix + dx) % {n} + {n}) % {n} AS tx, iy + dy AS ty,
+         lon, lat, val
+       FROM b, t WHERE iy + dy >= 0 AND iy + dy < {n}),
+d AS (SELECT tx * {n} + ty AS cell_id, val,
+        ((lon - ((tx + 0.5) / {n} * 360.0 - 180.0))
+         - 360.0 * floor((lon - ((tx + 0.5) / {n} * 360.0 - 180.0))
+                         / 360.0 + 0.5))
+          * cos(radians((ty + 0.5) / {n} * 180.0 - 90.0)) AS dx_deg,
+        (lat - ((ty + 0.5) / {n} * 180.0 - 90.0)) AS dy_deg
+      FROM sc),
+w AS (SELECT cell_id, val,
+        1.0 / (dx_deg * dx_deg + dy_deg * dy_deg + {O._r(_IDW_EPS)}) AS w
+      FROM d)
+SELECT cell_id, count(*) AS n_contrib,
+       CAST(round(sum(w * val) / sum(w) * 1e6, 0) AS BIGINT) AS idw_e6
+FROM w GROUP BY 1"""
+
+
 # the seam fixture derives its points in a Pacific band (150°–210°,
 # wrapped into ±180) so the ±180°-straddling polygons see real candidates
 # on both sides of the seam at every sf
@@ -3207,13 +3270,13 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "cell_kde",
     "zonal_stats",
     "contour_cases",
+    "idw_grid",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
     "cell_count_salted",
-    "tile_pyramid",
     "pip_triangles",
     "pip_polygons",
     "order_coverage",
@@ -3285,6 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cell_kde=q_cell_kde,
         zonal_stats=q_zonal_stats,
         contour_cases=q_contour_cases,
+        idw_grid=q_idw_grid,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3363,6 +3427,7 @@ def oracle_sql() -> dict[str, str]:
         cell_kde=_o_cell_kde(),
         zonal_stats=_o_zonal_stats(),
         contour_cases=_o_contour_cases(),
+        idw_grid=_o_idw_grid(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -335,6 +335,14 @@ def build_queries(spark, sf_dir):
                              res=E.PIP_RES).select("l_orderkey"))
         return n_pts
 
+    def q_idw_grid():
+        # IDW gridding: 25-tap sparse scatter + one cell aggregate, no joins
+        from projcl_spark.operators.interp import idw_grid
+
+        ipts = pts.withColumn("val", (F.col("l_orderkey") % 50 + 1).cast("double"))
+        _force(idw_grid(ipts, E._IDW_RES, ring=E._IDW_RING))
+        return n_pts
+
     def q_contour_cases():
         # marching squares at 1024²: two 1×-volume window passes, codegen
         from projcl_spark.operators.raster import contour_cases
@@ -402,6 +410,7 @@ def build_queries(spark, sf_dir):
         "cell_kde": q_cell_kde,
         "zonal_stats": q_zonal_stats,
         "contour_cases": q_contour_cases,
+        "idw_grid": q_idw_grid,
     }
 
 

@@ -761,3 +761,41 @@ def test_contour_cases_hand_grid(spark):
     fg = contour_cases(flat, 5.0).collect()
     assert len(fg) == 4
     assert all(r["ms_case"] == 0 and r["n_segs"] == 0 for r in fg)
+
+
+def test_idw_grid_analytic(spark):
+    """One sample → every ring cell interpolates exactly to that sample's
+    value (Σw·v/Σw = v); two equidistant samples about a cell center →
+    their mean; contribution counts match the truncated footprint."""
+    from projcl_spark.index.cells import cell_id_np
+    from projcl_spark.operators.interp import idw_grid
+
+    res, ring = 5, 2
+    n = 1 << res
+
+    one = spark.createDataFrame([(10.0, 20.0, 7.0)],
+                                "lon double, lat double, val double")
+    out = {r["cell_id"]: r for r in idw_grid(one, res, ring=ring).collect()}
+    assert len(out) == (2 * ring + 1) ** 2
+    home = int(cell_id_np(10.0, 20.0, res))
+    assert home in out
+    for r in out.values():
+        assert r["n_contrib"] == 1
+        assert abs(r["idw"] - 7.0) < 1e-12
+
+    # cell centers are at ((i+0.5)/n·360−180, (j+0.5)/n·180−90); put two
+    # samples symmetric about one center — equal weights, idw = mean
+    cx = (int((10.0 + 180.0) / 360.0 * n) + 0.5) / n * 360.0 - 180.0
+    cy = (int((20.0 + 90.0) / 180.0 * n) + 0.5) / n * 180.0 - 90.0
+    two = spark.createDataFrame(
+        [(cx - 0.5, cy, 4.0), (cx + 0.5, cy, 10.0)],
+        "lon double, lat double, val double")
+    got = {r["cell_id"]: r for r in idw_grid(two, res, ring=ring).collect()}
+    center = int(cell_id_np(cx, cy, res))
+    assert got[center]["n_contrib"] == 2
+    assert abs(got[center]["idw"] - 7.0) < 1e-9
+
+    # power must be even (pow() is not cross-engine exact)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        idw_grid(one, res, power=3)
