@@ -1067,6 +1067,69 @@ SELECT poly_id,
 FROM hits GROUP BY 1"""
 
 
+def q_boundary_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance to nearest polygon boundary
+    (``geometry.distance_to_boundary``): every 7th lineitem point against
+    the 16-polygon layer's ~130 edges — edges ride in the UDF closure
+    (bounded collect, pip_anti discipline), so the operator is one
+    zero-join, zero-shuffle map; exact point-to-segment projection in the
+    point's local equirect frame, scaled by π·R/180 (PLANS.md §26).
+    Quantized to 10 m buckets like the other geodesic queries."""
+    from projcl_spark.operators.geometry import distance_to_boundary
+    from projcl_spark.sources.synth import polygons_df
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+        F.col("l_orderkey") % 7 == 0)
+    out = distance_to_boundary(pts, polygons_df(spark, 16, res=PIP_RES))
+    return out.select(
+        *ks, _q10_col(F.col("boundary_dist_m")).alias("dist_10m"))
+
+
+def _o_boundary_distance() -> str:
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    segs = []
+    for p in polygon_layer_np(16, 42):
+        xs, ys = p["xs"], p["ys"]
+        for i in range(len(xs)):
+            j = (i + 1) % len(xs)
+            segs.append((float(xs[i]), float(ys[i]),
+                         float(xs[j]), float(ys[j])))
+    def lst(vals):
+        return "[" + ", ".join(O._r(v) for v in vals) + "]"
+
+    deg2m = math.pi * 6370997.0 / 180.0
+    # per-row list fold (NOT a cross join + GROUP BY: the synthetic
+    # lineitem has duplicate (l_orderkey, l_linenumber) keys, and the
+    # engine keeps one output row per INPUT row — a grouped oracle would
+    # merge those duplicates).  Same operation order as the numpy
+    # closure: local-equirect frame, clamped segment projection,
+    # guarded zero-length denominator.
+    k = "cos(radians(lat))"
+    ax = f"((x1[i] - lon) * {k})"
+    ay = "(y1[i] - lat)"
+    bx = f"((x2[i] - lon) * {k})"
+    by = "(y2[i] - lat)"
+    dx = f"({bx} - {ax})"
+    dy = f"({by} - {ay})"
+    den = f"({dx} * {dx} + {dy} * {dy})"
+    t = (f"least(greatest(-({ax} * {dx} + {ay} * {dy}) / "
+         f"(CASE WHEN {den} = 0.0 THEN 1.0 ELSE {den} END), 0.0), 1.0)")
+    qx = f"({ax} + {t} * {dx})"
+    qy = f"({ay} + {t} * {dy})"
+    d = f"sqrt({qx} * {qx} + {qy} * {qy})"
+    fold = (f"list_min(list_transform(range(1, {len(segs) + 1}), "
+            f"i -> {d})) * {O._r(deg2m)}")
+    return f"""
+WITH pts AS (SELECT * FROM ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+             WHERE l_orderkey % 7 = 0),
+e AS (SELECT {lst([s[0] for s in segs])} AS x1, {lst([s[1] for s in segs])} AS y1,
+             {lst([s[2] for s in segs])} AS x2, {lst([s[3] for s in segs])} AS y2)
+SELECT l_orderkey, l_linenumber, {_q10(fold)} AS dist_10m
+FROM pts, e"""
+
+
 _IDW_RES, _IDW_RING, _IDW_EPS = 6, 2, 1e-12
 
 
@@ -3271,13 +3334,13 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "zonal_stats",
     "contour_cases",
     "idw_grid",
+    "boundary_distance",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
     "proj_tmerc_e_inv",
     "proj_roundtrip_closure",
     "cell_count_salted",
-    "pip_triangles",
     "pip_polygons",
     "order_coverage",
     "flagship_rollup",
@@ -3349,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         zonal_stats=q_zonal_stats,
         contour_cases=q_contour_cases,
         idw_grid=q_idw_grid,
+        boundary_distance=q_boundary_distance,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3428,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         zonal_stats=_o_zonal_stats(),
         contour_cases=_o_contour_cases(),
         idw_grid=_o_idw_grid(),
+        boundary_distance=_o_boundary_distance(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -335,6 +335,15 @@ def build_queries(spark, sf_dir):
                              res=E.PIP_RES).select("l_orderkey"))
         return n_pts
 
+    def q_boundary_distance():
+        # distance-to-boundary: closure edges, zero-join vectorized map
+        from projcl_spark.operators.geometry import distance_to_boundary
+        from projcl_spark.sources.synth import polygons_df
+
+        _force(distance_to_boundary(pts, polygons_df(spark, 16, res=E.PIP_RES))
+               .select("l_orderkey", "boundary_dist_m"))
+        return n_pts
+
     def q_idw_grid():
         # IDW gridding: 25-tap sparse scatter + one cell aggregate, no joins
         from projcl_spark.operators.interp import idw_grid
@@ -411,6 +420,7 @@ def build_queries(spark, sf_dir):
         "zonal_stats": q_zonal_stats,
         "contour_cases": q_contour_cases,
         "idw_grid": q_idw_grid,
+        "boundary_distance": q_boundary_distance,
     }
 
 

@@ -18,6 +18,8 @@ ring order (``v_idx``), so every term of every sum is fixed.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -175,3 +177,74 @@ def segment_intersect_join(
         (F.col("axa") + t * rx).alias("xi"),
         (F.col("aya") + t * ry).alias("yi"),
     )
+
+
+def distance_to_boundary(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    batch: int = 2048,
+) -> DataFrame:
+    """Distance (meters, local-equirectangular) from every point to the
+    NEAREST polygon boundary segment of the layer — the
+    distance-to-coastline / proximity-band classic (engine-added; the
+    reference projects geometry but never measures point-to-feature
+    proximity).
+
+    Scale shape, same discipline as ``pip.pip_anti_join``: the layer's
+    edges are collected ONCE into an (E, 4) array (bounded driver action
+    — a polygon LAYER is the small side; millions of edges ≈ tens of MB)
+    and travel in the closure of a vectorized pandas UDF, so the operator
+    is one zero-join, zero-shuffle filter-shaped map over the point side.
+    Inside each Arrow batch the (points × edges) distance matrix is
+    evaluated in ``batch``-row blocks to bound memory (2048 × E doubles
+    per temp).
+
+    Geometry: each point's neighborhood is flattened with its own
+    cos(lat) (local equirectangular), the exact point-to-segment
+    projection ``t = clamp(⟨p−a, b−a⟩/‖b−a‖², 0, 1)`` is taken in that
+    frame, and the result is scaled by π·R/180 (sphere radius, matching
+    ``haversine_col``).  Equirect error is O((d/R)²) — sub-0.1% for
+    bands under ~100 km, which is the regime proximity queries ask
+    about.  Degenerate zero-length edges fall back to the vertex
+    distance (the guarded denominator keeps t at 0).
+    """
+    import numpy as np
+
+    from ..functions import EARTH_RADIUS_SPHERE
+
+    rows = polygons.select("poly_id", "xs", "ys").collect()
+    segs = []
+    for r in rows:
+        xs, ys = r["xs"], r["ys"]
+        for i in range(len(xs)):
+            j = (i + 1) % len(xs)
+            segs.append((xs[i], ys[i], xs[j], ys[j]))
+    E = np.asarray(segs, dtype=np.float64)
+    deg2m = math.pi * EARTH_RADIUS_SPHERE / 180.0
+
+    @F.pandas_udf("double")
+    def _dist(lo, la):
+        import pandas as pd
+
+        px_all = lo.to_numpy(np.float64)
+        py_all = la.to_numpy(np.float64)
+        out = np.empty(len(px_all))
+        x1, y1 = E[:, 0][None, :], E[:, 1][None, :]
+        x2, y2 = E[:, 2][None, :], E[:, 3][None, :]
+        for s in range(0, len(px_all), batch):
+            px = px_all[s:s + batch][:, None]
+            py = py_all[s:s + batch][:, None]
+            k = np.cos(np.radians(py))
+            ax, ay = (x1 - px) * k, y1 - py
+            bx, by = (x2 - px) * k, y2 - py
+            dx, dy = bx - ax, by - ay
+            den = dx * dx + dy * dy
+            t = np.clip(-(ax * dx + ay * dy) / np.where(den == 0.0, 1.0, den),
+                        0.0, 1.0)
+            qx, qy = ax + t * dx, ay + t * dy
+            out[s:s + batch] = np.sqrt(qx * qx + qy * qy).min(axis=1)
+        return pd.Series(out * deg2m)
+
+    return points.withColumn("boundary_dist_m", _dist(lon, lat))

@@ -799,3 +799,31 @@ def test_idw_grid_analytic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         idw_grid(one, res, power=3)
+
+
+def test_distance_to_boundary_analytic(spark):
+    """Against a unit square on the equator (cos(lat)≈1 exact at lat=0):
+    a point beside an edge measures the perpendicular gap, a point off a
+    corner measures the corner distance (the t-clamp), and a point ON
+    the boundary measures 0."""
+    import math
+
+    from projcl_spark.functions import EARTH_RADIUS_SPHERE
+    from projcl_spark.operators.geometry import distance_to_boundary
+
+    deg2m = math.pi * EARTH_RADIUS_SPHERE / 180.0
+    sq = spark.createDataFrame(
+        [(0, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0], [0])],
+        "poly_id long, xs array<double>, ys array<double>, cells array<long>")
+    pts = spark.createDataFrame(
+        [(1, 12.0, 0.0),    # 2° east of the (10,0)-(10,10) edge, on equator
+         (2, 13.0, -4.0),   # off the (10,0) corner (local frame at lat=-4)
+         (3, 10.0, 5.0),    # on the east edge
+         (4, 5.0, 0.0)],    # on the south edge
+        "pt_id long, lon double, lat double")
+    got = {r["pt_id"]: r["boundary_dist_m"]
+           for r in distance_to_boundary(pts, sq).collect()}
+    assert abs(got[1] - 2.0 * deg2m) < 1e-6
+    k = math.cos(math.radians(4.0))
+    assert abs(got[2] - math.hypot(3.0 * k, 4.0) * deg2m) < 1e-6
+    assert got[3] < 1e-9 and got[4] < 1e-9
