@@ -1130,6 +1130,36 @@ SELECT l_orderkey, l_linenumber, {_q10(fold)} AS dist_10m
 FROM pts, e"""
 
 
+# fixed great-circle route spanning the test envelope corner-to-corner
+_XT_ROUTE = (-60.0, -40.0, 60.0, 60.0)
+
+
+def q_cross_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed cross-track + along-track distance (``oracle.cross_track``)
+    from every lineitem point to a fixed great-circle route — the
+    navigation point-to-path classic.  The route bearing and origin trig
+    are constant-folded in Python; ONE expression text runs as Spark
+    whole-stage codegen (zero shuffle, pure map) AND as the DuckDB twin.
+    10 m quantization, same as the other geodesic queries."""
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    dxt, dat = O.cross_track("lon", "lat", *_XT_ROUTE)
+    return pts.select(
+        *ks,
+        _q10_col(F.expr(dxt)).alias("dxt_10m"),
+        _q10_col(F.expr(dat)).alias("dat_10m"),
+    )
+
+
+def _o_cross_track() -> str:
+    dxt, dat = O.cross_track("lon", "lat", *_XT_ROUTE)
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+SELECT l_orderkey, l_linenumber,
+       {_q10(dxt)} AS dxt_10m, {_q10(dat)} AS dat_10m
+FROM pts"""
+
+
 _IDW_RES, _IDW_RING, _IDW_EPS = 6, 2, 1e-12
 
 
@@ -3335,6 +3365,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "contour_cases",
     "idw_grid",
     "boundary_distance",
+    "cross_track",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
@@ -3345,7 +3376,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "order_coverage",
     "flagship_rollup",
     "knn_customer",
-    "knn_exact_vincenty",
     "span_interleaved",
     # (streaming family is covered by stream_sessions/stream_dedup above;
     #  exact dedup by the minhash/simhash/jaccard/clusters targets)
@@ -3413,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         contour_cases=q_contour_cases,
         idw_grid=q_idw_grid,
         boundary_distance=q_boundary_distance,
+        cross_track=q_cross_track,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3493,6 +3524,7 @@ def oracle_sql() -> dict[str, str]:
         contour_cases=_o_contour_cases(),
         idw_grid=_o_idw_grid(),
         boundary_distance=_o_boundary_distance(),
+        cross_track=_o_cross_track(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

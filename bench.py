@@ -335,6 +335,15 @@ def build_queries(spark, sf_dir):
                              res=E.PIP_RES).select("l_orderkey"))
         return n_pts
 
+    def q_cross_track():
+        # point-to-great-circle: constant-folded route, pure codegen map
+        from projcl_spark.oracle import cross_track
+
+        dxt, dat = cross_track("lon", "lat", -60.0, -40.0, 60.0, 60.0)
+        _force(pts.select("l_orderkey", F.expr(dxt).alias("dxt"),
+                          F.expr(dat).alias("dat")))
+        return n_pts
+
     def q_boundary_distance():
         # distance-to-boundary: closure edges, zero-join vectorized map
         from projcl_spark.operators.geometry import distance_to_boundary
@@ -421,6 +430,7 @@ def build_queries(spark, sf_dir):
         "contour_cases": q_contour_cases,
         "idw_grid": q_idw_grid,
         "boundary_distance": q_boundary_distance,
+        "cross_track": q_cross_track,
     }
 
 

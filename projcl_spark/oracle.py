@@ -106,6 +106,45 @@ def haversine(lon1: str, lat1: str, lon2: str, lat2: str, radius: float = 637099
     )
 
 
+def cross_track(lon: str, lat: str,
+                lon1: float, lat1: float, lon2: float, lat2: float,
+                radius: float = 6370997.0) -> tuple[str, str]:
+    """Signed cross-track + unsigned along-track distance (m) from a point
+    column to the great circle through route (lon1,lat1)->(lon2,lat2) —
+    the navigation classic (engine-added; the reference computes
+    point-to-point geodesics, src/projcl_run.c:654-656, never
+    point-to-path).  Standard spherical formulas: dxt = asin(sin(c13) *
+    sin(th13 - th12)) * R, dat = acos(cos(c13) / cos(dxt/R)) * R, with
+    the route's bearing th12 and the trig of its origin CONSTANT-FOLDED
+    in Python so the runtime text only touches the point columns.  One
+    expression text feeds the Spark codegen path (via F.expr) and the
+    DuckDB oracle, keeping both engines on the same operation order."""
+    import math as _m
+
+    lam1, phi1 = _m.radians(lon1), _m.radians(lat1)
+    lam2, phi2 = _m.radians(lon2), _m.radians(lat2)
+    th12 = _m.atan2(
+        _m.sin(lam2 - lam1) * _m.cos(phi2),
+        _m.cos(phi1) * _m.sin(phi2)
+        - _m.sin(phi1) * _m.cos(phi2) * _m.cos(lam2 - lam1),
+    )
+    sp1, cp1 = _m.sin(phi1), _m.cos(phi1)
+    dlam = f"(radians({lon}) - {_r(lam1)})"
+    phi3 = f"radians({lat})"
+    h = (f"least(greatest("
+         f"pow(sin(({phi3} - {_r(phi1)}) / 2), 2)"
+         f" + {_r(cp1)} * cos({phi3}) * pow(sin({dlam} / 2), 2), 0.0), 1.0)")
+    c13 = f"(2.0 * asin(sqrt({h})))"
+    th13 = (f"atan2(sin({dlam}) * cos({phi3}), "
+            f"{_r(cp1)} * sin({phi3}) - {_r(sp1)} * cos({phi3}) * cos({dlam}))")
+    x = (f"least(greatest(sin({c13}) * sin({th13} - {_r(th12)}),"
+         f" -1.0), 1.0)")
+    dxt = f"(asin({x}) * {_r(radius)})"
+    dat = (f"(acos(least(greatest(cos({c13}) / cos(asin({x})),"
+           f" -1.0), 1.0)) * {_r(radius)})")
+    return dxt, dat
+
+
 def spherical_direct(lon: str, lat: str, az_deg: str, dist_m: str,
                      radius: float = 6370997.0) -> tuple[str, str]:
     """Forward geodesic, spherical (kernel/pl_geodesic.opencl:61-122) as SQL."""

@@ -95,7 +95,7 @@ def test_sample_priority_prefix():
     priority list must not drop or duplicate registry entries."""
     q = list(E.queries())
     first50 = set(q[:50])
-    assert len(q) == len(set(q)) == 110
+    assert len(q) == len(set(q)) == 111
     for name in E._SAMPLE_PRIORITY:
         assert name in first50, f"{name} fell out of the driver sample window"
     # the 20 queries whose driver record is absent or red as of r3, plus
@@ -112,7 +112,7 @@ def test_sample_priority_prefix():
         "spatial_sink_prune", "track_length", "polygon_metrics",
         "segment_crossings", "dem_hillshade", "geodesic_densify", "pip_anti",
         "cell_kde", "zonal_stats", "contour_cases", "idw_grid",
-        "boundary_distance",
+        "boundary_distance", "cross_track",
     }
     assert targets <= first50
     # queries() and oracle_sql() must stay in the same order so the driver's

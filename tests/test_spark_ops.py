@@ -827,3 +827,29 @@ def test_distance_to_boundary_analytic(spark):
     k = math.cos(math.radians(4.0))
     assert abs(got[2] - math.hypot(3.0 * k, 4.0) * deg2m) < 1e-6
     assert got[3] < 1e-9 and got[4] < 1e-9
+
+
+def test_cross_track_analytic(spark):
+    """Equator route (0,0)->(90,0): a point at lat=30 on the meridian of
+    lon=20 has dxt = 30° of arc (north = positive sign convention of
+    th13-th12 here is negative — pin it), dat = 20° of arc measured on
+    the equator; a point ON the route has dxt 0, dat = its longitude."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from projcl_spark.oracle import cross_track
+
+    R = 6370997.0
+    deg = math.pi * R / 180.0
+    dxt_e, dat_e = cross_track("lon", "lat", 0.0, 0.0, 90.0, 0.0, R)
+    df = spark.createDataFrame([(20.0, 30.0), (40.0, 0.0)],
+                               "lon double, lat double")
+    got = df.select("lon", "lat", F.expr(dxt_e).alias("dxt"),
+                    F.expr(dat_e).alias("dat")).collect()
+    by_lon = {r["lon"]: r for r in got}
+    # spherical: for an equatorial route, |dxt| is exactly the latitude arc
+    assert abs(abs(by_lon[20.0]["dxt"]) - 30.0 * deg) < 1e-6
+    assert abs(by_lon[20.0]["dat"] - 20.0 * deg) < 1e-6
+    assert abs(by_lon[40.0]["dxt"]) < 1e-6
+    assert abs(by_lon[40.0]["dat"] - 40.0 * deg) < 1e-6
