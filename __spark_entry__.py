@@ -1160,6 +1160,36 @@ SELECT l_orderkey, l_linenumber,
 FROM pts"""
 
 
+_SLIPPY_ZOOM = 7
+
+
+def q_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map z/x/y tiling (``index.tiles``): every lineitem point
+    addressed to its zoom-7 Web-Mercator tile + in-tile pixel, rolled up
+    per tile.  Assignment is zero-shuffle codegen off the shared
+    ``oracle.slippy_global_px`` text; the rollup is one map-side-
+    combinable groupBy moving pre-aggregated tile rows.  Pixel sums are
+    exact integers — no quantization needed anywhere."""
+    from projcl_spark.index.tiles import tile_rollup
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    return tile_rollup(pts, zoom=_SLIPPY_ZOOM)
+
+
+def _o_slippy_tiles() -> str:
+    gx, gy = O.slippy_global_px("lon", "lat", _SLIPPY_ZOOM)
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+g AS (SELECT {gx} AS gx, {gy} AS gy FROM pts),
+t AS (SELECT CAST(floor(gx / 256.0) AS BIGINT) AS tx,
+             CAST(floor(gy / 256.0) AS BIGINT) AS ty,
+             gx % 256 AS px, gy % 256 AS py FROM g)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(py) AS BIGINT) AS sum_py
+FROM t GROUP BY tx, ty"""
+
+
 _IDW_RES, _IDW_RING, _IDW_EPS = 6, 2, 1e-12
 
 
@@ -3366,6 +3396,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "idw_grid",
     "boundary_distance",
     "cross_track",
+    # -- new in this round-4 continuation session --
+    "slippy_tiles",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
@@ -3444,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idw_grid=q_idw_grid,
         boundary_distance=q_boundary_distance,
         cross_track=q_cross_track,
+        slippy_tiles=q_slippy_tiles,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3525,6 +3558,7 @@ def oracle_sql() -> dict[str, str]:
         idw_grid=_o_idw_grid(),
         boundary_distance=_o_boundary_distance(),
         cross_track=_o_cross_track(),
+        slippy_tiles=_o_slippy_tiles(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

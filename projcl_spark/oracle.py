@@ -1060,6 +1060,28 @@ def phi2_inverse_sql(base: str, keys: str, proj: str,
     return ", ".join(ctes)
 
 
+def slippy_global_px(lon: str, lat: str, zoom: int,
+                     tile_px: int = 256) -> tuple[str, str]:
+    """Global Web-Mercator pixel indices at ``zoom`` — the slippy-map
+    (z/x/y) tiling standard every web map serves (tile = gpx // tile_px,
+    in-tile pixel = gpx % tile_px).  Engine-added: the reference projects
+    Mercator (kernel/pl_project_mercator.opencl) but has no tile
+    addressing.  Deriving tile AND pixel from ONE floor() keeps them
+    exactly consistent (a point can never land in tile i with a pixel
+    that belongs to tile i+1).  Closed-form text shared verbatim by the
+    Spark codegen column and the DuckDB oracle; ln/tan/floor evaluate in
+    IEEE float64 on both.  gy clamps the poles (|lat| > 85.0511°) into
+    the edge rows, per the standard."""
+    n = float((1 << zoom) * tile_px)
+    gx = (f"CAST(least(greatest(floor({_r(n / 360.0)} * ({lon} + 180.0)),"
+          f" 0.0), {_r(n - 1.0)}) AS BIGINT)")
+    phi = f"radians({lat})"
+    merc = f"(1.0 - ln(tan({phi}) + 1.0 / cos({phi})) / pi())"
+    gy = (f"CAST(least(greatest(floor({_r(n / 2.0)} * {merc}),"
+          f" 0.0), {_r(n - 1.0)}) AS BIGINT)")
+    return gx, gy
+
+
 def slerp_lonlat(lon1: str, lat1: str, lon2: str, lat2: str,
                  f: str) -> tuple[str, str]:
     """Great-circle interpolation (spherical slerp) at fraction ``f`` as

@@ -99,3 +99,20 @@ def test_morton_range_prefix_property():
         lo, hi = C.morton_range_np(int(cell), 2, 12)
         inside = (m12 >= lo) & (m12 < hi)
         assert np.array_equal(inside, c2 == cell)
+
+
+def test_slippy_tile_assign_analytic(spark):
+    """Slippy-standard anchors at zoom 1 (2x2 tiles, 512px globe):
+    (0,0) is the exact center -> tile (1,1) pixel (0,0); lon just west of
+    0 lands in tile x=0's last pixel; the polar clamp keeps lat=89.9
+    (beyond the 85.0511 Mercator limit) inside row 0."""
+    from projcl_spark.index.tiles import tile_assign
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, -1e-4, 0.0), (3, 0.0, 89.9), (4, -180.0, 0.0)],
+        "pt_id long, lon double, lat double")
+    got = {r["pt_id"]: r for r in tile_assign(df, zoom=1).collect()}
+    assert (got[1]["tx"], got[1]["ty"], got[1]["px"], got[1]["py"]) == (1, 1, 0, 0)
+    assert (got[2]["tx"], got[2]["px"]) == (0, 255)
+    assert (got[3]["ty"], got[3]["py"]) == (0, 0)
+    assert (got[4]["tx"], got[4]["px"]) == (0, 0)
