@@ -1190,6 +1190,107 @@ SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_pts,
 FROM t GROUP BY tx, ty"""
 
 
+_SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (``operators.temporal.sessionize``), the
+    batch twin of ``stream_sessions``: 6-hour-gap sessions per user via
+    one user-partitioned window, with the per-session aggregate riding
+    the SAME exchange (HashPartitioning(user) satisfies the
+    (user, session) clustering).  All integer epoch-µs — exact at any
+    parallelism, no quantization."""
+    from projcl_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return sessionize(ev, gap_us=_SESSION_GAP_US)
+
+
+def _o_sessionize() -> str:
+    return f"""
+WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+g AS (SELECT user_id, event_id, us,
+        CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > {_SESSION_GAP_US} THEN 1
+             ELSE 0 END AS newf
+      FROM r WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT user_id, us,
+        sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_idx
+      FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS dur_us
+FROM s GROUP BY user_id, session_idx"""
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate re-aggregation (``operators.temporal.
+    time_rollup`` + ``rollup_coarsen``): hourly per-event-type rollup,
+    then the DAILY level computed from the hourly rollup only (sum-of-
+    sums / sum-of-counts / max-of-maxes) — the hypertable invariant.
+    Values integerized per row before summing: exact integer math end to
+    end."""
+    from projcl_spark.operators.temporal import rollup_coarsen, time_rollup
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    hourly = time_rollup(ev, keys=("event_type",), bucket_us=3600 * 1_000_000)
+    return rollup_coarsen(hourly, factor=24, keys=("event_type",))
+
+
+def _o_hypertable_rollup() -> str:
+    return """
+WITH f AS (SELECT event_type,
+             CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
+             CAST(round(value * 1000000.0, 0) AS BIGINT) AS v
+           FROM events),
+h AS (SELECT event_type, bucket, count(*) AS n, sum(v) AS s, max(v) AS m
+      FROM f GROUP BY event_type, bucket),
+d AS (SELECT event_type, CAST(floor(bucket / 24.0) AS BIGINT) AS bucket,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS sum_e6,
+             CAST(max(m) AS BIGINT) AS max_e6
+      FROM h GROUP BY 1, 2)
+SELECT event_type, bucket, n, sum_e6, max_e6 FROM d"""
+
+
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily bucket series (``operators.temporal.
+    time_bucket_gapfill``): per-user daily sums densified over each
+    user's own [first, last] bucket span (sequence+explode spine — no
+    driver ranges) with last-observation-carried-forward fill.  The only
+    raw-row exchange is the map-side-combined daily aggregate."""
+    from projcl_spark.operators.temporal import time_bucket_gapfill
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return time_bucket_gapfill(ev, bucket_us=86400 * 1_000_000)
+
+
+def _o_time_gapfill() -> str:
+    return """
+WITH obs AS (SELECT user_id,
+               CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS sum_e6
+             FROM events GROUP BY user_id, bucket),
+spine AS (SELECT user_id,
+            unnest(generate_series(lo, hi)) AS bucket
+          FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                FROM obs GROUP BY user_id)),
+dense AS (SELECT s.user_id, s.bucket, o.n, o.sum_e6
+          FROM spine s LEFT JOIN obs o
+            ON s.user_id = o.user_id AND s.bucket = o.bucket)
+SELECT user_id, bucket, coalesce(n, 0) AS n, sum_e6,
+       last_value(sum_e6 IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_e6,
+       CASE WHEN n IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM dense"""
+
+
 _IDW_RES, _IDW_RING, _IDW_EPS = 6, 2, 1e-12
 
 
@@ -3398,6 +3499,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "cross_track",
     # -- new in this round-4 continuation session --
     "slippy_tiles",
+    "sessionize_batch",
+    "hypertable_rollup",
+    "time_gapfill",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
@@ -3477,6 +3581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         boundary_distance=q_boundary_distance,
         cross_track=q_cross_track,
         slippy_tiles=q_slippy_tiles,
+        sessionize_batch=q_sessionize,
+        hypertable_rollup=q_hypertable_rollup,
+        time_gapfill=q_time_gapfill,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3559,6 +3666,9 @@ def oracle_sql() -> dict[str, str]:
         boundary_distance=_o_boundary_distance(),
         cross_track=_o_cross_track(),
         slippy_tiles=_o_slippy_tiles(),
+        sessionize_batch=_o_sessionize(),
+        hypertable_rollup=_o_hypertable_rollup(),
+        time_gapfill=_o_time_gapfill(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -100,3 +100,14 @@ def test_track_stats_reuses_key_exchange(spark):
     p = plan_of(E.q_track_length(spark, SF))
     n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     assert n_ex == 2, p
+
+
+def test_sessionize_single_exchange(spark):
+    """Batch sessionize: the gap window and the per-session aggregate
+    share ONE hash exchange on user_id — HashPartitioning(user) already
+    satisfies the (user, session_idx) clustering."""
+    import re
+
+    p = plan_of(E.q_sessionize(spark, SF))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_ex == 1, p

@@ -853,3 +853,63 @@ def test_cross_track_analytic(spark):
     assert abs(by_lon[20.0]["dat"] - 20.0 * deg) < 1e-6
     assert abs(by_lon[40.0]["dxt"]) < 1e-6
     assert abs(by_lon[40.0]["dat"] - 40.0 * deg) < 1e-6
+
+
+def test_sessionize_analytic(spark):
+    """Hand-built event stream: gaps of 1h/7h/1h at a 6h threshold split
+    user 1 into sessions {a,b},{c,d}; a lone event is its own session;
+    timestamp ties stay in one session."""
+    from projcl_spark.operators.temporal import sessionize
+
+    H = 3600 * 1_000_000
+    rows = [
+        (1, 10, 0), (1, 11, 1 * H), (1, 12, 8 * H), (1, 13, 9 * H),
+        (2, 20, 0),
+        (3, 30, 5 * H), (3, 31, 5 * H),  # tie
+    ]
+    df = spark.createDataFrame(
+        [(u, e, us) for u, e, us in rows],
+        "user_id long, event_id long, us long",
+    ).select("user_id", "event_id",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {(r["user_id"], r["session_idx"]): r
+           for r in sessionize(df, gap_us=6 * H).collect()}
+    assert len(out) == 4
+    assert out[(1, 1)]["n_events"] == 2 and out[(1, 1)]["dur_us"] == 1 * H
+    assert out[(1, 2)]["n_events"] == 2 and out[(1, 2)]["start_us"] == 8 * H
+    assert out[(2, 1)]["n_events"] == 1 and out[(2, 1)]["dur_us"] == 0
+    assert out[(3, 1)]["n_events"] == 2 and out[(3, 1)]["dur_us"] == 0
+
+
+def test_gapfill_locf_analytic(spark):
+    """User with observations on days 10 and 13 (value sums 2.0, 5.0):
+    the spine is 10..13, days 11-12 are gaps carrying 2e6 forward."""
+    from projcl_spark.operators.temporal import time_bucket_gapfill
+
+    D = 86400 * 1_000_000
+    df = spark.createDataFrame(
+        [(1, 10 * D, 2.0), (1, 13 * D + 5, 5.0)],
+        "user_id long, us long, value double",
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+    out = {r["bucket"]: r
+           for r in time_bucket_gapfill(df, bucket_us=D).collect()}
+    assert sorted(out) == [10, 11, 12, 13]
+    assert out[10]["filled_e6"] == 2_000_000 and out[10]["is_gap"] == 0
+    assert out[11]["filled_e6"] == 2_000_000 and out[11]["is_gap"] == 1
+    assert out[11]["sum_e6"] is None and out[11]["n"] == 0
+    assert out[13]["filled_e6"] == 5_000_000 and out[13]["is_gap"] == 0
+
+
+def test_rollup_coarsen_invariant(spark):
+    """The daily level re-aggregated from the hourly rollup must equal a
+    direct daily rollup of the raw table — the continuous-aggregate
+    correctness invariant."""
+    from projcl_spark.operators.temporal import rollup_coarsen, time_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    H = 3600 * 1_000_000
+    via_hourly = rollup_coarsen(time_rollup(ev, bucket_us=H), factor=24)
+    direct = time_rollup(ev, bucket_us=24 * H)
+    a = {tuple(r[:2]): tuple(r[2:]) for r in via_hourly.collect()}
+    b = {tuple(r[:2]): tuple(r[2:]) for r in direct.collect()}
+    assert a == b and len(a) > 0
