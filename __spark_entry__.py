@@ -1255,6 +1255,58 @@ d AS (SELECT event_type, CAST(floor(bucket / 24.0) AS BIGINT) AS bucket,
 SELECT event_type, bucket, n, sum_e6, max_e6 FROM d"""
 
 
+_IVJ_DAY_US = 86400 * 1_000_000
+_IVJ_BIN_US = 7 * _IVJ_DAY_US
+_IVJ_SAMPLE = 101  # left side: every 101st order
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range-overlap join (``operators.temporal.interval_join``):
+    sampled order windows [o_orderdate, +7d] vs shipment windows
+    [l_shipdate, +quantity days], counted per order.  Candidates via an
+    equi-join on 7-day covering bins (the tiny exploded order side
+    broadcasts), exact overlap filter, canonical-bin dedup — never a
+    range join, no distinct.  All integer µs; counts/sums exact."""
+    from projcl_spark.operators.temporal import interval_join
+
+    day = _IVJ_DAY_US
+    orders = (
+        spark.read.parquet(_t(sf_dir, "orders"))
+        .filter(F.col("o_orderkey") % _IVJ_SAMPLE == 0)
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("l_start"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+             + F.lit(7 * day)).alias("l_end"),
+        )
+    )
+    ship = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("r_start"),
+        (F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+         + F.col("l_quantity").cast("long") * day).alias("r_end"),
+    )
+    j = interval_join(orders, ship, bin_us=_IVJ_BIN_US)
+    return j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_ship"), F.sum("qty").alias("qty_sum")
+    )
+
+
+def _o_interval_join() -> str:
+    return f"""
+WITH l AS (SELECT o_orderkey, epoch_us(o_orderdate) AS ls,
+                  epoch_us(o_orderdate) + {7 * _IVJ_DAY_US} AS le
+           FROM orders WHERE o_orderkey % {_IVJ_SAMPLE} = 0),
+r AS (SELECT CAST(l_quantity AS BIGINT) AS qty, epoch_us(l_shipdate) AS rs,
+             epoch_us(l_shipdate)
+               + CAST(l_quantity AS BIGINT) * {_IVJ_DAY_US} AS re
+      FROM lineitem)
+SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_ship,
+       CAST(sum(qty) AS BIGINT) AS qty_sum
+FROM l JOIN r ON ls <= re AND rs <= le
+GROUP BY o_orderkey"""
+
+
 def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily bucket series (``operators.temporal.
     time_bucket_gapfill``): per-user daily sums densified over each
@@ -3502,6 +3554,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "sessionize_batch",
     "hypertable_rollup",
     "time_gapfill",
+    "interval_overlap",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
@@ -3584,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sessionize_batch=q_sessionize,
         hypertable_rollup=q_hypertable_rollup,
         time_gapfill=q_time_gapfill,
+        interval_overlap=q_interval_join,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3669,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         sessionize_batch=_o_sessionize(),
         hypertable_rollup=_o_hypertable_rollup(),
         time_gapfill=_o_time_gapfill(),
+        interval_overlap=_o_interval_join(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -120,6 +120,53 @@ def rollup_coarsen(fine: DataFrame, factor: int,
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bin_us: int = 7 * 86400 * 1_000_000,
+) -> DataFrame:
+    """Temporal range-overlap join: rows (l, r) with
+    [l_start, l_end] ∩ [r_start, r_end] ≠ ∅ (closed intervals,
+    integer µs).
+
+    Scale shape (the point): candidates come from an EQUI-join on
+    covering time bins (``sequence`` + ``explode`` per interval — fan-out
+    ≈ interval_len/bin + 1), never a raw range join, which Spark would
+    execute as a broadcast-nested-loop at corpus scale.  A pair whose
+    overlap spans k bins would surface k times, so each pair is emitted
+    only in its CANONICAL bin — the bin of ``greatest(l_start, r_start)``
+    which lies inside both intervals' covers whenever they overlap: dedup
+    is a closed-form filter on the joined row, zero extra shuffle, no
+    distinct (same discipline as ``geometry.segment_intersect_join``).
+    ``bin_us`` is the knob: bins comparable to typical interval length
+    keep both the fan-out and the per-bin population O(1)-ish.  Column
+    names must be disjoint across the two inputs.
+    """
+    def bins(s: str, e: str) -> F.Column:
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(s) / F.lit(bin_us)).cast("long"),
+                F.floor(F.col(e) / F.lit(bin_us)).cast("long"),
+            )
+        )
+
+    lb = left.withColumn("_bin", bins(l_start, l_end))
+    rb = right.withColumn("_bin", bins(r_start, r_end))
+    canonical = F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / F.lit(bin_us)
+    ).cast("long")
+    return (
+        lb.join(rb, "_bin")
+        .filter((F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end)))
+        .filter(F.col("_bin") == canonical)
+        .drop("_bin")
+    )
+
+
 def time_bucket_gapfill(
     df: DataFrame,
     key: str = "user_id",

@@ -913,3 +913,35 @@ def test_rollup_coarsen_invariant(spark):
     a = {tuple(r[:2]): tuple(r[2:]) for r in via_hourly.collect()}
     b = {tuple(r[:2]): tuple(r[2:]) for r in direct.collect()}
     assert a == b and len(a) > 0
+
+
+def test_interval_join_bruteforce(spark):
+    """Canonical-bin dedup vs a brute-force overlap cross join on random
+    intervals, plus pinned edges: touching endpoints join (closed
+    intervals); an overlap spanning many bins is emitted exactly once."""
+    import random
+
+    from projcl_spark.operators.temporal import interval_join
+
+    rng = random.Random(11)
+    B = 1000
+    ls = [(i, rng.randrange(0, 20 * B), rng.randrange(0, 5 * B)) for i in range(40)]
+    rs = [(j, rng.randrange(0, 20 * B), rng.randrange(0, 5 * B)) for j in range(60)]
+    left = spark.createDataFrame(
+        [(i, a, a + w) for i, a, w in ls], "lid long, l_start long, l_end long")
+    right = spark.createDataFrame(
+        [(j, a, a + w) for j, a, w in rs], "rid long, r_start long, r_end long")
+    got = {(r["lid"], r["rid"])
+           for r in interval_join(left, right, bin_us=B).collect()}
+    want = {(i, j) for i, a, w in ls for j, b, v in rs
+            if a <= b + v and b <= a + w}
+    assert got == want and len(want) > 0
+
+    # touching endpoints + a pair sharing 5 bins -> exactly one row
+    l2 = spark.createDataFrame([(1, 10, 5010)], "lid long, l_start long, l_end long")
+    r2 = spark.createDataFrame(
+        [(1, 5010, 6000), (2, 6000, 7000), (3, 0, 4000)],
+        "rid long, r_start long, r_end long")
+    rows = interval_join(l2, r2, bin_us=B).collect()
+    assert {(r["lid"], r["rid"]) for r in rows} == {(1, 1), (1, 3)}
+    assert len(rows) == 2
