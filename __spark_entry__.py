@@ -2601,6 +2601,100 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
 FROM s GROUP BY user_id"""
 
 
+def q_track_bearings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular heading statistics (``operators.trajectory.
+    track_bearing_stats``): per-user hop bearings (shared
+    ``oracle.bearing_deg`` text) reduced to the circular mean +
+    resultant length — the directional-statistics rollup a linear mean
+    gets wrong across ±180°.  Quantization: millidegrees / ×1e6; the
+    atan2 inputs are float sums whose cross-engine spread (~1e-15) is
+    ~9 orders below the quanta (conditioning note in the operator)."""
+    from projcl_spark.operators.trajectory import track_bearing_stats
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = track_bearing_stats(ev, key="user_id", ts="ts", order_id="event_id")
+    return out.select(
+        "user_id", "n_hops",
+        F.round(F.col("mean_bearing_deg") * 1000.0, 0).cast("long")
+        .alias("mean_bearing_mdeg"),
+        F.round(F.col("resultant_r") * 1000000.0, 0).cast("long")
+        .alias("resultant_e6"),
+    )
+
+
+def _o_track_bearings() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    b = O.bearing_deg("plon", "plat", "lon", "lat")
+    return f"""
+WITH pts AS (SELECT event_id, user_id, ts, {lon_e} AS lon, {lat_e} AS lat
+             FROM events),
+s AS (SELECT user_id, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+h AS (SELECT user_id, sin(radians({b})) AS hs, cos(radians({b})) AS hc
+      FROM s WHERE plon IS NOT NULL),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_hops,
+             sum(hs) AS ss, sum(hc) AS sc
+      FROM h GROUP BY user_id)
+SELECT user_id, n_hops,
+       CAST(round(degrees(atan2(ss, sc)) * 1000.0, 0) AS BIGINT)
+         AS mean_bearing_mdeg,
+       CAST(round(sqrt(ss * ss + sc * sc) / n_hops * 1000000.0, 0) AS BIGINT)
+         AS resultant_e6
+FROM a"""
+
+
+def q_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical polygon area (``operators.geometry.spherical_area``):
+    the 16-polygon PIP layer measured directly on the sphere via the
+    Chamberlain-Duquette spherical shoelace — no projection step.
+    Same single-exchange window+aggregate shape as polygon_metrics;
+    km² quantization sits ~6 orders above the float-sum noise."""
+    from projcl_spark.operators.geometry import spherical_area
+
+    verts = spark.createDataFrame(
+        _polygon_verts_rows(), "poly_id long, v_idx long, lon double, lat double"
+    )
+    out = spherical_area(verts)
+    return out.select(
+        "poly_id", "n_verts",
+        F.round(F.col("area_m2") / 1e6, 0).cast("long").alias("area_km2"),
+    )
+
+
+def _o_spherical_area() -> str:
+    half_r2 = 6370997.0 * 6370997.0 / 2.0
+    rows = ", ".join(
+        f"(CAST({pid} AS BIGINT), CAST({i} AS BIGINT), {O._r(lo)}, {O._r(la)})"
+        for pid, i, lo, la in _polygon_verts_rows()
+    )
+    return f"""
+WITH v(poly_id, v_idx, lon, lat) AS (VALUES {rows}),
+p AS (SELECT poly_id, v_idx, radians(lon) AS lam, radians(lat) AS phi FROM v),
+e AS (SELECT poly_id,
+        (coalesce(lead(lam) OVER w, first_value(lam) OVER w2) - lam)
+        * (2.0 + sin(phi)
+           + sin(coalesce(lead(phi) OVER w, first_value(phi) OVER w2)))
+          AS term
+      FROM p WINDOW w AS (PARTITION BY poly_id ORDER BY v_idx),
+                   w2 AS (PARTITION BY poly_id ORDER BY v_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING))
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_verts,
+       CAST(round(abs(sum(term)) * {O._r(half_r2)} / 1000000.0, 0) AS BIGINT)
+         AS area_km2
+FROM e GROUP BY poly_id"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -3555,6 +3649,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "hypertable_rollup",
     "time_gapfill",
     "interval_overlap",
+    "track_bearings",
+    "spherical_area",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
@@ -3638,6 +3734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hypertable_rollup=q_hypertable_rollup,
         time_gapfill=q_time_gapfill,
         interval_overlap=q_interval_join,
+        track_bearings=q_track_bearings,
+        spherical_area=q_spherical_area,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3724,6 +3822,8 @@ def oracle_sql() -> dict[str, str]:
         hypertable_rollup=_o_hypertable_rollup(),
         time_gapfill=_o_time_gapfill(),
         interval_overlap=_o_interval_join(),
+        track_bearings=_o_track_bearings(),
+        spherical_area=_o_spherical_area(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

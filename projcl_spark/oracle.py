@@ -1060,6 +1060,20 @@ def phi2_inverse_sql(base: str, keys: str, proj: str,
     return ", ".join(ctes)
 
 
+def bearing_deg(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Initial great-circle bearing (degrees, atan2 range (-180, 180])
+    from point 1 to point 2 — the forward-azimuth half of the
+    reference's geodesic kernels (kernel/pl_geodesic.opencl computes
+    distance only; the azimuth is the standard companion formula).
+    Dialect-free text: one string feeds Spark codegen AND DuckDB."""
+    dl = f"(radians({lon2}) - radians({lon1}))"
+    return (
+        f"degrees(atan2(sin({dl}) * cos(radians({lat2})), "
+        f"cos(radians({lat1})) * sin(radians({lat2})) "
+        f"- sin(radians({lat1})) * cos(radians({lat2})) * cos({dl})))"
+    )
+
+
 def slippy_global_px(lon: str, lat: str, zoom: int,
                      tile_px: int = 256) -> tuple[str, str]:
     """Global Web-Mercator pixel indices at ``zoom`` — the slippy-map

@@ -945,3 +945,87 @@ def test_interval_join_bruteforce(spark):
     rows = interval_join(l2, r2, bin_us=B).collect()
     assert {(r["lid"], r["rid"]) for r in rows} == {(1, 1), (1, 3)}
     assert len(rows) == 2
+
+
+def test_track_bearing_stats_analytic(spark):
+    """Pinned azimuths: eastward hop on the equator = 90 deg, northward
+    = 0; a user whose two hops bear 170 and -170 has circular mean 180
+    (the linear mean would say 0) with R = cos(10 deg)."""
+    import math
+
+    from projcl_spark.operators.trajectory import track_bearing_stats
+
+    def ts(i):
+        return i * 1_000_000
+
+    rows = [
+        # user 1: (0,0) -> east -> north
+        (1, 1, ts(1), 0.0, 0.0), (1, 2, ts(2), 1.0, 0.0), (1, 3, ts(3), 1.0, 1.0),
+        # user 2: hops bearing ~170 then ~-170 (south-east then south-west)
+        (2, 1, ts(1), 0.0, 2.0),
+        (2, 2, ts(2), 0.0 + math.tan(math.radians(10.0)), 1.0),
+        (2, 3, ts(3), 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, lo, la) for u, e, t, lo, la in rows],
+        "user_id long, event_id long, us long, lon double, lat double",
+    ).select("user_id", "event_id",
+             F.timestamp_micros(F.col("us")).alias("ts"), "lon", "lat")
+    out = {r["user_id"]: r
+           for r in track_bearing_stats(df, order_id="event_id").collect()}
+    assert out[1]["n_hops"] == 2
+    # mean of 90 and ~0 is ~45; R for two perpendicular hops is sqrt(2)/2
+    assert 40.0 < out[1]["mean_bearing_deg"] < 50.0
+    assert abs(out[1]["resultant_r"] - 0.5 ** 0.5) < 0.01
+    # user 2: symmetric about 180 -> mean +-180, R ~ cos(10 deg) (small-
+    # triangle spherical distortion stays well inside the margins)
+    assert abs(abs(out[2]["mean_bearing_deg"]) - 180.0) < 1.5
+    assert abs(out[2]["resultant_r"] - math.cos(math.radians(10.0))) < 0.01
+
+
+def test_spherical_area_exact_rectangle(spark):
+    """The Chamberlain-Duquette shoelace is EXACT for a lat-lon
+    rectangle: area = R^2 * dlam * (sin(lat2) - sin(lat1)).  Pin that to
+    float precision for two rectangles (equatorial and high-latitude),
+    either ring orientation."""
+    import math
+
+    from projcl_spark.operators.geometry import spherical_area
+
+    R = 6370997.0
+    rects = {1: (10.0, 30.0, -5.0, 15.0), 2: (-40.0, -10.0, 55.0, 75.0)}
+    rows = []
+    for pid, (lo1, lo2, la1, la2) in rects.items():
+        ring = [(lo1, la1), (lo2, la1), (lo2, la2), (lo1, la2)]
+        if pid == 2:
+            ring.reverse()
+        rows += [(pid, i, x, y) for i, (x, y) in enumerate(ring)]
+    verts = spark.createDataFrame(
+        rows, "poly_id long, v_idx long, lon double, lat double")
+    got = {r["poly_id"]: r["area_m2"] for r in spherical_area(verts).collect()}
+    for pid, (lo1, lo2, la1, la2) in rects.items():
+        want = (R * R * math.radians(lo2 - lo1)
+                * (math.sin(math.radians(la2)) - math.sin(math.radians(la1))))
+        assert abs(got[pid] - want) / want < 1e-12, (pid, got[pid], want)
+
+
+def test_spherical_area_cross_checks_albers(spark):
+    """Model-agreement sanity: the spherical area and the Albers
+    (equal-area projection) planar area of the 16 PIP polygons agree
+    within 5% (different models -- authalic sphere + lon/lat-straight
+    edges vs WGS84 Albers planar edges; the high-latitude polygons sit
+    near the bound)."""
+    import __spark_entry__ as E
+    from projcl_spark.operators.geometry import polygon_metrics, spherical_area
+
+    verts = spark.createDataFrame(
+        E._polygon_verts_rows(),
+        "poly_id long, v_idx long, lon double, lat double")
+    sph = {r["poly_id"]: r["area_m2"] for r in spherical_area(verts).collect()}
+    proj, params = E.PROJ_CASES["proj_albers_e"]
+    pla = {r["poly_id"]: r["area_m2"]
+           for r in polygon_metrics(verts, proj, params).collect()}
+    assert set(sph) == set(pla) and len(sph) == 16
+    for pid in sph:
+        assert abs(sph[pid] - pla[pid]) / pla[pid] < 0.05, \
+            (pid, sph[pid], pla[pid])
