@@ -2695,6 +2695,42 @@ SELECT poly_id, CAST(count(*) AS BIGINT) AS n_verts,
 FROM e GROUP BY poly_id"""
 
 
+def q_doc_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (``operators.text.top_terms``) —
+    the training-pipeline keyword extractor.  Rank order is integer-only
+    (tf DESC, df ASC, term ASC) so it can never flip cross-engine; the
+    tf·ln(N/df) score is output-only, quantized ×1e6."""
+    from projcl_spark.operators.text import top_terms
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "rank", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(F.col("tfidf") * 1000000.0, 0).cast("long").alias("tfidf_e6"),
+    )
+
+
+def _o_doc_topterms() -> str:
+    return """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+tok AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_total FROM d),
+r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+               AS rank
+      FROM tf JOIN df USING (term))
+SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(round(tf * ln(CAST(n_total AS DOUBLE) / df) * 1000000.0, 0)
+            AS BIGINT) AS tfidf_e6
+FROM r, n WHERE rank <= 3"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -3651,6 +3687,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "interval_overlap",
     "track_bearings",
     "spherical_area",
+    "doc_topterms",
     # -- already-green sentinels: one per operator family so a prefix sample
     # still exercises every component each round --
     "proj_mercator_e",
@@ -3736,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         interval_overlap=q_interval_join,
         track_bearings=q_track_bearings,
         spherical_area=q_spherical_area,
+        doc_topterms=q_doc_topterms,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3824,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         interval_overlap=_o_interval_join(),
         track_bearings=_o_track_bearings(),
         spherical_area=_o_spherical_area(),
+        doc_topterms=_o_doc_topterms(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -370,3 +370,46 @@ def quality_features_sql(text: str, toks: str, dialect: str) -> dict[str, str]:
         "mean_tok_len_e3": mean_tok_len,
         "stopword_ratio_e6": stop_ratio,
     }
+
+
+def top_terms(docs, k: int = 3, doc_id: str = "doc_id", text: str = "text"):
+    """TF-IDF top-``k`` terms per document (DataFrame operator).
+
+    Ranking is INTEGER-deterministic — (tf DESC, df ASC, term ASC): most
+    frequent in the doc, rarest in the corpus, lexicographic tie-break —
+    so the cross-engine rank can never flip on a float near-tie; the
+    reported score tf·ln(N/df) is output-only (quantized by callers).
+
+    Plan shape: explode → (doc, term) count (map-side combined — the big
+    exchange) → term-keyed doc-frequency of the MUCH smaller tf table →
+    equi-join back on term → per-doc top-k via WindowGroupLimit.  N
+    arrives as a broadcast 1-row aggregate, not a driver collect().
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = docs.filter(F.col(text).isNotNull())
+    toks = d.select(
+        doc_id, F.explode(F.split(F.col(text), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(doc_id, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_total"))
+    w = Window.partitionBy(doc_id).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    ranked = (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(n))
+    )
+    return ranked.select(
+        doc_id,
+        "rank",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.col("n_total").cast("double") / F.col("df")))
+        .alias("tfidf"),
+    )

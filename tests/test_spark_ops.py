@@ -1029,3 +1029,24 @@ def test_spherical_area_cross_checks_albers(spark):
     for pid in sph:
         assert abs(sph[pid] - pla[pid]) / pla[pid] < 0.05, \
             (pid, sph[pid], pla[pid])
+
+
+def test_top_terms_analytic(spark):
+    """3-doc corpus with hand-computable tf/df: 'x' is doc 1's top term
+    (tf 3); ties on tf break toward the RARER term, then lexicographic;
+    empty tokens from double spaces are dropped."""
+    import math
+
+    from projcl_spark.operators.text import top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "x x x a  b"), (2, "a b"), (3, "a q")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r for r in top_terms(docs, k=2).collect()}
+    r11 = out[(1, 1)]
+    assert (r11["term"], r11["tf"], r11["df"]) == ("x", 3, 1)
+    assert abs(r11["tfidf"] - 3 * math.log(3.0)) < 1e-12
+    # doc 1 rank 2: a and b tie at tf=1; df(a)=3 > df(b)=2 -> b wins
+    assert out[(1, 2)]["term"] == "b"
+    # doc 3: q (df 1) outranks a (df 3) at equal tf
+    assert out[(3, 1)]["term"] == "q"
