@@ -3688,19 +3688,11 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "track_bearings",
     "spherical_area",
     "doc_topterms",
-    # -- already-green sentinels: one per operator family so a prefix sample
-    # still exercises every component each round --
+    # -- already-green sentinel (the 49 entries above fill the rest of the
+    # driver's first-50 sample window and themselves span every operator
+    # family except plain forward projection — covered here; everything
+    # demoted below the window has green driver rows from r1-r3) --
     "proj_mercator_e",
-    "proj_tmerc_e_inv",
-    "proj_roundtrip_closure",
-    "cell_count_salted",
-    "pip_polygons",
-    "order_coverage",
-    "flagship_rollup",
-    "knn_customer",
-    "span_interleaved",
-    # (streaming family is covered by stream_sessions/stream_dedup above;
-    #  exact dedup by the minhash/simhash/jaccard/clusters targets)
 )
 
 

@@ -396,6 +396,37 @@ def build_queries(spark, sf_dir):
         _force(kde_smooth(cells, 7, 2, 1.0))
         return n_pts
 
+    def q_slippy_tiles():
+        # web-map tile rollup: zero-shuffle codegen assignment + ONE
+        # map-side-combined per-tile aggregate
+        from projcl_spark.index.tiles import tile_rollup
+
+        _force(tile_rollup(pts, zoom=E._SLIPPY_ZOOM))
+        return n_pts
+
+    def q_interval_overlap():
+        # temporal range join: bin equi-join (broadcast small side) +
+        # canonical-bin dedup — never a range/nested-loop join
+        _force(E.q_interval_join(spark, sf_dir))
+        return n_pts
+
+    def q_sessionize():
+        # gap sessionization: one user_id exchange shared by window + agg
+        _force(E.q_sessionize(spark, sf_dir))
+        return n_events
+
+    def q_time_gapfill():
+        # LOCF gap-fill: raw rows touched once (map-side-combined daily
+        # agg); spine join + window move only bucket rows
+        _force(E.q_time_gapfill(spark, sf_dir))
+        return n_events
+
+    def q_doc_topterms():
+        # TF-IDF top-k: explode -> two combinable aggs -> term join ->
+        # WindowGroupLimit top-3
+        _force(E.q_doc_topterms(spark, sf_dir))
+        return n_docs
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -431,6 +462,11 @@ def build_queries(spark, sf_dir):
         "idw_grid": q_idw_grid,
         "boundary_distance": q_boundary_distance,
         "cross_track": q_cross_track,
+        "slippy_tiles": q_slippy_tiles,
+        "interval_overlap": q_interval_overlap,
+        "sessionize": q_sessionize,
+        "time_gapfill": q_time_gapfill,
+        "doc_topterms": q_doc_topterms,
     }
 
 

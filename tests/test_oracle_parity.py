@@ -95,7 +95,7 @@ def test_sample_priority_prefix():
     priority list must not drop or duplicate registry entries."""
     q = list(E.queries())
     first50 = set(q[:50])
-    assert len(q) == len(set(q)) == 111
+    assert len(q) == len(set(q)) == 119
     for name in E._SAMPLE_PRIORITY:
         assert name in first50, f"{name} fell out of the driver sample window"
     # the 20 queries whose driver record is absent or red as of r3, plus
@@ -113,6 +113,10 @@ def test_sample_priority_prefix():
         "segment_crossings", "dem_hillshade", "geodesic_densify", "pip_anti",
         "cell_kde", "zonal_stats", "contour_cases", "idw_grid",
         "boundary_distance", "cross_track",
+        # round-4 continuation additions
+        "slippy_tiles", "sessionize_batch", "hypertable_rollup",
+        "time_gapfill", "interval_overlap", "track_bearings",
+        "spherical_area", "doc_topterms",
     }
     assert targets <= first50
     # queries() and oracle_sql() must stay in the same order so the driver's
