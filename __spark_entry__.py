@@ -2731,6 +2731,151 @@ SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
 FROM r, n WHERE rank <= 3"""
 
 
+_RESAMPLE_STEP_US = 6 * 3600 * 1_000_000
+
+
+def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track resampling (``operators.trajectory.track_resample``): each
+    user's pings interpolated onto a 6-hour grid ALONG THE GREAT CIRCLE
+    (the shared ``oracle.slerp_lonlat`` text) — grid fan-out generated
+    in-task, one user_id exchange total.  Positions quantized to 1e-6
+    deg (~0.1 m), ~7 orders above the few-ulp cross-engine slerp
+    spread."""
+    from projcl_spark.operators.trajectory import track_resample
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = track_resample(ev, order_id="event_id", step_us=_RESAMPLE_STEP_US)
+    return out.select(
+        "user_id", "t_us",
+        F.round(F.col("lon") * 1000000.0, 0).cast("long").alias("lon_e6"),
+        F.round(F.col("lat") * 1000000.0, 0).cast("long").alias("lat_e6"),
+    )
+
+
+def _o_track_resample() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    step = _RESAMPLE_STEP_US
+    frac = (f"(CAST(_k AS DOUBLE) * {step} - CAST(_us AS DOUBLE))"
+            f" / (CAST(_nus AS DOUBLE) - CAST(_us AS DOUBLE))")
+    sl_lon, sl_lat = O.slerp_lonlat("_lon", "_lat", "_nlon", "_nlat", frac)
+    return f"""
+WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                    {lon_e} AS lon, {lat_e} AS lat FROM events),
+s AS (SELECT user_id, us AS _us, lon AS _lon, lat AS _lat,
+             lead(us) OVER w AS _nus,
+             lead(lon) OVER w AS _nlon, lead(lat) OVER w AS _nlat
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+seg AS (SELECT * FROM s WHERE _nus IS NOT NULL AND _nus > _us),
+g AS (SELECT user_id, _us, _nus, _lon, _lat, _nlon, _nlat,
+             unnest(generate_series(
+               CAST(floor(_us / {step}.0) + 1 AS BIGINT),
+               CAST(floor(_nus / {step}.0) AS BIGINT))) AS _k
+      FROM seg)
+SELECT user_id, _k * {step} AS t_us,
+       CAST(round({sl_lon} * 1000000.0, 0) AS BIGINT) AS lon_e6,
+       CAST(round({sl_lat} * 1000000.0, 0) AS BIGINT) AS lat_e6
+FROM g"""
+
+
+_OD_RES = 3
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flows (``operators.trajectory.od_matrix``):
+    first-ping cell → last-ping cell per user at res 3, counted per
+    pair.  Endpoints via min/max on (us, id, cell) structs — two
+    map-side-combinable aggregates, no window, no distinct."""
+    from projcl_spark.operators.trajectory import od_matrix
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    return od_matrix(ev, res=_OD_RES, order_id="event_id")
+
+
+def _o_od_matrix() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    cell = cell_id_sql("lon", "lat", _OD_RES)
+    return f"""
+WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                    {lon_e} AS lon, {lat_e} AS lat FROM events),
+c AS (SELECT user_id, us, event_id, {cell} AS cell FROM pts),
+r AS (SELECT user_id, cell,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY us, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY us DESC, event_id DESC) AS rn_d
+      FROM c),
+e AS (SELECT user_id, max(CASE WHEN rn_a = 1 THEN cell END) AS o_cell,
+             max(CASE WHEN rn_d = 1 THEN cell END) AS d_cell
+      FROM r GROUP BY user_id)
+SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_flows
+FROM e GROUP BY o_cell, d_cell"""
+
+
+_MORAN_RES = 6
+
+
+def q_moran_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (``operators.stats.morans_i``) of the res-6
+    lineitem cell counts, rook contiguity with lon wrap.  The mean is
+    sum/count of exact integer sums (bit-identical cross-engine ⇒ z is
+    bit-identical); the remaining float sums sit ~7 orders below the
+    ×1e6 quantum.  One cell-sized equi-join — the point corpus is
+    touched exactly once."""
+    from projcl_spark.operators.stats import morans_i
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    cells = pts.groupBy(
+        cell_id_col(F.col("lon"), F.col("lat"), _MORAN_RES).alias("cell_id")
+    ).agg(F.count("*").alias("cnt"))
+    out = morans_i(cells, _MORAN_RES)
+    return out.select(
+        "n_cells", "w_pairs",
+        F.round(F.col("moran_i") * 1000000.0, 0).cast("long").alias("moran_e6"),
+    )
+
+
+def _o_moran_cells() -> str:
+    n = 1 << _MORAN_RES
+    cell = cell_id_sql("lon", "lat", _MORAN_RES)
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+c AS (SELECT {cell} AS c, CAST(count(*) AS BIGINT) AS v FROM pts GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(v) AS DOUBLE) / count(*) AS mean_v FROM c),
+z AS (SELECT c.c, c.v - g.mean_v AS z FROM c, g),
+d AS (SELECT c // {n} AS ix, c % {n} AS iy, z FROM z),
+nb AS (SELECT ((ix + 1) % {n}) * {n} + iy AS nc, z FROM d
+       UNION ALL SELECT ((ix - 1 + {n}) % {n}) * {n} + iy, z FROM d
+       UNION ALL SELECT ix * {n} + iy + 1, z FROM d WHERE iy + 1 < {n}
+       UNION ALL SELECT ix * {n} + iy - 1, z FROM d WHERE iy - 1 >= 0),
+p AS (SELECT nb.z AS z1, z2.z AS z2 FROM nb JOIN z z2 ON nb.nc = z2.c),
+a AS (SELECT CAST(count(*) AS BIGINT) AS w_pairs, sum(z1 * z2) AS num FROM p),
+dn AS (SELECT sum(z * z) AS den FROM z)
+SELECT g.n_cells, a.w_pairs,
+       CAST(round(CAST(g.n_cells AS DOUBLE) / a.w_pairs * a.num / dn.den
+                  * 1000000.0, 0) AS BIGINT) AS moran_e6
+FROM g, a, dn"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -3688,11 +3833,13 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "track_bearings",
     "spherical_area",
     "doc_topterms",
-    # -- already-green sentinel (the 49 entries above fill the rest of the
-    # driver's first-50 sample window and themselves span every operator
-    # family except plain forward projection — covered here; everything
-    # demoted below the window has green driver rows from r1-r3) --
-    "proj_mercator_e",
+    "track_resample",
+    # -- past the driver's first-50 sample window: newest additions queue
+    # here (first in line for the next round's window; green locally at
+    # three scales).  Everything below them in the registry has green
+    # driver rows from r1-r3. --
+    "od_matrix",
+    "moran_cells",
 )
 
 
@@ -3766,6 +3913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         track_bearings=q_track_bearings,
         spherical_area=q_spherical_area,
         doc_topterms=q_doc_topterms,
+        track_resample=q_track_resample,
+        od_matrix=q_od_matrix,
+        moran_cells=q_moran_cells,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -3855,6 +4005,9 @@ def oracle_sql() -> dict[str, str]:
         track_bearings=_o_track_bearings(),
         spherical_area=_o_spherical_area(),
         doc_topterms=_o_doc_topterms(),
+        track_resample=_o_track_resample(),
+        od_matrix=_o_od_matrix(),
+        moran_cells=_o_moran_cells(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

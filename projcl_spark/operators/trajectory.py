@@ -112,3 +112,113 @@ def track_bearing_stats(
         (F.sqrt(F.col("_ss") ** 2 + F.col("_sc") ** 2)
          / F.col("n_hops")).alias("resultant_r"),
     )
+
+
+def track_resample(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    order_id: str | None = None,
+    step_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Resample each entity's track onto a fixed time grid (every
+    ``step_us``), positions interpolated ALONG THE GREAT CIRCLE between
+    the bracketing pings (``oracle.slerp_lonlat`` — one text for the
+    codegen column and the DuckDB twin; linear lon/lat interpolation
+    would cut corners on long hops and break at the antimeridian).
+
+    Grid instants covered by segment (t_i, t_{i+1}] are generated
+    in-task (``sequence`` + ``explode`` — zero shuffle beyond the one
+    lag-window exchange; fan-out per segment ≈ gap/step).  Each grid
+    time is emitted exactly once: the half-open assignment means a grid
+    point equal to a ping time belongs to the segment ENDING there, and
+    a grid point before the first ping or equal to it is not emitted.
+    Zero-length segments (timestamp ties) generate an empty range, so
+    the interpolation fraction never divides by zero.
+
+    Returns (key, t_us, lon, lat) with f ∈ (0, 1] by construction.
+    """
+    from .. import oracle as O
+
+    order = [F.col(ts).asc()] + ([F.col(order_id).asc()] if order_id else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    seg = (
+        df.select(
+            key,
+            F.col(ts),
+            *([F.col(order_id)] if order_id else []),
+            us.alias("_us"),
+            F.col(lon).alias("_lon"),
+            F.col(lat).alias("_lat"),
+        )
+        .withColumns(
+            {
+                "_nus": F.lead("_us").over(w),
+                "_nlon": F.lead(F.col("_lon")).over(w),
+                "_nlat": F.lead(F.col("_lat")).over(w),
+            }
+        )
+        .filter(F.col("_nus").isNotNull() & (F.col("_nus") > F.col("_us")))
+    )
+    a = (F.floor(F.col("_us") / F.lit(step_us)) + 1).cast("long")
+    b = F.floor(F.col("_nus") / F.lit(step_us)).cast("long")
+    grid = seg.withColumn(
+        "_k",
+        F.explode(
+            F.when(a <= b, F.sequence(a, b)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    )
+    frac = (f"(CAST(_k AS DOUBLE) * {step_us} - CAST(_us AS DOUBLE))"
+            f" / (CAST(_nus AS DOUBLE) - CAST(_us AS DOUBLE))")
+    lon_e, lat_e = O.slerp_lonlat("_lon", "_lat", "_nlon", "_nlat", frac)
+    return grid.select(
+        key,
+        (F.col("_k") * step_us).alias("t_us"),
+        F.expr(lon_e).alias("lon"),
+        F.expr(lat_e).alias("lat"),
+    )
+
+
+def od_matrix(
+    df: DataFrame,
+    res: int = 3,
+    key: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    order_id: str | None = None,
+) -> DataFrame:
+    """Origin-destination matrix: each entity contributes one flow from
+    the cell of its FIRST ping to the cell of its LAST ping (total
+    (ts, id) order — reproducible); flows are counted per (origin, dest)
+    cell pair at ``res``.
+
+    Two map-side-combinable aggregates: per-key endpoints via min/max on
+    (us, cell) structs — NOT a window + distinct — then the flow count.
+    The struct trick keeps it one exchange per aggregate with partial
+    combine; at 100 TB the second agg's input is one row per entity.
+    """
+    from ..index.cells import cell_id_col
+
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    okey = F.struct(
+        us.alias("us"),
+        *([F.col(order_id).alias("oid")] if order_id else []),
+        cell_id_col(F.col(lon), F.col(lat), res).alias("cell"),
+    )
+    ends = df.select(key, okey.alias("_k")).groupBy(key).agg(
+        F.min("_k").alias("_first"), F.max("_k").alias("_last")
+    )
+    return (
+        ends.select(
+            F.col("_first.cell").alias("o_cell"),
+            F.col("_last.cell").alias("d_cell"),
+        )
+        .groupBy("o_cell", "d_cell")
+        .agg(F.count("*").alias("n_flows"))
+    )

@@ -95,8 +95,8 @@ def test_sample_priority_prefix():
     priority list must not drop or duplicate registry entries."""
     q = list(E.queries())
     first50 = set(q[:50])
-    assert len(q) == len(set(q)) == 119
-    for name in E._SAMPLE_PRIORITY:
+    assert len(q) == len(set(q)) == 122
+    for name in E._SAMPLE_PRIORITY[:50]:
         assert name in first50, f"{name} fell out of the driver sample window"
     # the 20 queries whose driver record is absent or red as of r3, plus
     # the round-4 additions (knn/pip_antimeridian — no rows can exist yet)
@@ -116,7 +116,7 @@ def test_sample_priority_prefix():
         # round-4 continuation additions
         "slippy_tiles", "sessionize_batch", "hypertable_rollup",
         "time_gapfill", "interval_overlap", "track_bearings",
-        "spherical_area", "doc_topterms",
+        "spherical_area", "doc_topterms", "track_resample",
     }
     assert targets <= first50
     # queries() and oracle_sql() must stay in the same order so the driver's

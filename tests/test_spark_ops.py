@@ -1050,3 +1050,70 @@ def test_top_terms_analytic(spark):
     assert out[(1, 2)]["term"] == "b"
     # doc 3: q (df 1) outranks a (df 3) at equal tf
     assert out[(3, 1)]["term"] == "q"
+
+
+def test_track_resample_analytic(spark):
+    """Equator track (slerp degenerates to linear lon): pings at t=0h
+    (lon 0) and t=24h (lon 24) on a 6h grid yield lon 6/12/18/24 at
+    t=6/12/18/24h (grid time equal to a ping time emitted exactly once,
+    by the segment ENDING there); a timestamp tie adds nothing."""
+    from projcl_spark.operators.trajectory import track_resample
+
+    H = 3600 * 1_000_000
+    rows = [(1, 1, 0, 0.0, 0.0), (1, 2, 24 * H, 24.0, 0.0),
+            (1, 3, 24 * H, 24.0, 0.0)]  # tie: zero-length segment
+    df = spark.createDataFrame(
+        [(u, e, t, lo, la) for u, e, t, lo, la in rows],
+        "user_id long, event_id long, us long, lon double, lat double",
+    ).select("user_id", "event_id",
+             F.timestamp_micros(F.col("us")).alias("ts"), "lon", "lat")
+    out = sorted((r["t_us"], r["lon"], r["lat"])
+                 for r in track_resample(df, order_id="event_id",
+                                         step_us=6 * H).collect())
+    assert [t for t, _, _ in out] == [6 * H, 12 * H, 18 * H, 24 * H]
+    for (t, lo, la), want in zip(out, (6.0, 12.0, 18.0, 24.0)):
+        assert abs(lo - want) < 1e-9 and abs(la) < 1e-9
+
+
+def test_od_matrix_analytic(spark):
+    """Two users share a (origin, dest) flow, one reversed: counts per
+    directed pair; first/last resolved by (ts, event_id) total order."""
+    from projcl_spark.index.cells import cell_id_np
+    from projcl_spark.operators.trajectory import od_matrix
+
+    a = int(cell_id_np(-150.0, -80.0, 3))  # cell A
+    b = int(cell_id_np(150.0, 80.0, 3))    # cell B
+    rows = [
+        (1, 1, 0, -150.0, -80.0), (1, 2, 5, 0.0, 0.0), (1, 3, 9, 150.0, 80.0),
+        (2, 1, 0, -150.0, -80.0), (2, 2, 9, 150.0, 80.0),
+        (3, 1, 0, 150.0, 80.0), (3, 2, 9, -150.0, -80.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, lo, la) for u, e, t, lo, la in rows],
+        "user_id long, event_id long, us long, lon double, lat double",
+    ).select("user_id", "event_id",
+             F.timestamp_micros(F.col("us")).alias("ts"), "lon", "lat")
+    got = {(r["o_cell"], r["d_cell"]): r["n_flows"]
+           for r in od_matrix(df, res=3, order_id="event_id").collect()}
+    assert got == {(a, b): 2, (b, a): 1}
+
+
+def test_morans_i_checkerboard(spark):
+    """A rook checkerboard is perfect negative autocorrelation: I = -1
+    exactly (every directed pair multiplies opposite-sign z of equal
+    magnitude).  A constant surface has zero variance -> null I, and
+    w_pairs counts the torus-in-x rook adjacency (E/W wrap, N/S clip):
+    4*4*2 E/W + 2*4*3 N/S = 56 directed pairs on a 4x4 grid."""
+    from projcl_spark.operators.stats import morans_i
+
+    res, n = 2, 4
+    cells = [(ix * n + iy, 10 + 4 * ((ix + iy) % 2))
+             for ix in range(n) for iy in range(n)]
+    df = spark.createDataFrame(cells, "cell_id long, cnt long")
+    r = morans_i(df, res).first()
+    assert r["n_cells"] == 16 and r["w_pairs"] == 56
+    assert abs(r["moran_i"] + 1.0) < 1e-12
+    flat = spark.createDataFrame(
+        [(c, 7) for c, _ in cells], "cell_id long, cnt long")
+    r2 = morans_i(flat, res).first()
+    assert r2["moran_i"] is None and r2["w_pairs"] == 56
