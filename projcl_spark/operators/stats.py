@@ -39,6 +39,12 @@ def morans_i(cells: DataFrame, res: int, cell: str = "cell_id",
     result row carries a null I rather than dividing by zero.
     """
     n_s = _scale(res)
+    # Spark inlines CTEs: z feeds THREE consumers (neighbor fan-out, the
+    # join's build side, the denominator), and without materialization
+    # each replays the upstream cell rollup — at corpus scale that is N
+    # extra full scans (observed: 17 exchanges vs 5).  The z table is
+    # O(occupied cells), so an eager localCheckpoint is cheap and
+    # truncates the replay (same discipline as operators/cluster.py).
     base = cells.select(F.col(cell).alias("c"), F.col(val).cast("long").alias("v"))
     g = base.agg(
         F.count("*").alias("n_cells"),
@@ -46,7 +52,7 @@ def morans_i(cells: DataFrame, res: int, cell: str = "cell_id",
     )
     z = base.crossJoin(F.broadcast(g)).select(
         "c", (F.col("v") - F.col("mean_v")).alias("z"), "n_cells"
-    )
+    ).localCheckpoint()
     ix = F.floor(F.col("c") / n_s).cast("long")
     iy = (F.col("c") % n_s).cast("long")
     east = ((ix + 1) % n_s) * n_s + iy

@@ -194,6 +194,10 @@ def time_bucket_gapfill(
         )
         .groupBy(key, "bucket")
         .agg(F.count("*").alias("n"), F.sum("_v").alias("sum_e6"))
+        # obs feeds both the spine (min/max) and the join; without
+        # materialization Spark inlines it and scans the RAW table twice.
+        # obs is O(keys × active buckets) — tiny next to the corpus.
+        .localCheckpoint()
     )
     spine = (
         obs.groupBy(key)
