@@ -2876,6 +2876,142 @@ SELECT g.n_cells, a.w_pairs,
 FROM g, a, dn"""
 
 
+def _layer_seg_rows() -> list[tuple[int, float, float, float, float]]:
+    """The 16-polygon layer's ring edges as a flat segment table —
+    seg_id sequential over (poly asc, vertex asc), shared by the engine
+    DataFrame and the oracle VALUES so both sides snap to the SAME
+    segment enumeration."""
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    rows, sid = [], 0
+    for p in polygon_layer_np(16, 42):
+        xs, ys = p["xs"], p["ys"]
+        for i in range(len(xs)):
+            j = (i + 1) % len(xs)
+            rows.append((sid, float(xs[i]), float(ys[i]),
+                         float(xs[j]), float(ys[j])))
+            sid += 1
+    return rows
+
+
+def q_snap_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching-lite (``operators.geometry.snap_to_segments``):
+    every 7th lineitem point snapped to the nearest of the layer's ~130
+    edges — segments in the UDF closure (bounded collect), one
+    zero-join, zero-shuffle map.  Argmin compares the SAME doubles both
+    engines compute (identical op order), ties to the lowest seg_id;
+    snapped coords quantized 1e-6 deg, distance to 10 m."""
+    from projcl_spark.operators.geometry import snap_to_segments
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+        F.col("l_orderkey") % 7 == 0)
+    segs = spark.createDataFrame(
+        _layer_seg_rows(),
+        "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    out = snap_to_segments(pts, segs)
+    return out.select(
+        *ks, "seg_id",
+        _q10_col(F.col("dist_m")).alias("dist_10m"),
+        F.round(F.col("snap_lon") * 1000000.0, 0).cast("long").alias("snap_lon_e6"),
+        F.round(F.col("snap_lat") * 1000000.0, 0).cast("long").alias("snap_lat_e6"),
+    )
+
+
+def _o_snap_nearest() -> str:
+    import math
+
+    from projcl_spark.functions import EARTH_RADIUS_SPHERE
+
+    deg2m = math.pi * EARTH_RADIUS_SPHERE / 180.0
+    segs = _layer_seg_rows()
+
+    def lst(vals):
+        return "[" + ", ".join(O._r(v) for v in vals) + "]"
+
+    # per-row list fold, NOT a cross join + window: the synthetic
+    # lineitem has duplicate (l_orderkey, l_linenumber) keys and the
+    # engine keeps one output row per INPUT row (same reasoning as
+    # _o_boundary_distance).  Operation order mirrors the numpy closure;
+    # list_position(dl, list_min(dl)) is the first argmin — the same
+    # lowest-index tie-break as np.argmin over the seg_id-sorted array.
+    k = "cos(radians(lat))"
+    ax, ay = f"((x1[i] - lon) * {k})", "(y1[i] - lat)"
+    bx, by = f"((x2[i] - lon) * {k})", "(y2[i] - lat)"
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    den = f"({dx} * {dx} + {dy} * {dy})"
+    t = (f"least(greatest(-({ax} * {dx} + {ay} * {dy}) / "
+         f"(CASE WHEN {den} = 0.0 THEN 1.0 ELSE {den} END), 0.0), 1.0)")
+    qx, qy = f"({ax} + {t} * {dx})", f"({ay} + {t} * {dy})"
+    rng = f"range(1, {len(segs) + 1})"
+    return f"""
+WITH pts AS (SELECT * FROM ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+             WHERE l_orderkey % 7 = 0),
+e AS (SELECT {lst([s[1] for s in segs])} AS x1, {lst([s[2] for s in segs])} AS y1,
+             {lst([s[3] for s in segs])} AS x2, {lst([s[4] for s in segs])} AS y2),
+l AS (SELECT l_orderkey, l_linenumber, lon, lat,
+             list_transform({rng}, i -> {qx} * {qx} + {qy} * {qy}) AS dl,
+             list_transform({rng}, i -> {qx}) AS qxl,
+             list_transform({rng}, i -> {qy}) AS qyl
+      FROM pts, e),
+m AS (SELECT *, list_position(dl, list_min(dl)) AS idx FROM l)
+SELECT l_orderkey, l_linenumber, CAST(idx - 1 AS BIGINT) AS seg_id,
+       {_q10(f'sqrt(dl[idx]) * {O._r(deg2m)}')} AS dist_10m,
+       CAST(round((lon + qxl[idx] / {k}) * 1000000.0, 0) AS BIGINT)
+         AS snap_lon_e6,
+       CAST(round((lat + qyl[idx]) * 1000000.0, 0) AS BIGINT) AS snap_lat_e6
+FROM m"""
+
+
+def q_gstar_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord G* hotspots (``operators.stats.getis_ord_gstar``) of
+    the res-6 lineitem cell counts — the per-cell companion to the
+    global Moran's I.  Every aggregate feeding the formula is exact
+    integer math, so the score is bit-identical cross-engine; ×1e6
+    quantization is belt-and-braces."""
+    from projcl_spark.operators.stats import getis_ord_gstar
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    cells = pts.groupBy(
+        cell_id_col(F.col("lon"), F.col("lat"), _MORAN_RES).alias("cell_id")
+    ).agg(F.count("*").alias("cnt"))
+    out = getis_ord_gstar(cells, _MORAN_RES)
+    return out.select(
+        "cell_id", "w_i",
+        F.round(F.col("gstar") * 1000000.0, 0).cast("long").alias("gstar_e6"),
+    )
+
+
+def _o_gstar_cells() -> str:
+    n = 1 << _MORAN_RES
+    cell = cell_id_sql("lon", "lat", _MORAN_RES)
+    mean = "(CAST(sum_v AS DOUBLE) / CAST(n_cells AS DOUBLE))"
+    s = f"sqrt(CAST(sum_v2 AS DOUBLE) / CAST(n_cells AS DOUBLE) - {mean} * {mean})"
+    wi = "CAST(w_i AS DOUBLE)"
+    nn = "CAST(n_cells AS DOUBLE)"
+    denom = f"({s} * sqrt(({nn} * {wi} - {wi} * {wi}) / ({nn} - 1.0)))"
+    gstar = f"(CAST(wsum AS DOUBLE) - {mean} * {wi}) / {denom}"
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+c AS (SELECT {cell} AS c, CAST(count(*) AS BIGINT) AS v FROM pts GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(v) AS BIGINT) AS sum_v,
+             CAST(sum(v * v) AS BIGINT) AS sum_v2 FROM c),
+d AS (SELECT c, v, c // {n} AS ix, c % {n} AS iy FROM c),
+fan AS (SELECT c, c AS nc FROM d
+        UNION ALL SELECT c, ((ix + 1) % {n}) * {n} + iy FROM d
+        UNION ALL SELECT c, ((ix - 1 + {n}) % {n}) * {n} + iy FROM d
+        UNION ALL SELECT c, ix * {n} + iy + 1 FROM d WHERE iy + 1 < {n}
+        UNION ALL SELECT c, ix * {n} + iy - 1 FROM d WHERE iy - 1 >= 0),
+hood AS (SELECT fan.c, CAST(sum(c2.v) AS BIGINT) AS wsum,
+                CAST(count(*) AS BIGINT) AS w_i
+         FROM fan JOIN c c2 ON fan.nc = c2.c GROUP BY fan.c)
+SELECT hood.c AS cell_id, w_i,
+       CAST(round({gstar} * 1000000.0, 0) AS BIGINT) AS gstar_e6
+FROM hood, g"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -3840,6 +3976,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # driver rows from r1-r3. --
     "od_matrix",
     "moran_cells",
+    "snap_nearest",
+    "gstar_cells",
 )
 
 
@@ -3916,6 +4054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         track_resample=q_track_resample,
         od_matrix=q_od_matrix,
         moran_cells=q_moran_cells,
+        snap_nearest=q_snap_nearest,
+        gstar_cells=q_gstar_cells,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -4008,6 +4148,8 @@ def oracle_sql() -> dict[str, str]:
         track_resample=_o_track_resample(),
         od_matrix=_o_od_matrix(),
         moran_cells=_o_moran_cells(),
+        snap_nearest=_o_snap_nearest(),
+        gstar_cells=_o_gstar_cells(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -292,3 +292,86 @@ def distance_to_boundary(
         return pd.Series(out * deg2m)
 
     return points.withColumn("boundary_dist_m", _dist(lon, lat))
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segs: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    batch: int = 2048,
+) -> DataFrame:
+    """Map-matching-lite: snap every point to the NEAREST segment of a
+    (small) segment layer — returns the segment id, the distance, and
+    the snapped coordinates.
+
+    ``segs`` has one row per segment (seg_id, x1, y1, x2, y2) in lon/lat
+    degrees.  Same scale discipline as ``distance_to_boundary``: the
+    layer is collected ONCE (bounded — a road/boundary layer is the
+    small side), rides in the closure of a vectorized pandas UDF, and
+    the operator is a zero-join, zero-shuffle map over the point corpus
+    with (batch × E) blocked matrices bounding memory.
+
+    Argmin ties break to the LOWEST seg_id (the closure array is sorted
+    by seg_id and ``np.argmin`` takes the first minimum); the DuckDB
+    twin reproduces that with ORDER BY (dist, seg_id).  Geometry is the
+    exact clamped point-to-segment projection in the point's local
+    equirectangular frame (see ``distance_to_boundary``); the snapped
+    point maps back with the same cos(lat) the frame used.
+    """
+    import numpy as np
+
+    from ..functions import EARTH_RADIUS_SPHERE
+
+    rows = sorted(
+        segs.select("seg_id", "x1", "y1", "x2", "y2").collect(),
+        key=lambda r: r["seg_id"],
+    )
+    ids = np.asarray([r["seg_id"] for r in rows], dtype=np.int64)
+    E = np.asarray([(r["x1"], r["y1"], r["x2"], r["y2"]) for r in rows],
+                   dtype=np.float64)
+    deg2m = math.pi * EARTH_RADIUS_SPHERE / 180.0
+
+    @F.pandas_udf(
+        "struct<seg_id: long, dist_m: double, snap_lon: double, snap_lat: double>"
+    )
+    def _snap(lo, la):
+        import pandas as pd
+
+        px_all = lo.to_numpy(np.float64)
+        py_all = la.to_numpy(np.float64)
+        n = len(px_all)
+        o_id = np.empty(n, dtype=np.int64)
+        o_d = np.empty(n)
+        o_lo = np.empty(n)
+        o_la = np.empty(n)
+        x1, y1 = E[:, 0][None, :], E[:, 1][None, :]
+        x2, y2 = E[:, 2][None, :], E[:, 3][None, :]
+        for s in range(0, n, batch):
+            px = px_all[s:s + batch][:, None]
+            py = py_all[s:s + batch][:, None]
+            k = np.cos(np.radians(py))
+            ax, ay = (x1 - px) * k, y1 - py
+            bx, by = (x2 - px) * k, y2 - py
+            dx, dy = bx - ax, by - ay
+            den = dx * dx + dy * dy
+            t = np.clip(-(ax * dx + ay * dy) / np.where(den == 0.0, 1.0, den),
+                        0.0, 1.0)
+            qx, qy = ax + t * dx, ay + t * dy
+            d2 = qx * qx + qy * qy
+            j = d2.argmin(axis=1)
+            r = np.arange(len(j))
+            o_id[s:s + batch] = ids[j]
+            o_d[s:s + batch] = np.sqrt(d2[r, j]) * deg2m
+            o_lo[s:s + batch] = px[:, 0] + qx[r, j] / k[:, 0]
+            o_la[s:s + batch] = py[:, 0] + qy[r, j]
+        return pd.DataFrame(
+            {"seg_id": o_id, "dist_m": o_d, "snap_lon": o_lo, "snap_la": o_la}
+        ).rename(columns={"snap_la": "snap_lat"})
+
+    return points.withColumn("_s", _snap(lon, lat)).select(
+        "*", F.col("_s.seg_id").alias("seg_id"),
+        F.col("_s.dist_m").alias("dist_m"),
+        F.col("_s.snap_lon").alias("snap_lon"),
+        F.col("_s.snap_lat").alias("snap_lat"),
+    ).drop("_s")

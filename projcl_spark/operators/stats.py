@@ -81,3 +81,63 @@ def morans_i(cells: DataFrame, res: int, cell: str = "cell_id",
             * F.col("num") / F.col("den"),
         ).alias("moran_i"),
     )
+
+
+def getis_ord_gstar(cells: DataFrame, res: int, cell: str = "cell_id",
+                    val: str = "cnt") -> DataFrame:
+    """Local Getis-Ord G* hot/cold-spot score per occupied cell.
+
+        G*_i = (Σ_j∈N*(i) x_j − x̄·W_i) / (S·√((n·W_i − W_i²)/(n−1)))
+
+    with N*(i) the rook neighborhood INCLUDING i itself (the "star"
+    variant; E/W wrap, N/S clip — same lattice as ``morans_i``), W_i its
+    occupied size, x̄ and S the global mean / standard deviation.
+    |G*| ≳ 2 flags a significant hot (positive) or cold (negative) spot.
+
+    Determinism is total: Σx, Σx², the per-cell Σ_j x_j and W_i are all
+    EXACT integer aggregates, and the float formula on top is the same
+    operation sequence in both engines — the output is bit-identical,
+    not merely within-quantum.  Same materialization discipline as
+    ``morans_i`` (the cell table feeds the fan-out and the join build).
+    Degenerate guards: null G* when n < 2 or S = 0.
+    """
+    n_s = _scale(res)
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(val).cast("long").alias("v")
+    ).localCheckpoint()
+    g = base.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_v2"),
+    )
+    ix = F.floor(F.col("c") / n_s).cast("long")
+    iy = (F.col("c") % n_s).cast("long")
+    east = ((ix + 1) % n_s) * n_s + iy
+    west = ((ix - 1 + n_s) % n_s) * n_s + iy
+    north = F.when(iy + 1 < n_s, ix * n_s + iy + 1)
+    south = F.when(iy - 1 >= 0, ix * n_s + iy - 1)
+    fan = base.select(
+        F.col("c"),
+        F.explode(
+            F.array_compact(F.array(F.col("c"), east, west, north, south))
+        ).alias("nc"),
+    )
+    hood = (
+        fan.join(base.select(F.col("c").alias("nc"), F.col("v").alias("xv")),
+                 "nc")
+        .groupBy("c")
+        .agg(F.sum("xv").alias("wsum"), F.count("*").alias("w_i"))
+    )
+    n = F.col("n_cells").cast("double")
+    mean = F.col("sum_v").cast("double") / n
+    s = F.sqrt(F.col("sum_v2").cast("double") / n - mean * mean)
+    wi = F.col("w_i").cast("double")
+    denom = s * F.sqrt((n * wi - wi * wi) / (n - 1.0))
+    return hood.crossJoin(F.broadcast(g)).select(
+        F.col("c").alias(cell),
+        F.col("w_i"),
+        F.when(
+            (F.col("n_cells") > 1) & (s > 0.0),
+            (F.col("wsum").cast("double") - mean * wi) / denom,
+        ).alias("gstar"),
+    )

@@ -1117,3 +1117,74 @@ def test_morans_i_checkerboard(spark):
         [(c, 7) for c, _ in cells], "cell_id long, cnt long")
     r2 = morans_i(flat, res).first()
     assert r2["moran_i"] is None and r2["w_pairs"] == 56
+
+
+def test_snap_to_segments_analytic(spark):
+    """Unit square at the equator: a point left of the west edge snaps
+    onto that edge at its own latitude; a point off the corner snaps to
+    the corner with dist = hypot; an equidistant point between two
+    edges ties to the LOWER seg_id."""
+    import math
+
+    from projcl_spark.operators.geometry import snap_to_segments
+
+    deg2m = math.pi * 6370997.0 / 180.0
+    segs = spark.createDataFrame(
+        [(0, 0.0, 0.0, 10.0, 0.0),   # south edge
+         (1, 10.0, 0.0, 10.0, 10.0),  # east edge
+         (2, 10.0, 10.0, 0.0, 10.0),  # north edge
+         (3, 0.0, 10.0, 0.0, 0.0)],   # west edge
+        "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    pts = spark.createDataFrame(
+        [(1, -2.0, 5.0), (2, 13.0, -4.0), (3, 5.0, 5.0)],
+        "pt_id long, lon double, lat double")
+    got = {r["pt_id"]: r for r in snap_to_segments(pts, segs).collect()}
+    assert got[1]["seg_id"] == 3
+    assert abs(got[1]["snap_lon"]) < 1e-9 and abs(got[1]["snap_lat"] - 5.0) < 1e-9
+    assert abs(got[1]["dist_m"] - 2.0 * math.cos(math.radians(5.0)) * deg2m) < 1e-6
+    # corner (10, 0) is an endpoint of BOTH seg 0 (south, t clamps to 1)
+    # and seg 1 (east, t = 0) with bit-identical snap points -> the exact
+    # tie breaks to the LOWER seg_id
+    assert got[2]["seg_id"] == 0
+    assert abs(got[2]["snap_lon"] - 10.0) < 1e-9 and abs(got[2]["snap_lat"]) < 1e-9
+    # center (5,5): the local frame scales x by cos(5 deg), so the east/
+    # west edges (5*cos5) beat south/north (5.0); their exact tie breaks
+    # to the lower id -> east edge, seg 1
+    assert got[3]["seg_id"] == 1
+
+
+def test_getis_ord_gstar_numpy_reference(spark):
+    """G* on a random 6x6 occupied grid vs a direct numpy evaluation of
+    the formula (rook + self, torus-in-x), plus the degenerate guards:
+    constant surface -> null."""
+    import numpy as np
+
+    from projcl_spark.operators.stats import getis_ord_gstar
+
+    rng = np.random.default_rng(5)
+    res, n = 3, 8
+    cells = [(ix * n + iy, int(rng.integers(1, 40)))
+             for ix in range(6) for iy in range(6)]
+    df = spark.createDataFrame(cells, "cell_id long, cnt long")
+    got = {r["cell_id"]: r for r in getis_ord_gstar(df, res).collect()}
+
+    vals = dict(cells)
+    xs = np.array([v for _, v in cells], dtype=float)
+    nn, mean = len(xs), xs.mean()
+    s = np.sqrt((xs * xs).mean() - mean * mean)
+    for c, v in cells:
+        ix, iy = c // n, c % n
+        hood = [c, ((ix + 1) % n) * n + iy, ((ix - 1 + n) % n) * n + iy]
+        if iy + 1 < n:
+            hood.append(ix * n + iy + 1)
+        if iy - 1 >= 0:
+            hood.append(ix * n + iy - 1)
+        occ = [h for h in hood if h in vals]
+        wi = len(occ)
+        wsum = sum(vals[h] for h in occ)
+        want = (wsum - mean * wi) / (s * np.sqrt((nn * wi - wi * wi) / (nn - 1)))
+        assert got[c]["w_i"] == wi
+        assert abs(got[c]["gstar"] - want) < 1e-9, (c, got[c]["gstar"], want)
+    flat = spark.createDataFrame([(c, 7) for c, _ in cells],
+                                 "cell_id long, cnt long")
+    assert all(r["gstar"] is None for r in getis_ord_gstar(flat, res).collect())
