@@ -3012,6 +3012,253 @@ SELECT hood.c AS cell_id, w_i,
 FROM hood, g"""
 
 
+def q_lisa_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA (``operators.stats.local_moran``) of the
+    res-6 lineitem cell counts — the per-cell decomposition of the
+    global ``moran_cells`` statistic (same lattice, same z).  Isolated
+    cells (w_i = 0, null I) are filtered HERE, not in the operator, so
+    the gate output carries no nulls into the value hash; at this
+    envelope/scale there are none anyway."""
+    from projcl_spark.operators.stats import local_moran
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    cells = pts.groupBy(
+        cell_id_col(F.col("lon"), F.col("lat"), _MORAN_RES).alias("cell_id")
+    ).agg(F.count("*").alias("cnt"))
+    out = local_moran(cells, _MORAN_RES)
+    return out.where(F.col("w_i") > 0).select(
+        "cell_id", "w_i",
+        F.round(F.col("lisa") * 1000000.0, 0).cast("long").alias("lisa_e6"),
+    )
+
+
+def _o_lisa_cells() -> str:
+    n = 1 << _MORAN_RES
+    cell = cell_id_sql("lon", "lat", _MORAN_RES)
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+c AS (SELECT {cell} AS c, CAST(count(*) AS BIGINT) AS v FROM pts GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(v) AS DOUBLE) / count(*) AS mean_v FROM c),
+z AS (SELECT c.c, c.v - g.mean_v AS z FROM c, g),
+m2 AS (SELECT sum(z * z) / (SELECT CAST(n_cells AS DOUBLE) FROM g) AS m2 FROM z),
+d AS (SELECT c, z, c // {n} AS ix, c % {n} AS iy FROM z),
+fan AS (SELECT c, z, ((ix + 1) % {n}) * {n} + iy AS nc FROM d
+        UNION ALL SELECT c, z, ((ix - 1 + {n}) % {n}) * {n} + iy FROM d
+        UNION ALL SELECT c, z, ix * {n} + iy + 1 FROM d WHERE iy + 1 < {n}
+        UNION ALL SELECT c, z, ix * {n} + iy - 1 FROM d WHERE iy - 1 >= 0),
+hood AS (SELECT fan.c, fan.z, sum(z2.z) AS lag_z,
+                CAST(count(*) AS BIGINT) AS w_i
+         FROM fan JOIN z z2 ON fan.nc = z2.c GROUP BY fan.c, fan.z)
+SELECT c AS cell_id, w_i,
+       CAST(round(z / (SELECT m2 FROM m2) * lag_z * 1000000.0, 0) AS BIGINT)
+         AS lisa_e6
+FROM hood WHERE w_i > 0"""
+
+
+_MK_RES = 4
+_MK_DAY_US = 86_400_000_000
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend per res-4 cell over the events table's daily
+    counts (``operators.stats.mann_kendall``) — the per-cell engine of
+    an emerging-hot-spot analysis over a space-time cube.  S and the
+    bucket count are EXACT integers; the z-score is the same closed
+    formula on both engines (×1e6 quantization is belt-and-braces).
+    Day buckets are integer µs // day on BOTH sides (CLAUDE.md: never
+    float epochs)."""
+    from projcl_spark.operators.stats import mann_kendall
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"),
+            # integer µs DIV day — exact on both sides (a double divide
+            # could round a near-midnight timestamp across the boundary)
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_MK_DAY_US}")
+            .alias("bucket"),
+        )
+    )
+    series = ev.groupBy(
+        cell_id_col(F.col("lon"), F.col("lat"), _MK_RES).alias("cell_id"),
+        "bucket",
+    ).agg(F.count("*").cast("long").alias("v"))
+    out = mann_kendall(series)
+    return out.select(
+        "cell_id", "n_buckets", "s_stat",
+        F.round(F.col("mk_z") * 1000000.0, 0).cast("long").alias("mkz_e6"),
+    )
+
+
+def _o_emerging_hotspots() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    cell = cell_id_sql("lon", "lat", _MK_RES)
+    nn = "CAST(n_buckets AS DOUBLE)"
+    var = f"({nn} * ({nn} - 1.0) * (2.0 * {nn} + 5.0) / 18.0)"
+    s = "CAST(s_stat AS DOUBLE)"
+    z = (f"CASE WHEN s_stat > 0 THEN ({s} - 1.0) / sqrt({var}) "
+         f"WHEN s_stat < 0 THEN ({s} + 1.0) / sqrt({var}) ELSE 0.0 END")
+    return f"""
+WITH pts AS (SELECT {lon_e} AS lon, {lat_e} AS lat,
+                    epoch_us(ts) // {_MK_DAY_US} AS bucket FROM events),
+c AS (SELECT {cell} AS cid, bucket, CAST(count(*) AS BIGINT) AS v
+      FROM pts GROUP BY 1, 2),
+k AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_buckets FROM c GROUP BY cid),
+p AS (SELECT a.cid,
+             CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM c a JOIN c b ON a.cid = b.cid AND a.bucket < b.bucket
+      GROUP BY a.cid),
+j AS (SELECT k.cid, k.n_buckets,
+             CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat
+      FROM k LEFT JOIN p ON k.cid = p.cid)
+SELECT cid AS cell_id, n_buckets, s_stat,
+       CAST(round((CASE WHEN n_buckets > 1 THEN {z} ELSE 0.0 END)
+                  * 1000000.0, 0) AS BIGINT) AS mkz_e6
+FROM j"""
+
+
+def q_ellipse_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse per customer nation
+    (``operators.stats.std_ellipse``): mean center, compass orientation
+    of the major axis, axis standard deviations — ONE map-side-combinable
+    raw-moment aggregate, closed form on top.  Both engines evaluate the
+    IDENTICAL expression tree over the moments; outputs quantized far
+    above the float-sum partition-order spread (means/σ ×1e6 ≈ 0.1 µdeg,
+    θ ×1e3 ≈ milli-degrees).  Groups with n < 3 are excluded on both
+    sides (θ undefined)."""
+    from projcl_spark.operators.stats import std_ellipse
+
+    lon_e, lat_e = O.derived_lonlat(_key("customer", ("c_custkey",), "spark"),
+                                    "spark")
+    cust = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .select("c_custkey", "c_nationkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("c_nationkey",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = std_ellipse(cust, "c_nationkey")
+    return out.where(F.col("n") >= 3).select(
+        "c_nationkey", "n",
+        F.round(F.col("mean_lon") * 1000000.0, 0).cast("long").alias("mlon_e6"),
+        F.round(F.col("mean_lat") * 1000000.0, 0).cast("long").alias("mlat_e6"),
+        F.round(F.col("theta_deg") * 1000.0, 0).cast("long").alias("theta_e3"),
+        F.round(F.col("sigma_major_deg") * 1000000.0, 0).cast("long").alias("smaj_e6"),
+        F.round(F.col("sigma_minor_deg") * 1000000.0, 0).cast("long").alias("smin_e6"),
+    )
+
+
+def _o_ellipse_nations() -> str:
+    lon_e, lat_e = O.derived_lonlat(_key("customer", ("c_custkey",), "duck"),
+                                    "duck")
+    # mirror the engine's expression tree exactly: mx = sx/n, A = sxx − n·mx²
+    n = "CAST(n AS DOUBLE)"
+    mx, my = f"(sx / {n})", f"(sy / {n})"
+    a = f"(sxx - {n} * {mx} * {mx})"
+    b = f"(syy - {n} * {my} * {my})"
+    c = f"(sxy - {n} * {mx} * {my})"
+    theta_m = f"(atan2(2.0 * {c}, {a} - {b}) / 2.0)"
+    disc = f"sqrt(({a} - {b}) * ({a} - {b}) + 4.0 * {c} * {c})"
+    s1 = f"sqrt(({a} + {b} + {disc}) / (2.0 * {n}))"
+    s2 = f"sqrt(greatest(({a} + {b} - {disc}) / (2.0 * {n}), 0.0))"
+    theta_deg = f"fmod(90.0 - degrees({theta_m}), 180.0)"
+    return f"""
+WITH pts AS (SELECT c_nationkey, {lon_e} AS lon, {lat_e} AS lat
+             FROM customer),
+m AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             sum(lon) AS sx, sum(lat) AS sy,
+             sum(lon * lon) AS sxx, sum(lat * lat) AS syy,
+             sum(lon * lat) AS sxy
+      FROM pts GROUP BY c_nationkey HAVING count(*) >= 3)
+SELECT c_nationkey, n,
+       CAST(round({mx} * 1000000.0, 0) AS BIGINT) AS mlon_e6,
+       CAST(round({my} * 1000000.0, 0) AS BIGINT) AS mlat_e6,
+       CAST(round({theta_deg} * 1000.0, 0) AS BIGINT) AS theta_e3,
+       CAST(round({s1} * 1000000.0, 0) AS BIGINT) AS smaj_e6,
+       CAST(round({s2} * 1000000.0, 0) AS BIGINT) AS smin_e6
+FROM m"""
+
+
+def _fan_sql(n: int, include_self: bool, src: str = "d") -> str:
+    """UNION ALL queen-neighborhood fan-out over a CTE ``src`` carrying
+    (c, ix, iy) — the SQL twin of ``operators.dbscan._queen_fan`` (E/W
+    wrap, N/S clip).  Emits (c, nc) pairs."""
+    parts = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                if include_self:
+                    parts.append(f"SELECT c, c AS nc FROM {src}")
+                continue
+            nx = f"((ix + {dx} + {n}) % {n})"
+            nid = f"{nx} * {n} + iy + {dy}"
+            where = ""
+            if dy > 0:
+                where = f" WHERE iy + {dy} < {n}"
+            elif dy < 0:
+                where = f" WHERE iy + {dy} >= 0"
+            parts.append(f"SELECT c, {nid} AS nc FROM {src}{where}")
+    return "\n        UNION ALL ".join(parts)
+
+
+_DBSCAN_RES = 6
+
+
+def q_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN (``operators.dbscan.grid_dbscan``) of the res-6
+    lineitem density surface, relative threshold (core ⇔ 3×3 density ≥
+    1.2× the occupied-cell mean — exact integer cross-multiplication),
+    clusters via the pointer-jumping CC loop.  Everything feeding the
+    output is integer arithmetic + a parallelism-independent fixpoint —
+    bit-exact vs the recursive-CTE twin."""
+    from projcl_spark.operators.dbscan import grid_dbscan
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    cells = pts.groupBy(
+        cell_id_col(F.col("lon"), F.col("lat"), _DBSCAN_RES).alias("cell_id")
+    ).agg(F.count("*").alias("cnt"))
+    out = grid_dbscan(cells, _DBSCAN_RES)
+    return out.select("cell_id",
+                      F.col("hood_n").cast("long").alias("hood_n"),
+                      "cluster_id")
+
+
+def _o_dbscan_cells() -> str:
+    n = 1 << _DBSCAN_RES
+    cell = cell_id_sql("lon", "lat", _DBSCAN_RES)
+    return f"""
+WITH RECURSIVE
+pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+cl AS (SELECT {cell} AS c, CAST(count(*) AS BIGINT) AS v FROM pts GROUP BY 1),
+d AS (SELECT c, v, c // {n} AS ix, c % {n} AS iy FROM cl),
+fan AS ({_fan_sql(n, include_self=True)}),
+hood AS (SELECT fan.c, CAST(sum(c2.v) AS BIGINT) AS hood_n
+         FROM fan JOIN cl c2 ON fan.nc = c2.c GROUP BY fan.c),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(sum(hood_n) AS BIGINT) AS sum_hood FROM hood),
+core AS (SELECT hood.c, hood.hood_n FROM hood, g
+         WHERE 5 * hood_n * n_occ >= 6 * sum_hood),
+cd AS (SELECT c, c // {n} AS ix, c % {n} AS iy FROM core),
+fan8 AS ({_fan_sql(n, include_self=False, src='cd')}),
+edges AS (SELECT f.c AS s, f.nc AS t FROM fan8 f
+          JOIN core c2 ON f.nc = c2.c),
+reach AS (SELECT c AS id, c AS label FROM core
+          UNION
+          SELECT e.t AS id, r.label FROM reach r JOIN edges e ON e.s = r.id),
+cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+SELECT core.c AS cell_id, hood_n, CAST(cluster_id AS BIGINT) AS cluster_id
+FROM core JOIN cc ON cc.id = core.c"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -3978,6 +4225,10 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "moran_cells",
     "snap_nearest",
     "gstar_cells",
+    "lisa_cells",
+    "emerging_hotspots",
+    "ellipse_nations",
+    "dbscan_cells",
 )
 
 
@@ -4056,6 +4307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         moran_cells=q_moran_cells,
         snap_nearest=q_snap_nearest,
         gstar_cells=q_gstar_cells,
+        lisa_cells=q_lisa_cells,
+        emerging_hotspots=q_emerging_hotspots,
+        ellipse_nations=q_ellipse_nations,
+        dbscan_cells=q_dbscan_cells,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -4150,6 +4405,10 @@ def oracle_sql() -> dict[str, str]:
         moran_cells=_o_moran_cells(),
         snap_nearest=_o_snap_nearest(),
         gstar_cells=_o_gstar_cells(),
+        lisa_cells=_o_lisa_cells(),
+        emerging_hotspots=_o_emerging_hotspots(),
+        ellipse_nations=_o_ellipse_nations(),
+        dbscan_cells=_o_dbscan_cells(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -427,6 +427,32 @@ def build_queries(spark, sf_dir):
         _force(E.q_doc_topterms(spark, sf_dir))
         return n_docs
 
+    def q_track_resample():
+        # great-circle resample: lead-window segments + in-task grid
+        # explode, one user_id exchange
+        _force(E.q_track_resample(spark, sf_dir))
+        return n_events
+
+    def q_od_matrix():
+        # O-D flows: two map-side-combinable struct-min/max aggregates
+        _force(E.q_od_matrix(spark, sf_dir))
+        return n_events
+
+    def q_moran_cells():
+        # global Moran's I: cell rollup + one cell-sized neighbor equi-join
+        _force(E.q_moran_cells(spark, sf_dir))
+        return n_pts
+
+    def q_gstar_cells():
+        # Getis-Ord G*: same lattice fan-out, per-cell hot/cold scores
+        _force(E.q_gstar_cells(spark, sf_dir))
+        return n_pts
+
+    def q_snap_nearest():
+        # nearest-segment snap: ~130 edges in the UDF closure, zero-join map
+        _force(E.q_snap_nearest(spark, sf_dir))
+        return n_pts // 7
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -467,6 +493,11 @@ def build_queries(spark, sf_dir):
         "sessionize": q_sessionize,
         "time_gapfill": q_time_gapfill,
         "doc_topterms": q_doc_topterms,
+        "track_resample": q_track_resample,
+        "od_matrix": q_od_matrix,
+        "moran_cells": q_moran_cells,
+        "gstar_cells": q_gstar_cells,
+        "snap_nearest": q_snap_nearest,
     }
 
 

@@ -1,0 +1,122 @@
+"""Grid-DBSCAN — density-based spatial clustering over the cell lattice
+(engine-added; the standard way to turn a 100-TB point corpus's density
+surface into discrete hotspot REGIONS, where ``stats.getis_ord_gstar``
+only scores individual cells).
+
+Classic DBSCAN is point-to-point (an all-pairs ε-neighborhood problem);
+the scale-safe grid formulation buckets points into cells first and runs
+the density logic on the CELL table — O(occupied cells), never O(points²):
+
+1. per-cell counts (one map-side-combinable aggregate of the corpus —
+   the only stage that touches points);
+2. neighborhood density = 3×3 queen-window sum (in-task 9-way fan-out +
+   one cell-sized equi-join, same lattice conventions as
+   ``operators.stats``: E/W lon wrap, N/S clip);
+3. CORE cells: density ≥ min_pts (absolute), or ≥ ratio × the mean
+   occupied-cell density (relative, EXACT integer cross-multiplication —
+   the scale-free default: the same query is meaningful at sf0.001 and
+   at 100 TB);
+4. clusters = connected components of queen-adjacent core cells, via
+   ``operators.cluster.connected_components`` (pointer-jumping min-label
+   loop, O(log diameter) rounds, edge-endpoint-bounded state).
+
+Determinism is total: counts, window sums and the threshold comparison
+are exact integer arithmetic, and the CC fixpoint (component-minimum
+cell id) is parallelism-independent.  DuckDB expresses the same fixpoint
+as a recursive CTE — the oracle twin of the ``dbscan_cells`` gate query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.cells import _scale
+
+
+def _queen_fan(df: DataFrame, res: int, include_self: bool,
+               out: str = "nc") -> DataFrame:
+    """Explode each cell row into its queen (8-way) neighborhood ids —
+    E/W wrap modulo 2^res, N/S clip at the poles.  In-task fan-out: no
+    shuffle, output is ≤ 9 rows per input row."""
+    n_s = _scale(res)
+    ix = F.floor(F.col("c") / n_s).cast("long")
+    iy = (F.col("c") % n_s).cast("long")
+    cols = []
+    for dx in (-1, 0, 1):
+        nx = ((ix + dx) % n_s + n_s) % n_s
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                if include_self:
+                    cols.append(F.col("c").cast("long"))
+                continue
+            nid = nx * n_s + iy + dy
+            if dy == 0:
+                cols.append(nid)
+            elif dy > 0:
+                cols.append(F.when(iy + dy < n_s, nid))
+            else:
+                cols.append(F.when(iy + dy >= 0, nid))
+    return df.withColumn(out, F.explode(F.array_compact(F.array(*cols))))
+
+
+def grid_dbscan(
+    cells: DataFrame,
+    res: int,
+    min_pts: int | None = None,
+    density_ratio: tuple[int, int] = (6, 5),
+    cell: str = "cell_id",
+    val: str = "cnt",
+) -> DataFrame:
+    """(cell_id, cnt) rollup → (cell_id, hood_n, cluster_id) for CORE
+    cells.  ``min_pts`` sets an absolute 3×3-density threshold; when
+    None, a cell is core iff  den·hood_n·n_occ ≥ num·Σhood  (density ≥
+    num/den × mean — integer cross-multiplication, no float ever).
+
+    cluster_id is the component-minimum core cell id.  Border/noise
+    cells are excluded by definition (grid-DBSCAN's core-only contract;
+    a caller wanting border assignment joins its cells to the output on
+    queen adjacency afterwards).
+    """
+    base = cells.select(
+        F.col(cell).cast("long").alias("c"), F.col(val).cast("long").alias("v")
+    )
+    fan = _queen_fan(base, res, include_self=True)
+    hood = (
+        fan.select("c", "nc")
+        .join(base.select(F.col("c").alias("nc"), F.col("v").alias("xv")), "nc")
+        .groupBy("c")
+        .agg(F.sum("xv").alias("hood_n"))
+    )
+    if min_pts is not None:
+        core = hood.where(F.col("hood_n") >= min_pts)
+    else:
+        num, den = density_ratio
+        g = hood.agg(F.count("*").alias("n_occ"),
+                     F.sum("hood_n").alias("sum_hood"))
+        core = (
+            hood.crossJoin(F.broadcast(g))
+            .where(den * F.col("hood_n") * F.col("n_occ")
+                   >= num * F.col("sum_hood"))
+            .select("c", "hood_n")
+        )
+    # queen adjacency restricted to core cells: fan core cells out and
+    # keep targets that are also core.  The CC loop re-reads edges every
+    # round — localCheckpoint cuts the replay of the whole density stage.
+    core = core.localCheckpoint()
+    edges = (
+        _queen_fan(core.select("c"), res, include_self=False)
+        .join(core.select(F.col("c").alias("nc")), "nc")
+        .select(F.col("c").alias("ca"), F.col("nc").alias("cb"))
+    )
+    from .cluster import connected_components
+
+    cc = connected_components(
+        core.select(F.col("c")), edges, id_col="c",
+        src_col="ca", dst_col="cb", dedupe_edges=False,
+    )
+    return (
+        core.join(cc, "c")
+        .select(F.col("c").alias(cell), "hood_n",
+                F.col("cluster_id").cast("long").alias("cluster_id"))
+    )

@@ -141,3 +141,163 @@ def getis_ord_gstar(cells: DataFrame, res: int, cell: str = "cell_id",
             (F.col("wsum").cast("double") - mean * wi) / denom,
         ).alias("gstar"),
     )
+
+
+def local_moran(cells: DataFrame, res: int, cell: str = "cell_id",
+                val: str = "cnt") -> DataFrame:
+    """Local Moran's I (Anselin's LISA) per occupied cell — the per-cell
+    decomposition of ``morans_i``:
+
+        I_i = (z_i / m2) · Σ_j∈N(i) z_j        m2 = Σ z² / n
+
+    Rook contiguity EXCLUDING self (E/W wrap, N/S clip — the same lattice
+    as ``morans_i``; G* is the including-self companion).  Positive I_i =
+    the cell sits in a high-high or low-low cluster; negative = a spatial
+    outlier.  Cells whose neighborhood is empty get a null I_i (no spatial
+    evidence either way) but still appear with w_i = 0.
+
+    Same scale/determinism shape as its siblings: the z table is
+    materialized once (three consumers), the fan-out is in-task, the one
+    equi-join moves cell-sized tables, and the mean feeding z is
+    sum/count of exact integers (bit-identical cross-engine).
+    """
+    n_s = _scale(res)
+    base = cells.select(F.col(cell).alias("c"), F.col(val).cast("long").alias("v"))
+    g = base.agg(
+        F.count("*").alias("n_cells"),
+        (F.sum("v").cast("double") / F.count("*")).alias("mean_v"),
+    )
+    z = base.crossJoin(F.broadcast(g)).select(
+        "c", (F.col("v") - F.col("mean_v")).alias("z"), "n_cells"
+    ).localCheckpoint()
+    m2 = z.groupBy("n_cells").agg(
+        (F.sum(F.col("z") ** 2) / F.col("n_cells").cast("double")).alias("m2")
+    ).select("m2")
+    ix = F.floor(F.col("c") / n_s).cast("long")
+    iy = (F.col("c") % n_s).cast("long")
+    east = ((ix + 1) % n_s) * n_s + iy
+    west = ((ix - 1 + n_s) % n_s) * n_s + iy
+    north = F.when(iy + 1 < n_s, ix * n_s + iy + 1)
+    south = F.when(iy - 1 >= 0, ix * n_s + iy - 1)
+    fan = z.select(
+        "c", "z",
+        F.explode(F.array_compact(F.array(east, west, north, south))).alias("nc"),
+    )
+    hood = (
+        fan.join(z.select(F.col("c").alias("nc"), F.col("z").alias("z2")), "nc")
+        .groupBy("c", "z")
+        .agg(F.sum("z2").alias("lag_z"), F.count("*").alias("w_i"))
+    )
+    # left join back so isolated cells survive with w_i = 0 / null I_i
+    out = (
+        z.select("c")
+        .join(hood, "c", "left")
+        .crossJoin(F.broadcast(m2))
+    )
+    return out.select(
+        F.col("c").alias(cell),
+        F.coalesce(F.col("w_i"), F.lit(0)).cast("long").alias("w_i"),
+        F.when(
+            F.col("w_i").isNotNull() & (F.col("m2") > 0.0),
+            F.col("z") / F.col("m2") * F.col("lag_z"),
+        ).alias("lisa"),
+    )
+
+
+def mann_kendall(series: DataFrame, key: str = "cell_id",
+                 bucket: str = "bucket", val: str = "v") -> DataFrame:
+    """Mann-Kendall trend statistic per ``key`` over a SHORT ordered
+    bucket series (the per-cell engine of an ESRI-style emerging-hot-spot
+    analysis over a space-time cube):
+
+        S = Σ_{i<j} sign(v_j − v_i)        var(S) = n(n−1)(2n+5)/18
+
+    Returns (key, n_buckets, s_stat, z_e6) — S and n are EXACT integers
+    (bit-identical cross-engine); z is the tie-free normal approximation
+    with the ±1 continuity correction (0 when S = 0), quantized upstream.
+
+    Plan shape: the pair fan-out is a self-equi-join ON ``key`` — with T
+    buckets per key that is T²/2 rows per key (T is small and bounded by
+    the calendar: ~30 for a month of days), partitioned by the key, never
+    a global product.  The variance needs no second scan: n_buckets
+    rides the same aggregate.
+    """
+    a = series.select(
+        F.col(key).alias("k"), F.col(bucket).alias("b1"), F.col(val).alias("v1")
+    )
+    b = series.select(
+        F.col(key).alias("k"), F.col(bucket).alias("b2"), F.col(val).alias("v2")
+    )
+    pairs = a.join(b, "k").where(F.col("b1") < F.col("b2"))
+    agg = pairs.groupBy("k").agg(
+        F.sum(F.signum(F.col("v2") - F.col("v1")).cast("long")).alias("s_stat"),
+    )
+    keys = series.select(F.col(key).alias("k")).groupBy("k").agg(
+        F.count("*").alias("n_buckets"))
+    n = F.col("n_buckets").cast("double")
+    var = n * (n - 1.0) * (2.0 * n + 5.0) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (s - 1.0) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (s + 1.0) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        keys.join(agg, "k", "left")
+        .select(
+            F.col("k").alias(key),
+            F.col("n_buckets"),
+            F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
+            F.when(F.col("n_buckets") > 1, z)
+            .otherwise(F.lit(0.0)).alias("mk_z"),
+        )
+    )
+
+
+def std_ellipse(pts: DataFrame, key: str, lon: str = "lon",
+                lat: str = "lat") -> DataFrame:
+    """Standard deviational ellipse per ``key`` group (CrimeStat/ArcGIS
+    convention): mean center, orientation θ (clockwise from north of the
+    major axis, in [0°, 180°)), and the two axis standard deviations.
+
+        tan 2θ' = 2·C / (A − B)   A=Σdx², B=Σdy², C=Σdx·dy
+        σ₁,₂² = (A+B)/(2n) ± √((A−B)² + 4C²)/(2n)
+
+    computed in planar degree space (the operator is a descriptive
+    dispersion summary, not a geodesic quantity — the classic tooling is
+    planar too).  ONE map-side-combinable aggregate: raw moments
+    (Σx, Σy, Σx², Σy², Σxy, n) per group, closed form on top — no second
+    pass, no window.  Degenerate groups (n < 3 or zero variance) yield
+    null θ; σ are always real (the discriminant is a norm ≥ 0).
+
+    Determinism: float moment sums carry partition-order spread ~1e-13
+    relative; callers quantize outputs orders of magnitude above that.
+    θ is ill-conditioned only when A≈B AND C≈0 (a perfectly isotropic
+    cloud — the md5-derived fixtures are never within float noise of it).
+    """
+    m = pts.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.sum(lon).alias("sx"), F.sum(lat).alias("sy"),
+        F.sum(F.col(lon) * F.col(lon)).alias("sxx"),
+        F.sum(F.col(lat) * F.col(lat)).alias("syy"),
+        F.sum(F.col(lon) * F.col(lat)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    a = F.col("sxx") - n * mx * mx
+    b = F.col("syy") - n * my * my
+    c = F.col("sxy") - n * mx * my
+    # θ' from atan2 is the major-axis direction in math convention;
+    # map to compass-from-north, folded into [0, 180)
+    theta_m = F.atan2(2.0 * c, a - b) / 2.0
+    disc = F.sqrt((a - b) * (a - b) + 4.0 * c * c)
+    s1 = F.sqrt((a + b + disc) / (2.0 * n))  # major
+    s2 = F.sqrt(F.greatest((a + b - disc) / (2.0 * n), F.lit(0.0)))  # minor
+    theta_deg = (F.lit(90.0) - F.degrees(theta_m)) % 180.0
+    return m.select(
+        key,
+        F.col("n").cast("long").alias("n"),
+        mx.alias("mean_lon"), my.alias("mean_lat"),
+        F.when((F.col("n") >= 3) & (disc > 0.0), theta_deg).alias("theta_deg"),
+        s1.alias("sigma_major_deg"), s2.alias("sigma_minor_deg"),
+    )

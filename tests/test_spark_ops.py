@@ -1188,3 +1188,140 @@ def test_getis_ord_gstar_numpy_reference(spark):
     flat = spark.createDataFrame([(c, 7) for c, _ in cells],
                                  "cell_id long, cnt long")
     assert all(r["gstar"] is None for r in getis_ord_gstar(flat, res).collect())
+
+
+def test_local_moran_numpy_reference(spark):
+    """LISA on a random 6x6 occupied grid vs direct numpy evaluation
+    (rook WITHOUT self, torus-in-x), plus the degenerate guards: a
+    checkerboard gives I_i = -w_i exactly (|z| equal, signs alternate),
+    a constant surface gives null I with w_i intact."""
+    import numpy as np
+
+    from projcl_spark.operators.stats import local_moran
+
+    rng = np.random.default_rng(11)
+    res, n = 3, 8
+    cells = [(ix * n + iy, int(rng.integers(1, 40)))
+             for ix in range(6) for iy in range(6)]
+    df = spark.createDataFrame(cells, "cell_id long, cnt long")
+    got = {r["cell_id"]: r for r in local_moran(df, res).collect()}
+
+    vals = dict(cells)
+    xs = np.array([v for _, v in cells], dtype=float)
+    mean, m2 = xs.mean(), (xs - xs.mean()).var()
+    for c, v in cells:
+        ix, iy = c // n, c % n
+        hood = [((ix + 1) % n) * n + iy, ((ix - 1 + n) % n) * n + iy]
+        if iy + 1 < n:
+            hood.append(ix * n + iy + 1)
+        if iy - 1 >= 0:
+            hood.append(ix * n + iy - 1)
+        occ = [h for h in hood if h in vals]
+        want = (v - mean) / m2 * sum(vals[h] - mean for h in occ)
+        assert got[c]["w_i"] == len(occ)
+        assert abs(got[c]["lisa"] - want) < 1e-9, (c, got[c]["lisa"], want)
+
+    res2, n2 = 2, 4
+    board = [(ix * n2 + iy, 10 + 4 * ((ix + iy) % 2))
+             for ix in range(n2) for iy in range(n2)]
+    bdf = spark.createDataFrame(board, "cell_id long, cnt long")
+    for r in local_moran(bdf, res2).collect():
+        assert abs(r["lisa"] + r["w_i"]) < 1e-12
+    flat = spark.createDataFrame([(c, 7) for c, _ in board],
+                                 "cell_id long, cnt long")
+    out = local_moran(flat, res2).collect()
+    assert all(r["lisa"] is None for r in out)
+    assert all(r["w_i"] > 0 for r in out)
+
+
+def test_mann_kendall_analytic(spark):
+    """S and z on hand-computable series: strictly increasing -> S =
+    C(n,2) with the -1 continuity correction; constant -> S = 0, z = 0;
+    a single-bucket key survives with n_buckets = 1 and zeros."""
+    import math
+
+    from projcl_spark.operators.stats import mann_kendall
+
+    rows = ([("up", b, 10 + b) for b in range(5)]
+            + [("flat", b, 7) for b in range(4)]
+            + [("lone", 0, 3)]
+            + [("down", b, 20 - 3 * b) for b in range(4)])
+    df = spark.createDataFrame(rows, "cell_id string, bucket long, v long")
+    got = {r["cell_id"]: r for r in mann_kendall(df).collect()}
+    assert (got["up"]["n_buckets"], got["up"]["s_stat"]) == (5, 10)
+    var5 = 5 * 4 * 15 / 18.0
+    assert abs(got["up"]["mk_z"] - 9.0 / math.sqrt(var5)) < 1e-12
+    assert (got["flat"]["s_stat"], got["flat"]["mk_z"]) == (0, 0.0)
+    assert (got["lone"]["n_buckets"], got["lone"]["s_stat"],
+            got["lone"]["mk_z"]) == (1, 0, 0.0)
+    var4 = 4 * 3 * 13 / 18.0
+    assert got["down"]["s_stat"] == -6
+    assert abs(got["down"]["mk_z"] + 5.0 / math.sqrt(var4)) < 1e-12
+
+
+def test_std_ellipse_analytic(spark):
+    """Collinear 45-degree points: theta = 45 compass, sigma_minor = 0,
+    sigma_major = RMS distance along the line; a perfect square is
+    isotropic (disc = 0 -> null theta); n < 3 groups are emitted with
+    null theta."""
+    import math
+
+    from projcl_spark.operators.stats import std_ellipse
+
+    rows = ([("line", float(i), float(i)) for i in range(4)]
+            + [("square", 0.0, 0.0), ("square", 0.0, 1.0),
+               ("square", 1.0, 0.0), ("square", 1.0, 1.0)]
+            + [("pair", 2.0, 3.0), ("pair", 4.0, 5.0)])
+    df = spark.createDataFrame(rows, "g string, lon double, lat double")
+    got = {r["g"]: r for r in std_ellipse(df, "g").collect()}
+    line = got["line"]
+    assert abs(line["mean_lon"] - 1.5) < 1e-12
+    assert abs(line["theta_deg"] - 45.0) < 1e-9
+    # along-axis offsets from the mean are +-1.5*sqrt(2) and +-0.5*sqrt(2);
+    # sigma_major is their RMS over n = 4
+    want_major = math.sqrt(2 * ((1.5 ** 2 + 0.5 ** 2) * 2) / 4)
+    assert abs(line["sigma_major_deg"] - want_major) < 1e-12
+    assert line["sigma_minor_deg"] < 1e-9
+    assert got["square"]["theta_deg"] is None
+    assert abs(got["square"]["sigma_major_deg"]
+               - got["square"]["sigma_minor_deg"]) < 1e-12
+    assert got["pair"]["theta_deg"] is None and got["pair"]["n"] == 2
+
+
+def test_grid_dbscan_two_blobs(spark):
+    """Two separated dense 2x2 blobs on a sparse background: absolute
+    min_pts keeps exactly the blob cells core, each blob becomes one
+    cluster labelled by its minimum cell id; the relative (1.2x mean)
+    default finds the same cores here.  Also checks the E/W wrap: a
+    blob straddling ix = 0 / ix = n-1 must form ONE cluster."""
+    from projcl_spark.operators.dbscan import grid_dbscan
+
+    res, n = 3, 8  # 8x8 lattice
+
+    def cid(ix, iy):
+        return ix * n + iy
+
+    blob_a = [cid(1, 1), cid(1, 2), cid(2, 1), cid(2, 2)]
+    blob_b = [cid(5, 5), cid(5, 6), cid(6, 5), cid(6, 6)]
+    sparse = [cid(4, 0), cid(0, 7), cid(7, 0)]
+    rows = ([(c, 50) for c in blob_a] + [(c, 50) for c in blob_b]
+            + [(c, 1) for c in sparse])
+    df = spark.createDataFrame(rows, "cell_id long, cnt long")
+    out = grid_dbscan(df, res, min_pts=150).collect()
+    got = {r["cell_id"]: r for r in out}
+    assert set(got) == set(blob_a) | set(blob_b)
+    for c in blob_a:
+        assert got[c]["cluster_id"] == min(blob_a)
+        assert got[c]["hood_n"] == 200  # all four blob cells in every 3x3
+    for c in blob_b:
+        assert got[c]["cluster_id"] == min(blob_b)
+    rel = grid_dbscan(df, res).collect()
+    assert {r["cell_id"] for r in rel} == set(blob_a) | set(blob_b)
+
+    wrap = [cid(7, 3), cid(7, 4), cid(0, 3), cid(0, 4)]
+    wdf = spark.createDataFrame([(c, 50) for c in wrap]
+                                + [(c, 1) for c in sparse],
+                                "cell_id long, cnt long")
+    wout = grid_dbscan(wdf, res, min_pts=150).collect()
+    assert {r["cell_id"] for r in wout} == set(wrap)
+    assert {r["cluster_id"] for r in wout} == {min(wrap)}
