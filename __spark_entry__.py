@@ -3259,6 +3259,132 @@ SELECT core.c AS cell_id, hood_n, CAST(cluster_id AS BIGINT) AS cluster_id
 FROM core JOIN cc ON cc.id = core.c"""
 
 
+_STAY_RADIUS_M = 4_000_000.0   # synthetic hops are continent-scale
+_STAY_GAP_US = 24 * 3600 * 1_000_000
+_STAY_MIN_PINGS = 3
+
+
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point/dwell detection (``operators.trajectory.staypoints``):
+    maximal per-user runs of pings with hop < 4 000 km and gap < 24 h,
+    kept at ≥ 3 pings.  Hop comparisons see the same doubles on both
+    engines (ONE ``oracle.haversine`` text), run ids are integer window
+    sums, and the centroid float means are quantized ×1e6 (~9 orders
+    above the sum-order spread)."""
+    from projcl_spark.operators.trajectory import staypoints
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = staypoints(ev, order_id="event_id", radius_m=_STAY_RADIUS_M,
+                     max_gap_us=_STAY_GAP_US, min_pings=_STAY_MIN_PINGS)
+    return out.select(
+        "user_id", "start_us", "end_us", "n_pings", "duration_us",
+        F.round(F.col("center_lon") * 1000000.0, 0).cast("long").alias("clon_e6"),
+        F.round(F.col("center_lat") * 1000000.0, 0).cast("long").alias("clat_e6"),
+    )
+
+
+def _o_staypoints() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    hav = O.haversine("plon", "plat", "lon", "lat")
+    return f"""
+WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                    {lon_e} AS lon, {lat_e} AS lat FROM events),
+s AS (SELECT user_id, event_id, us, lon, lat,
+             lag(us) OVER w AS pus,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+n AS (SELECT user_id, event_id, us, lon, lat,
+             CASE WHEN pus IS NULL OR {hav} >= {O._r(_STAY_RADIUS_M)}
+                       OR us - pus >= {_STAY_GAP_US}
+                  THEN 1 ELSE 0 END AS nw
+      FROM s),
+r AS (SELECT user_id, us, lon, lat,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+      FROM n),
+g AS (SELECT user_id, run, CAST(count(*) AS BIGINT) AS n_pings,
+             CAST(min(us) AS BIGINT) AS start_us,
+             CAST(max(us) AS BIGINT) AS end_us,
+             avg(lon) AS clon, avg(lat) AS clat
+      FROM r GROUP BY user_id, run)
+SELECT user_id, start_us, end_us, n_pings,
+       end_us - start_us AS duration_us,
+       CAST(round(clon * 1000000.0, 0) AS BIGINT) AS clon_e6,
+       CAST(round(clat * 1000000.0, 0) AS BIGINT) AS clat_e6
+FROM g WHERE n_pings >= {_STAY_MIN_PINGS}"""
+
+
+def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit detection (``operators.trajectory.
+    geofence_transitions``): each user's pings stamped inside/outside
+    the 16-polygon layer by the zero-shuffle ``pip_inside_flag`` closure
+    (the exact ``pip_join`` winding refine), then one lag window emits
+    state CHANGES.  Booleans and timestamps only — bit-exact vs the
+    crossing-count SQL twin."""
+    from projcl_spark.operators.trajectory import geofence_transitions
+    from projcl_spark.sources.synth import polygons_df
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    return geofence_transitions(ev, polygons_df(spark, 16, res=PIP_RES),
+                                order_id="event_id", res=PIP_RES)
+
+
+def _o_geofence_events() -> str:
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    rows = ", ".join(
+        "({}, [{}], [{}])".format(
+            p["poly_id"],
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+        )
+        for p in polygon_layer_np(16, 42)
+    )
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    return f"""
+WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+                    {lon_e} AS lon, {lat_e} AS lat FROM events),
+poly(poly_id, xs, ys) AS (VALUES {rows}),
+hits AS (SELECT DISTINCT pts.event_id FROM pts, poly WHERE {inside}),
+flagged AS (SELECT pts.event_id, user_id, t_us,
+                   (hits.event_id IS NOT NULL) AS inside
+            FROM pts LEFT JOIN hits USING (event_id)),
+s AS (SELECT user_id, t_us, inside,
+             lag(inside) OVER (PARTITION BY user_id
+                               ORDER BY t_us, event_id) AS prev
+      FROM flagged)
+SELECT user_id, CAST(t_us AS BIGINT) AS t_us,
+       CASE WHEN inside THEN 'enter' ELSE 'exit' END AS direction
+FROM s WHERE prev IS NOT NULL AND prev <> inside"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -4229,6 +4355,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "emerging_hotspots",
     "ellipse_nations",
     "dbscan_cells",
+    "staypoints",
+    "geofence_events",
 )
 
 
@@ -4311,6 +4439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emerging_hotspots=q_emerging_hotspots,
         ellipse_nations=q_ellipse_nations,
         dbscan_cells=q_dbscan_cells,
+        staypoints=q_staypoints,
+        geofence_events=q_geofence_events,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -4409,6 +4539,8 @@ def oracle_sql() -> dict[str, str]:
         emerging_hotspots=_o_emerging_hotspots(),
         ellipse_nations=_o_ellipse_nations(),
         dbscan_cells=_o_dbscan_cells(),
+        staypoints=_o_staypoints(),
+        geofence_events=_o_geofence_events(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -311,6 +311,24 @@ def pip_anti_join(points: DataFrame, polygons: DataFrame, res: int = 8,
         _pip_outside_closure(vert_map, cell_map, res)("lon", "lat"))
 
 
+def pip_inside_flag(points: DataFrame, polygons: DataFrame, res: int = 8,
+                    flag_col: str = "inside",
+                    vert_map: dict | None = None,
+                    cell_map: dict | None = None) -> DataFrame:
+    """Append a boolean ``flag_col``: is the point inside ANY polygon of
+    the layer?  Same zero-join closure plan as ``pip_anti_join`` (the
+    inverted broadcast cover + winding refine as ONE vectorized map),
+    but as a column instead of a filter — the building block for
+    sequential consumers (geofence transition detection) that need the
+    flag on EVERY row, hits and misses alike."""
+    if vert_map is None:
+        vert_map = _cached_vert_map(polygons)
+    if cell_map is None:
+        cell_map = _cached_cell_map(polygons)
+    outside = _pip_outside_closure(vert_map, cell_map, res)
+    return points.withColumn(flag_col, ~outside("lon", "lat"))
+
+
 def zonal_stats(points: DataFrame, polygons: DataFrame,
                 value_col: str = "val", res: int = 8,
                 **pip_kwargs) -> DataFrame:

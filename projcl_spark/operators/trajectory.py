@@ -222,3 +222,114 @@ def od_matrix(
         .groupBy("o_cell", "d_cell")
         .agg(F.count("*").alias("n_flows"))
     )
+
+
+def staypoints(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    order_id: str | None = None,
+    radius_m: float = 200.0,
+    max_gap_us: int = 6 * 3600 * 1_000_000,
+    min_pings: int = 2,
+) -> DataFrame:
+    """Stay-point (dwell) detection: maximal runs of consecutive pings
+    where every hop is shorter than ``radius_m`` AND every time gap is
+    below ``max_gap_us``; runs with ≥ ``min_pings`` pings are emitted as
+    (key, start_us, end_us, n_pings, duration_us, centroid lon/lat).
+
+    The windowed formulation (a hop/gap threshold starts a new run; run
+    id = running count of starts) is deliberately chosen over the
+    classic greedy anchor scan: it is expressible as lag + running-sum
+    windows sharing ONE entity-key exchange with the final aggregate —
+    no iteration, no state beyond a window frame — and the SQL twin is
+    the identical pair of window passes, so the run assignment is
+    bit-reproducible cross-engine (the hop comparison sees the same
+    doubles: ``functions.haversine_col`` and the oracle share one
+    formula text).
+    """
+    order = [F.col(ts).asc()] + ([F.col(order_id).asc()] if order_id else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    hop = haversine_col(
+        F.lag(lon).over(w), F.lag(lat).over(w), F.col(lon), F.col(lat)
+    )
+    seg = df.select(
+        key,
+        F.col(ts),
+        *([F.col(order_id)] if order_id else []),
+        us.alias("_us"),
+        F.col(lon),
+        F.col(lat),
+    ).withColumn(
+        "_new",
+        F.when(
+            F.lag("_us").over(w).isNull()
+            | (hop >= F.lit(radius_m))
+            | ((F.col("_us") - F.lag("_us").over(w)) >= F.lit(max_gap_us)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = seg.withColumn(
+        "_run",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = runs.groupBy(key, "_run").agg(
+        F.count("*").alias("n_pings"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        F.avg(lon).alias("center_lon"),
+        F.avg(lat).alias("center_lat"),
+    )
+    return out.where(F.col("n_pings") >= min_pings).select(
+        key, "start_us", "end_us", "n_pings",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        "center_lon", "center_lat",
+    )
+
+
+def geofence_transitions(
+    df: DataFrame,
+    polygons: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str | None = None,
+    res: int = 8,
+) -> DataFrame:
+    """Geofence enter/exit events: per entity, emit a row whenever the
+    inside-any-polygon state CHANGES between consecutive pings.
+
+    Two-stage plan that keeps the corpus un-joined: (1) the zero-shuffle
+    ``pip.pip_inside_flag`` closure map stamps every ping with the
+    boolean (the polygon layer rides the UDF closure exactly as in
+    ``pip_join``); (2) one lag window on the entity key compares
+    consecutive states.  Total: ONE exchange, on the entity key.  The
+    first ping of an entity is never a transition (no prior state).
+
+    Returns (key, t_us, direction) with direction ∈ {'enter', 'exit'}.
+    """
+    from .pip import pip_inside_flag
+
+    flagged = pip_inside_flag(df, polygons, res=res)
+    order = [F.col(ts).asc()] + ([F.col(order_id).asc()] if order_id else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    seq = flagged.select(
+        key,
+        F.col(ts),
+        *([F.col(order_id)] if order_id else []),
+        us.alias("t_us"),
+        F.col("inside"),
+    ).withColumn("_prev", F.lag("inside").over(w))
+    return (
+        seq.where(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("inside")))
+        .select(
+            key, "t_us",
+            F.when(F.col("inside"), F.lit("enter")).otherwise(F.lit("exit"))
+            .alias("direction"),
+        )
+    )

@@ -1325,3 +1325,70 @@ def test_grid_dbscan_two_blobs(spark):
     wout = grid_dbscan(wdf, res, min_pts=150).collect()
     assert {r["cell_id"] for r in wout} == set(wrap)
     assert {r["cluster_id"] for r in wout} == {min(wrap)}
+
+
+def test_staypoints_runs(spark):
+    """Hand-built track: three tight hourly pings form one staypoint
+    (n=3), a far jump then two tight pings is a run below min_pings, a
+    time gap beyond max_gap splits otherwise-tight pings."""
+    from pyspark.sql import functions as F
+
+    from projcl_spark.operators.trajectory import staypoints
+
+    h = 3600 * 1_000_000
+    rows = [
+        # user 1: tight cluster of 3, then a jump, then tight pair
+        (1, 0 * h, 10.0, 20.0), (1, 1 * h, 10.001, 20.0),
+        (1, 2 * h, 10.0, 20.001),
+        (1, 3 * h, 40.0, 50.0), (1, 4 * h, 40.001, 50.0),
+        # user 2: tight positions but 48 h gaps -> never a run
+        (2, 0 * h, -5.0, -5.0), (2, 48 * h, -5.0005, -5.0),
+        (2, 96 * h, -5.001, -5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, lon double, lat double") \
+        .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "lon", "lat", F.col("us").alias("event_id"))
+    out = staypoints(df, order_id="event_id", radius_m=1000.0,
+                     max_gap_us=6 * h, min_pings=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["n_pings"] == 3
+    assert (r["start_us"], r["end_us"], r["duration_us"]) == (0, 2 * h, 2 * h)
+    assert abs(r["center_lon"] - (10.0 + 10.001 + 10.0) / 3) < 1e-12
+    assert abs(r["center_lat"] - (20.0 + 20.0 + 20.001) / 3) < 1e-12
+
+
+def test_geofence_transitions_square(spark):
+    """Square fence: outside->inside emits enter at the first inside
+    ping, inside->outside emits exit; an always-outside user emits
+    nothing; the first ping is never a transition."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from projcl_spark.operators.trajectory import geofence_transitions
+    from projcl_spark.sources.synth import polygon_cover_cells
+
+    res = 5
+    p = {"poly_id": 0,
+         "xs": np.array([0.0, 10.0, 10.0, 0.0]),
+         "ys": np.array([0.0, 0.0, 10.0, 10.0])}
+    polys = spark.createDataFrame(
+        [(0, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0],
+          [int(c) for c in polygon_cover_cells(p, res)])],
+        "poly_id long, xs array<double>, ys array<double>, cells array<long>")
+    h = 3600 * 1_000_000
+    rows = [
+        (1, 0 * h, -5.0, 5.0), (1, 1 * h, 5.0, 5.0), (1, 2 * h, 6.0, 5.0),
+        (1, 3 * h, 15.0, 5.0),
+        (2, 0 * h, -20.0, -20.0), (2, 1 * h, -21.0, -20.0),
+        # user 3 STARTS inside: first ping is not a transition
+        (3, 0 * h, 5.0, 5.0), (3, 1 * h, 5.0, 15.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, lon double, lat double") \
+        .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "lon", "lat", F.col("us").alias("event_id"))
+    out = geofence_transitions(df, polys, order_id="event_id", res=res)
+    got = sorted((r["user_id"], r["t_us"], r["direction"])
+                 for r in out.collect())
+    assert got == [(1, 1 * h, "enter"), (1, 3 * h, "exit"),
+                   (3, 1 * h, "exit")]
