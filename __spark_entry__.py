@@ -3385,6 +3385,101 @@ SELECT user_id, CAST(t_us AS BIGINT) AS t_us,
 FROM s WHERE prev IS NOT NULL AND prev <> inside"""
 
 
+_RIPLEY_RADII = (50_000.0, 100_000.0, 200_000.0)
+_RIPLEY_MOD = 61
+_RIPLEY_RES = 6
+
+
+def q_ripley_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K pair counts (``operators.stats.ripley_pairs``) over a
+    deterministic lineitem sample: unordered pairs within 50/100/200 km,
+    via the latitude-adaptive cell-ring join (NEVER all-pairs — the
+    ring widens with latitude so 200 km of longitude at 80°N still fits
+    the window).  The oracle is the brute-force a<b cross join: any
+    too-tight ring loses pairs and fails the hash.  All outputs are
+    exact integers.  Composite id = orderkey·16 + linenumber on both
+    sides (linenumber < 16); duplicate synthetic keys carry identical
+    coords and drop identically under id_a < id_b."""
+    from projcl_spark.operators.stats import ripley_pairs
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+        F.col("l_orderkey") % _RIPLEY_MOD == 0
+    ).select(
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("id"),
+        "lon", "lat",
+    )
+    return ripley_pairs(pts, _RIPLEY_RADII, res=_RIPLEY_RES)
+
+
+def _o_ripley_pairs() -> str:
+    hav = O.haversine("a.lon", "a.lat", "b.lon", "b.lat")
+    r50, r100, r200 = _RIPLEY_RADII
+    return f"""
+WITH pts AS (SELECT * FROM ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+             WHERE l_orderkey % {_RIPLEY_MOD} = 0),
+s AS (SELECT l_orderkey * 16 + l_linenumber AS id, lon, lat FROM pts),
+p AS (SELECT {hav} AS d FROM s a JOIN s b ON a.id < b.id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_pts,
+       CAST(count(CASE WHEN d < {O._r(r50)} THEN 1 END) AS BIGINT) AS pairs_50km,
+       CAST(count(CASE WHEN d < {O._r(r100)} THEN 1 END) AS BIGINT) AS pairs_100km,
+       CAST(count(CASE WHEN d < {O._r(r200)} THEN 1 END) AS BIGINT) AS pairs_200km
+FROM p"""
+
+
+_HULL_MOD = 5
+
+
+def q_hull_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user convex hull (``operators.geometry.convex_hull``):
+    monotone chain inside grouped ``applyInPandas``, hull vertices
+    emitted in exact-double lexicographic order.  The oracle derives
+    the same vertex set relationally — an edge (a, b) is on the strict
+    hull iff every other point lies strictly left — so the match
+    verifies the geometry, not just the plumbing."""
+    from projcl_spark.operators.geometry import convex_hull
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id")
+        .where(F.col("user_id") % _HULL_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("user_id",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = convex_hull(ev, key="user_id")
+    return out.select(
+        "user_id", "seq",
+        F.round(F.col("lon") * 1000000.0, 0).cast("long").alias("vlon_e6"),
+        F.round(F.col("lat") * 1000000.0, 0).cast("long").alias("vlat_e6"),
+    )
+
+
+def _o_hull_users() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    cross = ("((b.lon - a.lon) * (c.lat - a.lat)"
+             " - (b.lat - a.lat) * (c.lon - a.lon))")
+    return f"""
+WITH s AS (SELECT event_id AS id, user_id, {lon_e} AS lon, {lat_e} AS lat
+           FROM events WHERE user_id % {_HULL_MOD} = 0),
+e AS (SELECT a.user_id, a.lon, a.lat
+      FROM s a JOIN s b ON a.user_id = b.user_id AND a.id <> b.id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s c
+        WHERE c.user_id = a.user_id AND c.id <> a.id AND c.id <> b.id
+          AND {cross} <= 0)),
+hv AS (SELECT DISTINCT user_id, lon, lat FROM e)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY lon, lat)
+            - 1 AS INT) AS seq,
+       CAST(round(lon * 1000000.0, 0) AS BIGINT) AS vlon_e6,
+       CAST(round(lat * 1000000.0, 0) AS BIGINT) AS vlat_e6
+FROM hv"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -4357,6 +4452,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dbscan_cells",
     "staypoints",
     "geofence_events",
+    "ripley_pairs",
+    "hull_users",
 )
 
 
@@ -4441,6 +4538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dbscan_cells=q_dbscan_cells,
         staypoints=q_staypoints,
         geofence_events=q_geofence_events,
+        ripley_pairs=q_ripley_pairs,
+        hull_users=q_hull_users,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -4541,6 +4640,8 @@ def oracle_sql() -> dict[str, str]:
         dbscan_cells=_o_dbscan_cells(),
         staypoints=_o_staypoints(),
         geofence_events=_o_geofence_events(),
+        ripley_pairs=_o_ripley_pairs(),
+        hull_users=_o_hull_users(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -375,3 +375,61 @@ def snap_to_segments(
         F.col("_s.snap_lon").alias("snap_lon"),
         F.col("_s.snap_lat").alias("snap_lat"),
     ).drop("_s")
+
+
+def convex_hull(
+    df: DataFrame,
+    key: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-entity convex hull vertices via Andrew's monotone chain,
+    grouped ``applyInPandas`` (numpy inside the Arrow batch — per-group
+    work is O(n log n), groups are entity-sized, the shuffle is the one
+    entity-key exchange every per-entity operator pays).
+
+    Output: one row per hull vertex (key, seq, lon, lat) with ``seq``
+    assigned in (lon, lat) LEXICOGRAPHIC order — deliberately not ring
+    order: the lex order compares the exact input doubles, so it is
+    bit-reproducible cross-engine, while a centroid-angle ordering
+    would hang the sequence on a float mean.  For points in general
+    position (no exact 3-point collinearity — true of any real-world or
+    hashed fixture) the vertex SET equals the strict hull, which is
+    what the all-points-strictly-left SQL edge test (the oracle twin)
+    computes.  Entities with < 3 points emit all their points.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{key} long, seq int, {lon} double, {lat} double"
+
+    def hull_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        px = pdf[lon].to_numpy(np.float64)
+        py = pdf[lat].to_numpy(np.float64)
+        pts = np.unique(np.stack([px, py], axis=1), axis=0)  # lex-sorted
+        n = len(pts)
+        if n < 3:
+            keep = pts
+        else:
+            def chain(p):
+                h = []
+                for q in p:
+                    while len(h) >= 2 and (
+                        (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1])
+                        - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0])
+                    ) <= 0:
+                        h.pop()
+                    h.append((q[0], q[1]))
+                return h
+            lower = chain(pts)
+            upper = chain(pts[::-1])
+            ring = lower[:-1] + upper[:-1]
+            keep = np.array(sorted(set(ring)))  # lex order, dedup
+        return pd.DataFrame({
+            key: pdf[key].iloc[0],
+            "seq": np.arange(len(keep), dtype=np.int32),
+            lon: keep[:, 0], lat: keep[:, 1],
+        })
+
+    return df.select(key, lon, lat).groupBy(key).applyInPandas(
+        hull_one, schema=out_schema)

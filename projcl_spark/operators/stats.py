@@ -254,6 +254,99 @@ def mann_kendall(series: DataFrame, key: str = "cell_id",
     )
 
 
+def ripley_pairs(
+    pts: DataFrame,
+    radii_m: tuple[float, ...],
+    res: int = 6,
+    id_col: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Ripley's K pair counts: ONE row with the number of unordered
+    point pairs within each radius (the raw ingredient of K̂(r) =
+    A·2·n_pairs(r)/(n(n−1)); counts and n are exact integers, so the
+    caller can normalize with whatever area convention it likes).
+
+    NEVER all-pairs: points are bucketed at ``res`` and each point fans
+    out to a LATITUDE-ADAPTIVE lon ring — the number of E/W neighbor
+    cells is ceil(r_max / lon-cell-width at the point's worst-case
+    latitude), so high-latitude points (where a fixed ring would MISS
+    pairs: 5.625° of longitude is only ~108 km at 80°N) widen their
+    window instead of silently undercounting.  N/S stays a fixed ring
+    from r_max / cell-lat-span.  The join is a plain cell equi-join of
+    the fanned side against the bucketed side; each unordered pair
+    matches exactly once per direction and the ``id_a < id_b`` filter
+    keeps one — no distinct, no shuffle beyond the join's.
+
+    The brute-force SQL twin (a < b cross pairs) is the oracle — any
+    ring that clipped too tight fails the gate by construction.
+    """
+    import math
+
+    r_max = max(radii_m)
+    n_s = _scale(res)
+    lat_span_deg = 180.0 / n_s
+    lon_span_deg = 360.0 / n_s
+    deg_m = 111_320.0  # conservative meters per degree (equatorial major)
+    k_lat = int(math.ceil(r_max / (deg_m * lat_span_deg)))
+    dlat_max_deg = r_max / deg_m
+
+    a = pts.select(
+        F.col(id_col).alias("ida"),
+        F.col(lon).alias("lona"), F.col(lat).alias("lata"),
+    )
+    # worst-case |lat| across the pair: the partner can sit up to
+    # dlat_max degrees poleward; clamp at 89° so cos stays positive
+    wlat = F.least(F.abs(F.col("lata")) + F.lit(dlat_max_deg), F.lit(89.0))
+    k_lon = F.ceil(
+        F.lit(r_max) / (F.lit(deg_m) * F.cos(F.radians(wlat)) * F.lit(lon_span_deg))
+    ).cast("int")
+    ix = F.floor((F.col("lona") + 180.0) / F.lit(lon_span_deg)).cast("long")
+    iy = F.floor((F.col("lata") + 90.0) / F.lit(lat_span_deg)).cast("long")
+    ix = F.least(ix, F.lit(n_s - 1))
+    iy = F.least(iy, F.lit(n_s - 1))
+    fan = (
+        a.withColumn("_kl", k_lon)
+        .withColumn("_dx", F.explode(F.sequence(-F.col("_kl"), F.col("_kl"))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-k_lat), F.lit(k_lat))))
+        .select(
+            "ida", "lona", "lata",
+            ((((ix + F.col("_dx")) % n_s + n_s) % n_s) * n_s
+             + (iy + F.col("_dy"))).alias("nc"),
+            (iy + F.col("_dy")).alias("_niy"),
+        )
+        .where((F.col("_niy") >= 0) & (F.col("_niy") < n_s))
+        .drop("_niy")
+    )
+    bx = F.floor((F.col("lonb") + 180.0) / F.lit(lon_span_deg)).cast("long")
+    by = F.floor((F.col("latb") + 90.0) / F.lit(lat_span_deg)).cast("long")
+    b = pts.select(
+        F.col(id_col).alias("idb"),
+        F.col(lon).alias("lonb"), F.col(lat).alias("latb"),
+    ).select(
+        "idb", "lonb", "latb",
+        (F.least(bx, F.lit(n_s - 1)) * n_s + F.least(by, F.lit(n_s - 1)))
+        .alias("nc"),
+    )
+    from ..functions import haversine_col
+
+    d = haversine_col(F.col("lona"), F.col("lata"), F.col("lonb"), F.col("latb"))
+    pairs = (
+        fan.join(b, "nc")
+        .where(F.col("ida") < F.col("idb"))
+        .select(d.alias("_d"))
+        .where(F.col("_d") < F.lit(r_max))
+    )
+    # count(when) not sum(when): an empty pair set must yield 0, not null
+    aggs = [
+        F.count(F.when(F.col("_d") < F.lit(r), 1)).cast("long")
+        .alias(f"pairs_{int(r / 1000)}km")
+        for r in radii_m
+    ]
+    n_row = pts.agg(F.count("*").cast("long").alias("n_pts"))
+    return n_row.crossJoin(pairs.agg(*aggs))
+
+
 def std_ellipse(pts: DataFrame, key: str, lon: str = "lon",
                 lat: str = "lat") -> DataFrame:
     """Standard deviational ellipse per ``key`` group (CrimeStat/ArcGIS

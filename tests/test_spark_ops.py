@@ -1392,3 +1392,68 @@ def test_geofence_transitions_square(spark):
                  for r in out.collect())
     assert got == [(1, 1 * h, "enter"), (1, 3 * h, "exit"),
                    (3, 1 * h, "exit")]
+
+
+def test_ripley_pairs_bruteforce_and_high_lat(spark):
+    """Pair counts vs a brute-force numpy double loop, including an
+    E/W pair at 79 deg N ~150 km apart — more than one res-6 lon cell
+    (108 km at that latitude), which a fixed ring-1 join would MISS and
+    the latitude-adaptive ring must find."""
+    import math
+
+    import numpy as np
+
+    from projcl_spark.operators.stats import ripley_pairs
+
+    rng = np.random.default_rng(3)
+    lons = list(rng.uniform(-50, 50, 40))
+    lats = list(rng.uniform(-35, 70, 40))
+    # the adversarial pair: at 79N, 7 deg of lon is ~149 km
+    lons += [10.0, 17.0]
+    lats += [79.0, 79.0]
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(lons, lats))]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    radii = (50_000.0, 100_000.0, 200_000.0)
+    got = ripley_pairs(df, radii, res=6).first()
+
+    R = 6370997.0
+
+    def hav(lo1, la1, lo2, la2):
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dl = math.radians(lo2 - lo1)
+        a = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+    want = {r: 0 for r in radii}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = hav(lons[i], lats[i], lons[j], lats[j])
+            for r in radii:
+                if d < r:
+                    want[r] += 1
+    assert got["n_pts"] == len(rows)
+    assert got["pairs_50km"] == want[50_000.0]
+    assert got["pairs_100km"] == want[100_000.0]
+    assert got["pairs_200km"] == want[200_000.0]
+    # the 79N pair must actually be in the 200 km bucket for the test
+    # to exercise the adaptive ring
+    assert hav(10.0, 79.0, 17.0, 79.0) < 200_000.0
+
+
+def test_convex_hull_known_shape(spark):
+    """Square corners + interior points: the hull is exactly the four
+    corners in lex order; a 2-point entity passes through unchanged."""
+    from projcl_spark.operators.geometry import convex_hull
+
+    rows = ([(1, 0.0, 0.0), (1, 10.0, 0.0), (1, 10.0, 10.0), (1, 0.0, 10.0),
+             (1, 5.0, 5.0), (1, 2.0, 7.0), (1, 8.0, 3.0)]
+            + [(2, 1.0, 1.0), (2, 2.0, 2.0)])
+    df = spark.createDataFrame(rows, "user_id long, lon double, lat double")
+    out = convex_hull(df).collect()
+    got1 = [(r["lon"], r["lat"]) for r in sorted(
+        (r for r in out if r["user_id"] == 1), key=lambda r: r["seq"])]
+    assert got1 == [(0.0, 0.0), (0.0, 10.0), (10.0, 0.0), (10.0, 10.0)]
+    got2 = [(r["lon"], r["lat"]) for r in sorted(
+        (r for r in out if r["user_id"] == 2), key=lambda r: r["seq"])]
+    assert got2 == [(1.0, 1.0), (2.0, 2.0)]
