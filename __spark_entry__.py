@@ -3480,6 +3480,84 @@ SELECT user_id,
 FROM hv"""
 
 
+_KNOX_R_M = 150_000.0
+_KNOX_TAU_US = 12 * 3600 * 1_000_000
+_KNOX_MOD = 13
+
+
+def q_knox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction (``operators.stats.knox_pairs``)
+    over a deterministic event sample: pairs within 150 km, within
+    12 h, and within both — the spatially-close set from the
+    latitude-adaptive cell ring, the temporally-close set from a
+    τ-bucket equi-join; the brute-force cross join is the oracle, so
+    either candidate generator clipping too tight fails the hash.
+    Integer outputs only."""
+    from projcl_spark.operators.stats import knox_pairs
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "ts")
+        .where(F.col("event_id") % _KNOX_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("event_id").alias("id"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    return knox_pairs(ev, _KNOX_R_M, _KNOX_TAU_US)
+
+
+def _o_knox_pairs() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    hav = O.haversine("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH s AS (SELECT event_id AS id, epoch_us(ts) AS t_us,
+                  {lon_e} AS lon, {lat_e} AS lat
+           FROM events WHERE event_id % {_KNOX_MOD} = 0),
+p AS (SELECT {hav} AS d, abs(b.t_us - a.t_us) AS adt
+      FROM s a JOIN s b ON a.id < b.id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_pts,
+       CAST(count(CASE WHEN d < {O._r(_KNOX_R_M)} THEN 1 END) AS BIGINT)
+         AS pairs_space,
+       CAST(count(CASE WHEN adt < {_KNOX_TAU_US} THEN 1 END) AS BIGINT)
+         AS pairs_time,
+       CAST(count(CASE WHEN d < {O._r(_KNOX_R_M)}
+                        AND adt < {_KNOX_TAU_US} THEN 1 END) AS BIGINT)
+         AS pairs_both
+FROM p"""
+
+
+_SAMPLE_RATES = {"en": (3, 10), "de": (4, 5), "es": (4, 5), "fr": (4, 5),
+                 "zh": (4, 5)}
+_SAMPLE_DEFAULT = (1, 2)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (``operators.sample``):
+    downsample English to 30%, other languages to 80%, unknown strata
+    to 50%, keyed on the shared ``hash60`` of doc_id — reproducible
+    across engines/partitionings/resumes (no RNG), exact-rational
+    rates.  One codegen filter; the row set matches the SQL twin
+    bit-for-bit."""
+    from projcl_spark.operators.sample import stratified_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "lang")
+    out = stratified_sample(docs, "lang", "doc_id", _SAMPLE_RATES,
+                            default=_SAMPLE_DEFAULT)
+    return out.select("doc_id", "lang")
+
+
+def _o_sample_stratified() -> str:
+    from projcl_spark.operators.sample import stratified_sample_sql
+
+    pred = stratified_sample_sql("documents", "lang", "doc_id",
+                                 _SAMPLE_RATES, default=_SAMPLE_DEFAULT)
+    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -4454,6 +4532,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "geofence_events",
     "ripley_pairs",
     "hull_users",
+    "knox_pairs",
+    "sample_stratified",
 )
 
 
@@ -4540,6 +4620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         geofence_events=q_geofence_events,
         ripley_pairs=q_ripley_pairs,
         hull_users=q_hull_users,
+        knox_pairs=q_knox_pairs,
+        sample_stratified=q_sample_stratified,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -4642,6 +4724,8 @@ def oracle_sql() -> dict[str, str]:
         geofence_events=_o_geofence_events(),
         ripley_pairs=_o_ripley_pairs(),
         hull_users=_o_hull_users(),
+        knox_pairs=_o_knox_pairs(),
+        sample_stratified=_o_sample_stratified(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -453,6 +453,56 @@ def build_queries(spark, sf_dir):
         _force(E.q_snap_nearest(spark, sf_dir))
         return n_pts // 7
 
+    def q_lisa_cells():
+        # LISA: cell rollup + one cell-sized rook equi-join
+        _force(E.q_lisa_cells(spark, sf_dir))
+        return n_pts
+
+    def q_emerging_hotspots():
+        # Mann-Kendall: per-cell day-bucket self-join (<=435 pairs/cell)
+        _force(E.q_emerging_hotspots(spark, sf_dir))
+        return n_events
+
+    def q_ellipse_nations():
+        # deviational ellipse: ONE raw-moment aggregate + closed form
+        _force(E.q_ellipse_nations(spark, sf_dir))
+        return n_cust
+
+    def q_dbscan_cells():
+        # grid-DBSCAN: density fan-out + pointer-jumping CC over core cells
+        _force(E.q_dbscan_cells(spark, sf_dir))
+        return n_pts
+
+    def q_staypoints():
+        # dwell runs: two window passes + agg on ONE user_id exchange
+        _force(E.q_staypoints(spark, sf_dir))
+        return n_events
+
+    def q_geofence_events():
+        # zero-shuffle inside flag + lag window transitions
+        _force(E.q_geofence_events(spark, sf_dir))
+        return n_events
+
+    def q_ripley_pairs():
+        # lat-adaptive cell-ring pair counting (sampled corpus)
+        _force(E.q_ripley_pairs(spark, sf_dir))
+        return n_pts // 61
+
+    def q_hull_users():
+        # grouped monotone-chain hulls over 1/5 of users
+        _force(E.q_hull_users(spark, sf_dir))
+        return n_events // 5
+
+    def q_knox_pairs():
+        # space-time interaction: lat-adaptive ring + tau-bucket joins
+        _force(E.q_knox_pairs(spark, sf_dir))
+        return n_events // 13
+
+    def q_sample_stratified():
+        # deterministic stratified keep-filter: pure codegen, no shuffle
+        _force(E.q_sample_stratified(spark, sf_dir))
+        return n_docs
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -498,6 +548,16 @@ def build_queries(spark, sf_dir):
         "moran_cells": q_moran_cells,
         "gstar_cells": q_gstar_cells,
         "snap_nearest": q_snap_nearest,
+        "lisa_cells": q_lisa_cells,
+        "emerging_hotspots": q_emerging_hotspots,
+        "ellipse_nations": q_ellipse_nations,
+        "dbscan_cells": q_dbscan_cells,
+        "staypoints": q_staypoints,
+        "geofence_events": q_geofence_events,
+        "ripley_pairs": q_ripley_pairs,
+        "hull_users": q_hull_users,
+        "knox_pairs": q_knox_pairs,
+        "sample_stratified": q_sample_stratified,
     }
 
 

@@ -281,62 +281,13 @@ def ripley_pairs(
     The brute-force SQL twin (a < b cross pairs) is the oracle — any
     ring that clipped too tight fails the gate by construction.
     """
-    import math
-
-    r_max = max(radii_m)
-    n_s = _scale(res)
-    lat_span_deg = 180.0 / n_s
-    lon_span_deg = 360.0 / n_s
-    deg_m = 111_320.0  # conservative meters per degree (equatorial major)
-    k_lat = int(math.ceil(r_max / (deg_m * lat_span_deg)))
-    dlat_max_deg = r_max / deg_m
-
-    a = pts.select(
-        F.col(id_col).alias("ida"),
-        F.col(lon).alias("lona"), F.col(lat).alias("lata"),
-    )
-    # worst-case |lat| across the pair: the partner can sit up to
-    # dlat_max degrees poleward; clamp at 89° so cos stays positive
-    wlat = F.least(F.abs(F.col("lata")) + F.lit(dlat_max_deg), F.lit(89.0))
-    k_lon = F.ceil(
-        F.lit(r_max) / (F.lit(deg_m) * F.cos(F.radians(wlat)) * F.lit(lon_span_deg))
-    ).cast("int")
-    ix = F.floor((F.col("lona") + 180.0) / F.lit(lon_span_deg)).cast("long")
-    iy = F.floor((F.col("lata") + 90.0) / F.lit(lat_span_deg)).cast("long")
-    ix = F.least(ix, F.lit(n_s - 1))
-    iy = F.least(iy, F.lit(n_s - 1))
-    fan = (
-        a.withColumn("_kl", k_lon)
-        .withColumn("_dx", F.explode(F.sequence(-F.col("_kl"), F.col("_kl"))))
-        .withColumn("_dy", F.explode(F.sequence(F.lit(-k_lat), F.lit(k_lat))))
-        .select(
-            "ida", "lona", "lata",
-            ((((ix + F.col("_dx")) % n_s + n_s) % n_s) * n_s
-             + (iy + F.col("_dy"))).alias("nc"),
-            (iy + F.col("_dy")).alias("_niy"),
-        )
-        .where((F.col("_niy") >= 0) & (F.col("_niy") < n_s))
-        .drop("_niy")
-    )
-    bx = F.floor((F.col("lonb") + 180.0) / F.lit(lon_span_deg)).cast("long")
-    by = F.floor((F.col("latb") + 90.0) / F.lit(lat_span_deg)).cast("long")
-    b = pts.select(
-        F.col(id_col).alias("idb"),
-        F.col(lon).alias("lonb"), F.col(lat).alias("latb"),
-    ).select(
-        "idb", "lonb", "latb",
-        (F.least(bx, F.lit(n_s - 1)) * n_s + F.least(by, F.lit(n_s - 1)))
-        .alias("nc"),
-    )
-    from ..functions import haversine_col
-
-    d = haversine_col(F.col("lona"), F.col("lata"), F.col("lonb"), F.col("latb"))
-    pairs = (
-        fan.join(b, "nc")
-        .where(F.col("ida") < F.col("idb"))
-        .select(d.alias("_d"))
-        .where(F.col("_d") < F.lit(r_max))
-    )
+    # NO explicit materialization here: the fan/bucket sides and n_pts
+    # all hang off the same repartitioned scan and AQE's ReusedExchange
+    # already runs the derivation once (measured: adding a
+    # localCheckpoint made the arm 2x SLOWER — 1.6 s -> 3.2 s at sf0.1;
+    # knox_pairs, with two structurally different joins, is the case
+    # where the checkpoint wins)
+    pairs = _ring_pairs(pts, max(radii_m), res, id_col, lon, lat).select("_d")
     # count(when) not sum(when): an empty pair set must yield 0, not null
     aggs = [
         F.count(F.when(F.col("_d") < F.lit(r), 1)).cast("long")
@@ -345,6 +296,140 @@ def ripley_pairs(
     ]
     n_row = pts.agg(F.count("*").cast("long").alias("n_pts"))
     return n_row.crossJoin(pairs.agg(*aggs))
+
+
+def knox_pairs(
+    pts: DataFrame,
+    r_m: float,
+    tau_us: int,
+    res: int = 6,
+    id_col: str = "id",
+    t_col: str = "t_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Knox space-time interaction counts: ONE row with the number of
+    unordered pairs close in SPACE (d < r), close in TIME (0 ≤ Δt < τ,
+    ties on t broken by id), and close in BOTH — the raw integers of
+    the Knox test (X = pairs_both; its null expectation is
+    pairs_space·pairs_time/C(n,2), computable by the caller from this
+    row).  Epidemiology/crime analytics' standard "do events cluster in
+    space AND time simultaneously?" statistic.
+
+    Neither count is all-pairs:
+
+    - spatial candidates come from the same latitude-adaptive cell ring
+      as ``ripley_pairs`` (pairs_both only needs spatially-close pairs,
+      so it rides the same join with a Δt filter);
+    - temporal candidates come from a τ-bucket equi-join: a fans to
+      buckets {k−1, k, k+1}, b sits in its own bucket, the canonical
+      (t_a < t_b | tie → id_a < id_b) filter keeps each pair once.
+
+    Every output is an exact integer; Δt arithmetic is integer µs and
+    the d comparison sees the same doubles on both engines.
+    """
+    # five consumers of the sampled input (ring fan + bucket, both
+    # sides, n_pts) — materialize once (CLAUDE.md: Spark inlines CTEs)
+    pts = pts.localCheckpoint()
+    spat = _ring_pairs(pts, r_m, res, id_col, lon, lat,
+                       extra_cols=[t_col])
+    both_cond = (
+        F.abs(F.col(f"{t_col}_b") - F.col(f"{t_col}_a")) < F.lit(int(tau_us))
+    )
+    space_agg = spat.agg(
+        F.count(F.when(F.col("_d") < F.lit(r_m), 1)).cast("long")
+        .alias("pairs_space"),
+        F.count(F.when((F.col("_d") < F.lit(r_m)) & both_cond, 1))
+        .cast("long").alias("pairs_both"),
+    )
+    a = pts.select(
+        F.col(id_col).alias("ida"), F.col(t_col).cast("long").alias("ta"),
+        F.floor(F.col(t_col).cast("long") / F.lit(int(tau_us))).alias("_k"),
+    )
+    b = pts.select(
+        F.col(id_col).alias("idb"), F.col(t_col).cast("long").alias("tb"),
+        F.floor(F.col(t_col).cast("long") / F.lit(int(tau_us))).alias("_kb"),
+    )
+    fan = a.withColumn("_dk", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))) \
+           .select("ida", "ta", (F.col("_k") + F.col("_dk")).alias("_kb"))
+    canon = (
+        (F.col("ta") < F.col("tb"))
+        | ((F.col("ta") == F.col("tb")) & (F.col("ida") < F.col("idb")))
+    )
+    time_agg = (
+        fan.join(b, "_kb")
+        .where(canon & ((F.col("tb") - F.col("ta")) < F.lit(int(tau_us)))
+               & (F.col("tb") - F.col("ta") >= 0))
+        .agg(F.count("*").cast("long").alias("pairs_time"))
+    )
+    n_row = pts.agg(F.count("*").cast("long").alias("n_pts"))
+    return n_row.crossJoin(space_agg).crossJoin(time_agg).select(
+        "n_pts", "pairs_space", "pairs_time", "pairs_both")
+
+
+def _ring_pairs(pts, r_max, res, id_col, lon, lat, extra_cols=()):
+    """Shared latitude-adaptive cell-ring pair candidate join (the
+    ``ripley_pairs`` plan, factored for reuse): returns one row per
+    unordered candidate pair with the haversine distance ``_d`` < r_max
+    and any ``extra_cols`` carried as <col>_a / <col>_b."""
+    import math
+
+    n_s = _scale(res)
+    lat_span_deg = 180.0 / n_s
+    lon_span_deg = 360.0 / n_s
+    deg_m = 111_320.0
+    k_lat = int(math.ceil(r_max / (deg_m * lat_span_deg)))
+    dlat_max_deg = r_max / deg_m
+
+    a = pts.select(
+        F.col(id_col).alias("ida"),
+        F.col(lon).alias("lona"), F.col(lat).alias("lata"),
+        *[F.col(c).alias(f"{c}_a") for c in extra_cols],
+    )
+    wlat = F.least(F.abs(F.col("lata")) + F.lit(dlat_max_deg), F.lit(89.0))
+    k_lon = F.ceil(
+        F.lit(r_max) / (F.lit(deg_m) * F.cos(F.radians(wlat)) * F.lit(lon_span_deg))
+    ).cast("int")
+    ix = F.least(F.floor((F.col("lona") + 180.0) / F.lit(lon_span_deg))
+                 .cast("long"), F.lit(n_s - 1))
+    iy = F.least(F.floor((F.col("lata") + 90.0) / F.lit(lat_span_deg))
+                 .cast("long"), F.lit(n_s - 1))
+    fan = (
+        a.withColumn("_kl", k_lon)
+        .withColumn("_dx", F.explode(F.sequence(-F.col("_kl"), F.col("_kl"))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-k_lat), F.lit(k_lat))))
+        .select(
+            "ida", "lona", "lata",
+            *[f"{c}_a" for c in extra_cols],
+            ((((ix + F.col("_dx")) % n_s + n_s) % n_s) * n_s
+             + (iy + F.col("_dy"))).alias("nc"),
+            (iy + F.col("_dy")).alias("_niy"),
+        )
+        .where((F.col("_niy") >= 0) & (F.col("_niy") < n_s))
+        .drop("_niy")
+    )
+    bx = F.least(F.floor((F.col("lonb") + 180.0) / F.lit(lon_span_deg))
+                 .cast("long"), F.lit(n_s - 1))
+    by = F.least(F.floor((F.col("latb") + 90.0) / F.lit(lat_span_deg))
+                 .cast("long"), F.lit(n_s - 1))
+    b = pts.select(
+        F.col(id_col).alias("idb"),
+        F.col(lon).alias("lonb"), F.col(lat).alias("latb"),
+        *[F.col(c).alias(f"{c}_b") for c in extra_cols],
+    ).select(
+        "idb", "lonb", "latb",
+        *[f"{c}_b" for c in extra_cols],
+        (bx * n_s + by).alias("nc"),
+    )
+    from ..functions import haversine_col
+
+    d = haversine_col(F.col("lona"), F.col("lata"), F.col("lonb"), F.col("latb"))
+    return (
+        fan.join(b, "nc")
+        .where(F.col("ida") < F.col("idb"))
+        .withColumn("_d", d)
+        .where(F.col("_d") < F.lit(r_max))
+    )
 
 
 def std_ellipse(pts: DataFrame, key: str, lon: str = "lon",

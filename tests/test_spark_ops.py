@@ -1457,3 +1457,88 @@ def test_convex_hull_known_shape(spark):
     got2 = [(r["lon"], r["lat"]) for r in sorted(
         (r for r in out if r["user_id"] == 2), key=lambda r: r["seq"])]
     assert got2 == [(1.0, 1.0), (2.0, 2.0)]
+
+
+def test_knox_pairs_bruteforce(spark):
+    """Knox counts vs a brute-force double loop over a mixed fixture:
+    a space-time cluster (close in both), a spatial-only cluster
+    (same place, spread over weeks), scattered background."""
+    import math
+
+    import numpy as np
+
+    from projcl_spark.operators.stats import knox_pairs
+
+    h = 3600 * 1_000_000
+    rows = []
+    # space-time cluster: 5 points within ~20 km and 6 h
+    for i in range(5):
+        rows.append((i, i * h, 10.0 + 0.05 * i, 20.0 + 0.05 * i))
+    # spatial-only: same spot, 10-day strides
+    for i in range(4):
+        rows.append((10 + i, 240 * h * (i + 1), 10.1, 20.1))
+    rng = np.random.default_rng(9)
+    for i in range(30):
+        rows.append((100 + i, int(rng.integers(0, 720) * h),
+                     float(rng.uniform(-50, 50)), float(rng.uniform(-35, 70))))
+    df = spark.createDataFrame(rows, "id long, t_us long, lon double, lat double")
+    r_m, tau = 150_000.0, 12 * h
+    got = knox_pairs(df, r_m, tau).first()
+
+    R = 6370997.0
+
+    def hav(lo1, la1, lo2, la2):
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dl = math.radians(lo2 - lo1)
+        a = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+    ns = nt = nb = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = hav(rows[i][2], rows[i][3], rows[j][2], rows[j][3])
+            dt = abs(rows[j][1] - rows[i][1])
+            if d < r_m:
+                ns += 1
+            if dt < tau:
+                nt += 1
+            if d < r_m and dt < tau:
+                nb += 1
+    assert (got["n_pts"], got["pairs_space"], got["pairs_time"],
+            got["pairs_both"]) == (len(rows), ns, nt, nb)
+    assert ns > nb > 0 and nt > nb  # fixture exercises all three sets
+
+
+def test_stratified_sample_exact_and_stable(spark):
+    """The keep set is a pure function of the key: same rows kept under
+    any partitioning; rates land near num/den; unknown strata use the
+    default; and the decision matches the SQL twin evaluated by Spark
+    itself (shared hash60 text)."""
+    from pyspark.sql import functions as F
+
+    from projcl_spark.operators.sample import (
+        stratified_sample, stratified_sample_sql,
+    )
+
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": (3, 10), "de": (4, 5)}
+    out = stratified_sample(df, "lang", "doc_id", rates, default=(1, 2))
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    got2 = {(r["doc_id"], r["lang"])
+            for r in stratified_sample(df.repartition(17), "lang", "doc_id",
+                                       rates, default=(1, 2)).collect()}
+    assert got == got2  # partitioning-independent
+    by_lang = {}
+    for _, lang in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert abs(by_lang["en"] / 1000 - 0.3) < 0.05
+    assert abs(by_lang["de"] / 1000 - 0.8) < 0.05
+    assert abs(by_lang["xx"] / 1000 - 0.5) < 0.05
+    pred = stratified_sample_sql("df", "lang", "doc_id", rates,
+                                 default=(1, 2), dialect="spark")
+    df.createOrReplaceTempView("df")
+    sql_ids = {(r["doc_id"], r["lang"]) for r in
+               spark.sql(f"SELECT doc_id, lang FROM df WHERE {pred}").collect()}
+    assert sql_ids == got
