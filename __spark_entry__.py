@@ -3558,6 +3558,150 @@ def _o_sample_stratified() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
+_HILBERT_RES = 8
+
+
+def q_hilbert_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell ids (``index.hilbert.hilbert_cols``) for the
+    res-8 lineitem cells — the locality-preserving sort key for spatial
+    file clustering (consecutive ids are always grid-adjacent, unlike
+    Z-order's diagonal jumps; exhaustively verified in tests).  Eight
+    staged all-integer select-lists off ONE shared transliteration
+    (``oracle.hilbert_stages_sql``) — bit-identical cross-engine, pure
+    codegen, zero shuffle."""
+    from projcl_spark.index.hilbert import hilbert_cols
+
+    n = 1 << _HILBERT_RES
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    c = cell_id_col(F.col("lon"), F.col("lat"), _HILBERT_RES)
+    df = pts.select(
+        *ks,
+        F.floor(c / n).cast("long").alias("ix"),
+        (c % n).cast("long").alias("iy"),
+    )
+    return hilbert_cols(df, _HILBERT_RES).select(*ks, "h")
+
+
+def _o_hilbert_encode() -> str:
+    n = 1 << _HILBERT_RES
+    cell = cell_id_sql("lon", "lat", _HILBERT_RES)
+    ctes = [
+        f"pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})",
+        f"d AS (SELECT l_orderkey, l_linenumber, {cell} // {n} AS ix, "
+        f"{cell} % {n} AS iy FROM pts)",
+    ]
+    prev = "d"
+    for name, stage in O.hilbert_stages_sql(_HILBERT_RES, "ix", "iy"):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage.items())
+        ctes.append(f"{name} AS (SELECT l_orderkey, l_linenumber, {cols} "
+                    f"FROM {prev})")
+        prev = name
+    body = ",\n".join(ctes)
+    return (f"WITH {body}\n"
+            f"SELECT l_orderkey, l_linenumber, CAST(hd AS BIGINT) AS h "
+            f"FROM {prev}")
+
+
+_HAUS_MOD = 11
+
+
+def q_hausdorff_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise discrete Hausdorff distance between sampled users'
+    tracks (``operators.trajectory.track_hausdorff``): per-entity
+    coordinate arrays → (a < b) pair join → one Arrow-batched numpy
+    distance matrix per pair.  min/max over a fixed multiset are
+    order-independent, so the collect_list ordering cannot leak; the
+    10 m quantum sits ~9 orders above the ≤1-ulp numpy-vs-engine libm
+    spread."""
+    from projcl_spark.operators.trajectory import track_hausdorff
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id")
+        .where(F.col("user_id") % _HAUS_MOD == 1)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("user_id",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = track_hausdorff(ev)
+    return out.select(
+        F.col("ka").alias("user_a"), F.col("kb").alias("user_b"),
+        _q10_col(F.col("hausdorff_m")).alias("hd_10m"),
+    )
+
+
+def _o_hausdorff_tracks() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    hav = O.haversine("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH s AS (SELECT event_id, user_id, {lon_e} AS lon, {lat_e} AS lat
+           FROM events WHERE user_id % {_HAUS_MOD} = 1),
+pp AS (SELECT a.user_id AS ua, b.user_id AS ub,
+              a.event_id AS ea, b.event_id AS eb, {hav} AS d
+       FROM s a JOIN s b ON a.user_id < b.user_id),
+m1 AS (SELECT ua, ub, ea, min(d) AS m FROM pp GROUP BY ua, ub, ea),
+h1 AS (SELECT ua, ub, max(m) AS h FROM m1 GROUP BY ua, ub),
+m2 AS (SELECT ua, ub, eb, min(d) AS m FROM pp GROUP BY ua, ub, eb),
+h2 AS (SELECT ua, ub, max(m) AS h FROM m2 GROUP BY ua, ub)
+SELECT h1.ua AS user_a, h1.ub AS user_b,
+       {_q10('greatest(h1.h, h2.h)')} AS hd_10m
+FROM h1 JOIN h2 ON h1.ua = h2.ua AND h1.ub = h2.ub"""
+
+
+_COMPACT_RES = 8
+_COMPACT_MIN = 5
+
+
+def q_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style cover compaction (``index.cells.compact_cover``) of the
+    16-polygon layer's res-8 cell cover: full 4-child groups collapse
+    into parents recursively down to res 5 — the mixed-resolution cover
+    a catalog stores for pruning.  Fixed res-depth loop over shrinking
+    cell tables, all integer, bit-exact vs the unrolled-CTE twin."""
+    from projcl_spark.index.cells import compact_cover
+    from projcl_spark.sources.synth import polygons_df
+
+    polys = polygons_df(spark, 16, res=_COMPACT_RES)
+    cells = polys.select(F.explode("cells").alias("cell_id"))
+    out = compact_cover(cells, _COMPACT_RES, _COMPACT_MIN)
+    return out.select(F.col("level").cast("int").alias("level"),
+                      F.col("cell_id").cast("long").alias("cell_id"))
+
+
+def _o_cover_compact() -> str:
+    from projcl_spark.sources.synth import polygon_cover_cells, polygon_layer_np
+
+    lists = ", ".join(
+        "([{}])".format(",".join(str(int(c))
+                                 for c in polygon_cover_cells(p, _COMPACT_RES)))
+        for p in polygon_layer_np(16, 42)
+    )
+    ctes = [f"pc(cs) AS (VALUES {lists})",
+            f"c{_COMPACT_RES} AS (SELECT DISTINCT unnest(cs) AS c FROM pc)"]
+    selects = []
+    for r in range(_COMPACT_RES, _COMPACT_MIN, -1):
+        n, half = 1 << r, 1 << (r - 1)
+        ctes.append(
+            f"p{r} AS (SELECT c, (c // {n}) // 2 * {half} + (c % {n}) // 2"
+            f" AS par FROM c{r})")
+        ctes.append(
+            f"f{r} AS (SELECT par FROM p{r} GROUP BY par HAVING count(*) = 4)")
+        ctes.append(
+            f"k{r} AS (SELECT {r} AS level, c FROM p{r}"
+            f" ANTI JOIN f{r} USING (par))")
+        ctes.append(f"c{r - 1} AS (SELECT par AS c FROM f{r})")
+        selects.append(f"SELECT level, c FROM k{r}")
+    selects.append(f"SELECT {_COMPACT_MIN} AS level, c FROM c{_COMPACT_MIN}")
+    union = "\nUNION ALL ".join(selects)
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT CAST(level AS INT) AS level, CAST(c AS BIGINT) AS cell_id"
+            f" FROM ({union})")
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -4534,6 +4678,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "hull_users",
     "knox_pairs",
     "sample_stratified",
+    "hilbert_encode",
+    "hausdorff_tracks",
+    "cover_compact",
 )
 
 
@@ -4622,6 +4769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hull_users=q_hull_users,
         knox_pairs=q_knox_pairs,
         sample_stratified=q_sample_stratified,
+        hilbert_encode=q_hilbert_encode,
+        hausdorff_tracks=q_hausdorff_tracks,
+        cover_compact=q_cover_compact,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -4726,6 +4876,9 @@ def oracle_sql() -> dict[str, str]:
         hull_users=_o_hull_users(),
         knox_pairs=_o_knox_pairs(),
         sample_stratified=_o_sample_stratified(),
+        hilbert_encode=_o_hilbert_encode(),
+        hausdorff_tracks=_o_hausdorff_tracks(),
+        cover_compact=_o_cover_compact(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -503,6 +503,21 @@ def build_queries(spark, sf_dir):
         _force(E.q_sample_stratified(spark, sf_dir))
         return n_docs
 
+    def q_hilbert_encode():
+        # 8 staged integer select-lists, one codegen span, zero shuffle
+        _force(E.q_hilbert_encode(spark, sf_dir))
+        return n_pts
+
+    def q_hausdorff_tracks():
+        # per-pair numpy distance matrices over sampled users
+        _force(E.q_hausdorff_tracks(spark, sf_dir))
+        return n_events // 11
+
+    def q_cover_compact():
+        # fixed res-depth compaction loop over shrinking cell tables
+        _force(E.q_cover_compact(spark, sf_dir))
+        return 16
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -558,6 +573,9 @@ def build_queries(spark, sf_dir):
         "hull_users": q_hull_users,
         "knox_pairs": q_knox_pairs,
         "sample_stratified": q_sample_stratified,
+        "hilbert_encode": q_hilbert_encode,
+        "hausdorff_tracks": q_hausdorff_tracks,
+        "cover_compact": q_cover_compact,
     }
 
 

@@ -20,7 +20,7 @@ dependencies, deterministic across platforms.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MAX_RES = 30
@@ -185,3 +185,46 @@ def ring_cells_col(cell_id: Column, res: int, ring: int = 1) -> Column:
     )
     valid = F.filter(arr, lambda s: (s.y >= 0) & (s.y < n))
     return F.array_distinct(F.transform(valid, lambda s: s.x * n + s.y))
+
+
+def compact_cover(cells: DataFrame, res: int, min_res: int,
+                  cell: str = "cell_id") -> DataFrame:
+    """S2-style cell-cover compaction: wherever all four children of a
+    parent cell are present, replace them by the parent, recursively up
+    to ``min_res``.  Returns (level, cell_id) — the mixed-resolution
+    cover that represents the same region in the fewest cells (what a
+    spatial catalog stores per file/partition for min/max pruning, and
+    what keeps a broadcast cover small when a polygon spans both a
+    continent and a coastline detail).
+
+    Plan: one groupBy-count + anti-join per level — a FIXED res−min_res
+    rounds (resolution depth, not data size), each over a strictly
+    shrinking cell table; the point corpus is never touched.  All
+    integer arithmetic ⇒ bit-exact vs the unrolled-CTE SQL twin.
+
+    Cell ids follow this module's row-major convention
+    (id = ix·2^res + iy); a child (ix, iy) at res r has parent
+    (ix//2, iy//2) at r−1.
+    """
+    levels = []
+    cur = cells.select(F.col(cell).cast("long").alias("c")).distinct()
+    for r in range(res, min_res, -1):
+        n = _scale(r)
+        half = n // 2
+        par = cur.select(
+            "c",
+            (F.floor(F.floor(F.col("c") / n) / 2) * half
+             + F.floor((F.col("c") % n) / 2)).cast("long").alias("par"),
+        )
+        full = (par.groupBy("par").agg(F.count("*").alias("_n"))
+                .where(F.col("_n") == 4).select("par"))
+        kept = par.join(full, "par", "left_anti").select(
+            F.lit(r).alias("level"), F.col("c").alias(cell))
+        levels.append(kept)
+        cur = full.select(F.col("par").alias("c"))
+    levels.append(cur.select(F.lit(min_res).alias("level"),
+                             F.col("c").alias(cell)))
+    out = levels[0]
+    for more in levels[1:]:
+        out = out.unionByName(more)
+    return out

@@ -333,3 +333,62 @@ def geofence_transitions(
             .alias("direction"),
         )
     )
+
+
+def track_hausdorff(
+    df: DataFrame,
+    key: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Discrete (symmetric) Hausdorff distance between every pair of
+    entity tracks: max over one track's points of the min haversine to
+    the other, both directions, in meters.
+
+    Plan: per-entity coordinate ARRAYS via one collect_list aggregate
+    (arrays are entity-sized; the operator contract is a SAMPLED entity
+    set — all-pairs over 10^9 entities is the caller's mistake, and the
+    pair join below would make it visible as an explicit cross), then
+    an (a.key < b.key) pair join and ONE Arrow-batched pandas UDF
+    computing the blocked distance matrix per pair.  min/max over a
+    fixed multiset of doubles are order-independent, so the collect_list
+    ordering (nondeterministic under parallelism) does NOT leak into
+    the result; the numpy haversine mirrors ``oracle.haversine``'s
+    operation order and the output is quantized by callers (10 m —
+    ~9 orders above the ≤1-ulp libm spread between numpy and the
+    engines).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    tracks = df.groupBy(key).agg(
+        F.collect_list(lon).alias("xs"), F.collect_list(lat).alias("ys")
+    )
+    a = tracks.select(F.col(key).alias("ka"), F.col("xs").alias("xa"),
+                      F.col("ys").alias("ya"))
+    b = tracks.select(F.col(key).alias("kb"), F.col("xs").alias("xb"),
+                      F.col("ys").alias("yb"))
+    R = 6370997.0
+
+    # no type hints: pd is function-local, so hint resolution would fail
+    # under `from __future__ import annotations`; hint-less pandas_udf
+    # defaults to the scalar Arrow batch signature we want
+    @F.pandas_udf(DoubleType())
+    def hd(xa, ya, xb, yb):
+        out = np.empty(len(xa))
+        for i in range(len(xa)):
+            lo1 = np.radians(np.asarray(xa[i], dtype=np.float64))[:, None]
+            la1 = np.radians(np.asarray(ya[i], dtype=np.float64))[:, None]
+            lo2 = np.radians(np.asarray(xb[i], dtype=np.float64))[None, :]
+            la2 = np.radians(np.asarray(yb[i], dtype=np.float64))[None, :]
+            h = (np.sin((la2 - la1) / 2) ** 2
+                 + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2)
+            d = 2.0 * R * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+            out[i] = max(d.min(axis=1).max(), d.min(axis=0).max())
+        return pd.Series(out)
+
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select("ka", "kb", hd("xa", "ya", "xb", "yb").alias("hausdorff_m"))
+    )

@@ -1119,3 +1119,41 @@ def slerp_lonlat(lon1: str, lat1: str, lon2: str, lat2: str,
     lon = f"degrees(atan2({y}, {x}))"
     lat = f"degrees(asin(least(greatest({z}, -1.0), 1.0)))"
     return lon, lat
+
+
+def hilbert_stages_sql(res: int, x0: str, y0: str) -> list[tuple[str, dict[str, str]]]:
+    """Hilbert curve xy→d on a 2^res × 2^res grid as ``res`` staged
+    select-lists — dialect-common (integer &, %, CASE only; XOR is
+    replaced by the arithmetic identity (3·rx)^ry = 3·rx + ry − 2·rx·ry
+    over rx, ry ∈ {0,1}), consumed by BOTH the Spark codegen path
+    (``index.hilbert.hilbert_cols``) and the DuckDB oracle — the same
+    one-transliteration discipline as ``datum_shift_stages_sql``.
+
+    Classic iterative formulation (public domain, e.g. Wikipedia
+    "Hilbert curve" C code): per bit level s = 2^(res−1)…1,
+        rx = (x & s) > 0;  ry = (y & s) > 0
+        d += s² · ((3·rx) ^ ry)
+        if ry == 0: { if rx == 1: x, y = s−1−x, s−1−y };  swap(x, y)
+
+    All-integer state ⇒ bit-identical cross-engine.  Input exprs
+    ``x0, y0`` are column ids at the target res; state columns are
+    hx, hy, hd.
+    """
+    stages: list[tuple[str, dict[str, str]]] = []
+    for k in range(res):
+        s = 1 << (res - 1 - k)
+        x = x0 if k == 0 else "hx"
+        y = y0 if k == 0 else "hy"
+        d = "0" if k == 0 else "hd"
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        t = f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        flip_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - {x} ELSE {x} END)"
+        flip_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - {y} ELSE {y} END)"
+        stages.append((f"h{k}", {
+            "hd": f"({d} + {s * s} * {t})",
+            # ry = 0: flip (when rx = 1) then swap; ry = 1: unchanged
+            "hx": f"(CASE WHEN {ry} = 0 THEN {flip_y} ELSE {x} END)",
+            "hy": f"(CASE WHEN {ry} = 0 THEN {flip_x} ELSE {y} END)",
+        }))
+    return stages

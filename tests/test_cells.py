@@ -116,3 +116,66 @@ def test_slippy_tile_assign_analytic(spark):
     assert (got[2]["tx"], got[2]["px"]) == (0, 255)
     assert (got[3]["ty"], got[3]["py"]) == (0, 0)
     assert (got[4]["tx"], got[4]["px"]) == (0, 0)
+
+
+def test_hilbert_exhaustive_and_spark_parity(spark):
+    """hilbert_np vs an exhaustive res-4 check of the two properties
+    that define the curve (bijection onto [0, 4^res) and unit grid
+    steps between consecutive ids), plus the Spark staged-codegen path
+    returning the identical ids."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from projcl_spark.index.hilbert import hilbert_cols, hilbert_np
+
+    res, n = 4, 16
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_np(xs.ravel(), ys.ravel(), res)
+    assert sorted(d) == list(range(n * n))
+    order = np.argsort(d)
+    steps = (np.abs(np.diff(xs.ravel()[order]))
+             + np.abs(np.diff(ys.ravel()[order])))
+    assert (steps == 1).all()
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs.ravel(), ys.ravel())],
+        "ix long, iy long")
+    got = {(r["ix"], r["iy"]): r["h"]
+           for r in hilbert_cols(df, res).collect()}
+    want = {(int(a), int(b)): int(v)
+            for a, b, v in zip(xs.ravel(), ys.ravel(), d)}
+    assert got == want
+
+
+def test_compact_cover_analytic(spark):
+    """A full res-3 quad (4 children of one parent) collapses to its
+    res-2 parent; a lone cell stays at res 3; a FULL 4x4 block (16
+    cells = 4 complete parents forming one complete grandparent)
+    collapses two levels when min_res allows and stops at min_res
+    otherwise."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from projcl_spark.index.cells import compact_cover
+
+    n3 = 8  # 2^3
+
+    def cid(ix, iy, n=n3):
+        return ix * n + iy
+
+    quad = [cid(2, 2), cid(2, 3), cid(3, 2), cid(3, 3)]  # parent (1,1)@res2
+    lone = [cid(6, 1)]
+    df = spark.createDataFrame([(c,) for c in quad + lone], "cell_id long")
+    got = {(r["level"], r["cell_id"])
+           for r in compact_cover(df, 3, 2).collect()}
+    assert got == {(2, 1 * 4 + 1), (3, cid(6, 1))}
+
+    block = [cid(ix, iy) for ix in range(4, 8) for iy in range(4, 8)]
+    bdf = spark.createDataFrame([(c,) for c in block], "cell_id long")
+    # down to res 1: the whole block is grandparent (1,1)@res1
+    got1 = {(r["level"], r["cell_id"])
+            for r in compact_cover(bdf, 3, 1).collect()}
+    assert got1 == {(1, 1 * 2 + 1)}
+    # min_res 2 stops at the four res-2 parents
+    got2 = {(r["level"], r["cell_id"])
+            for r in compact_cover(bdf, 3, 2).collect()}
+    assert got2 == {(2, ix * 4 + iy) for ix in (2, 3) for iy in (2, 3)}

@@ -1542,3 +1542,26 @@ def test_stratified_sample_exact_and_stable(spark):
     sql_ids = {(r["doc_id"], r["lang"]) for r in
                spark.sql(f"SELECT doc_id, lang FROM df WHERE {pred}").collect()}
     assert sql_ids == got
+
+
+def test_track_hausdorff_analytic(spark):
+    """Two parallel 2-point tracks on the equator: the directed minima
+    are all the 0.5-degree separation, so Hausdorff = 0.5 deg of arc; a
+    third far track dominates via the directed max. Also: symmetric
+    output keyed a < b only."""
+    import math
+
+    from projcl_spark.operators.trajectory import track_hausdorff
+
+    rows = [(1, 0.0, 0.0), (1, 1.0, 0.0),
+            (2, 0.0, 0.5), (2, 1.0, 0.5),
+            (3, 50.0, 0.0)]
+    df = spark.createDataFrame(rows, "user_id long, lon double, lat double")
+    got = {(r["ka"], r["kb"]): r["hausdorff_m"]
+           for r in track_hausdorff(df).collect()}
+    R = 6370997.0
+    deg = math.pi * R / 180.0
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert abs(got[(1, 2)] - 0.5 * deg) < 1.0
+    # track 3 vs 1: farthest point of 1 is lon 0 -> 50 deg away
+    assert abs(got[(1, 3)] - 50.0 * deg) < 1.0
