@@ -3702,6 +3702,164 @@ def _o_cover_compact() -> str:
             f" FROM ({union})")
 
 
+def q_zonal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon exact quartiles (``pip.zonal_percentiles``) of
+    ``l_quantity`` — the order statistics the moment-based zonal_stats
+    can't produce.  Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the rank-p·(n−1) linear-interpolation definition; with
+    integral values and dyadic p the quartiles are bit-exact (×1e6
+    belt-and-braces)."""
+    from projcl_spark.operators.pip import zonal_percentiles
+    from projcl_spark.sources.synth import polygons_df
+
+    ks = ("l_orderkey", "l_linenumber")
+    lon_e, lat_e = O.derived_lonlat(_key("lineitem", ks, "spark"), "spark")
+    pts = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .select(*ks, "l_quantity")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(*ks, F.col("l_quantity").alias("val"),
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = zonal_percentiles(pts, polygons_df(spark, 16, res=PIP_RES),
+                            value_col="val", res=PIP_RES)
+    return out.select(
+        "poly_id", "n_pts",
+        F.round(F.col("p25") * 1e6, 0).cast("long").alias("p25_e6"),
+        F.round(F.col("p50") * 1e6, 0).cast("long").alias("p50_e6"),
+        F.round(F.col("p75") * 1e6, 0).cast("long").alias("p75_e6"),
+    )
+
+
+def _o_zonal_median() -> str:
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    rows = ", ".join(
+        "({}, [{}], [{}])".format(
+            p["poly_id"],
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+        )
+        for p in polygon_layer_np(16, 42)
+    )
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    lon_e, lat_e = O.derived_lonlat(
+        _key("lineitem", ("l_orderkey", "l_linenumber"), "duck"), "duck")
+    return f"""
+WITH pts AS (SELECT l_quantity AS val, {lon_e} AS lon, {lat_e} AS lat
+             FROM lineitem),
+poly(poly_id, xs, ys) AS (VALUES {rows}),
+hits AS (SELECT poly.poly_id, pts.val FROM pts, poly WHERE {inside})
+SELECT poly_id, count(*) AS n_pts,
+       CAST(round(quantile_cont(val, 0.25) * 1e6, 0) AS BIGINT) AS p25_e6,
+       CAST(round(quantile_cont(val, 0.5) * 1e6, 0) AS BIGINT) AS p50_e6,
+       CAST(round(quantile_cont(val, 0.75) * 1e6, 0) AS BIGINT) AS p75_e6
+FROM hits GROUP BY 1"""
+
+
+_D8_HOOD = ((1, "ze"), (2, "zse"), (4, "zs"), (8, "zsw"),
+            (16, "zw"), (32, "znw"), (64, "zn"), (128, "zne"))
+
+
+def q_flow_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction (``operators.raster.flow_d8``) over the
+    integer-exact 192×192 surface — steepest-downhill neighbor code,
+    ties to the lowest code, 0 for pits.  Two separable window passes
+    (the hillshade discipline); all-integer drops ⇒ bit-exact vs the
+    windowed SQL twin."""
+    from projcl_spark.operators.raster import flow_d8
+
+    n = _DEM_W * _DEM_H
+    dem = (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select((F.col("id") % _DEM_W).alias("gi"),
+                (F.col("id") / _DEM_W).cast("long").alias("gj"))
+        .select("gi", "gj", F.expr(_MS_SURF).alias("elev"))
+    )
+    out = flow_d8(dem)
+    return out.select("gi", "gj", "flow_dir",
+                      F.col("max_drop").cast("long").alias("max_drop"))
+
+
+def _o_flow_d8() -> str:
+    drops = [(code, f"(elev - {c})") for code, c in _D8_HOOD]
+    best = "greatest(" + ", ".join(d for _, d in drops) + ")"
+    arms = " ".join(f"WHEN {d} = best THEN {code}" for code, d in drops)
+    return f"""
+WITH g AS (SELECT a.range AS gi, b.range AS gj
+           FROM range(0, {_DEM_W}) a CROSS JOIN range(0, {_DEM_H}) b),
+dem AS (SELECT gi, gj, {_MS_SURF} AS elev FROM g),
+p1 AS (SELECT gi, gj, elev,
+         lag(elev) OVER rw AS zw, lead(elev) OVER rw AS ze
+       FROM dem WINDOW rw AS (PARTITION BY gj ORDER BY gi)),
+p2 AS (SELECT gi, gj, elev, zw, ze,
+         lag(elev) OVER cw AS zs, lead(elev) OVER cw AS zn,
+         lag(zw) OVER cw AS zsw, lead(zw) OVER cw AS znw,
+         lag(ze) OVER cw AS zse, lead(ze) OVER cw AS zne
+       FROM p1 WINDOW cw AS (PARTITION BY gi ORDER BY gj)),
+i AS (SELECT gi, gj, elev, zw, ze, zs, zn, zsw, znw, zse, zne,
+             {best} AS best
+      FROM p2
+      WHERE zw IS NOT NULL AND ze IS NOT NULL AND zs IS NOT NULL
+        AND zn IS NOT NULL AND zsw IS NOT NULL AND znw IS NOT NULL
+        AND zse IS NOT NULL AND zne IS NOT NULL)
+SELECT gi, gj,
+       CAST(CASE WHEN best <= 0 THEN 0 {arms} ELSE 0 END AS INT) AS flow_dir,
+       CAST(best AS BIGINT) AS max_drop
+FROM i"""
+
+
+_BFS_RES = 6
+_BFS_HOPS = 8
+
+
+def q_cell_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (``operators.dbscan.cell_bfs``) over the res-6
+    occupied-cell graph from the densest cell (max count, ties → min
+    id — a zero-collect broadcast source).  Frontier-expansion loop,
+    state O(visited); the bounded recursive CTE is the twin.  Integer
+    hops; min-hop fixpoint is parallelism-independent."""
+    from projcl_spark.operators.dbscan import cell_bfs
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    cells = pts.groupBy(
+        cell_id_col(F.col("lon"), F.col("lat"), _BFS_RES).alias("cell_id")
+    ).agg(F.count("*").alias("cnt")).localCheckpoint()
+    source = (cells.orderBy(F.col("cnt").desc(), F.col("cell_id").asc())
+              .limit(1).select("cell_id"))
+    out = cell_bfs(cells, _BFS_RES, source, max_hops=_BFS_HOPS)
+    return out.select("cell_id", "hops")
+
+
+def _o_cell_bfs() -> str:
+    n = 1 << _BFS_RES
+    cell = cell_id_sql("lon", "lat", _BFS_RES)
+    return f"""
+WITH RECURSIVE
+pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+cl AS (SELECT {cell} AS c, CAST(count(*) AS BIGINT) AS v FROM pts GROUP BY 1),
+src AS (SELECT c FROM cl ORDER BY v DESC, c ASC LIMIT 1),
+cd AS (SELECT c, c // {n} AS ix, c % {n} AS iy FROM cl),
+fan8 AS ({_fan_sql(n, include_self=False, src='cd')}),
+edges AS (SELECT f.c AS s, f.nc AS t FROM fan8 f JOIN cl c2 ON f.nc = c2.c),
+reach AS (SELECT c AS id, 0 AS h FROM src
+          UNION
+          SELECT e.t AS id, r.h + 1 AS h
+          FROM reach r JOIN edges e ON e.s = r.id WHERE r.h < {_BFS_HOPS})
+SELECT id AS cell_id, CAST(min(h) AS INT) AS hops
+FROM reach GROUP BY id"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -4681,6 +4839,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "hilbert_encode",
     "hausdorff_tracks",
     "cover_compact",
+    "zonal_median",
+    "flow_d8",
+    "cell_bfs",
 )
 
 
@@ -4772,6 +4933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hilbert_encode=q_hilbert_encode,
         hausdorff_tracks=q_hausdorff_tracks,
         cover_compact=q_cover_compact,
+        zonal_median=q_zonal_median,
+        flow_d8=q_flow_d8,
+        cell_bfs=q_cell_bfs,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -4879,6 +5043,9 @@ def oracle_sql() -> dict[str, str]:
         hilbert_encode=_o_hilbert_encode(),
         hausdorff_tracks=_o_hausdorff_tracks(),
         cover_compact=_o_cover_compact(),
+        zonal_median=_o_zonal_median(),
+        flow_d8=_o_flow_d8(),
+        cell_bfs=_o_cell_bfs(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -518,6 +518,21 @@ def build_queries(spark, sf_dir):
         _force(E.q_cover_compact(spark, sf_dir))
         return 16
 
+    def q_zonal_median():
+        # exact per-zone quartiles over the pip_join broadcast plan
+        _force(E.q_zonal_median(spark, sf_dir))
+        return n_pts
+
+    def q_flow_d8():
+        # D8 steepest-descent codes: two separable window passes
+        _force(E.q_flow_d8(spark, sf_dir))
+        return E._DEM_W * E._DEM_H
+
+    def q_cell_bfs():
+        # frontier-expansion BFS over occupied cells (bounded rounds)
+        _force(E.q_cell_bfs(spark, sf_dir))
+        return n_pts
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -576,6 +591,9 @@ def build_queries(spark, sf_dir):
         "hilbert_encode": q_hilbert_encode,
         "hausdorff_tracks": q_hausdorff_tracks,
         "cover_compact": q_cover_compact,
+        "zonal_median": q_zonal_median,
+        "flow_d8": q_flow_d8,
+        "cell_bfs": q_cell_bfs,
     }
 
 

@@ -120,3 +120,49 @@ def grid_dbscan(
         .select(F.col("c").alias(cell), "hood_n",
                 F.col("cluster_id").cast("long").alias("cluster_id"))
     )
+
+
+def cell_bfs(
+    cells: DataFrame,
+    res: int,
+    source: DataFrame,
+    max_hops: int = 10,
+    cell: str = "cell_id",
+) -> DataFrame:
+    """Breadth-first hop distance over the occupied-cell queen-adjacency
+    graph, from a ONE-ROW ``source`` DataFrame (column ``cell``) —
+    grid-graph reachability ("how many cell steps from the hotspot to
+    every reachable region?") without ever materializing edges globally.
+
+    Frontier expansion: each round fans the CURRENT FRONTIER (not the
+    whole graph) to its queen neighbors, keeps occupied ones, anti-joins
+    the visited set, assigns hop = round.  State is O(visited cells);
+    rounds ≤ ``max_hops`` (a reachability horizon, like the CC loop's
+    round cap); one tiny count per round is the only driver action.
+    BFS level = min-hop distance — a parallelism-independent fixpoint,
+    expressible in DuckDB as a bounded recursive CTE (the oracle twin).
+
+    Returns (cell_id, hops) for every cell within ``max_hops`` of the
+    source (source itself at 0).  A source not in ``cells`` yields an
+    empty result (nothing is reachable).
+    """
+    occ = cells.select(F.col(cell).cast("long").alias("c")).distinct() \
+        .localCheckpoint()
+    src = occ.join(source.select(F.col(cell).cast("long").alias("c")), "c")
+    visited = src.select("c", F.lit(0).alias("hops")).localCheckpoint()
+    frontier = visited.select("c")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            _queen_fan(frontier, res, include_self=False)
+            .select(F.col("nc").alias("c"))
+            .distinct()
+            .join(occ, "c")
+            .join(visited.select("c"), "c", "left_anti")
+            .select("c", F.lit(h).alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("c")
+    return visited.select(F.col("c").alias(cell), F.col("hops").cast("int"))

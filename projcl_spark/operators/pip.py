@@ -352,3 +352,28 @@ def zonal_stats(points: DataFrame, polygons: DataFrame,
         F.max(value_col).alias("val_max"),
         F.avg(value_col).alias("val_avg"),
     )
+
+
+def zonal_percentiles(points: DataFrame, polygons: DataFrame,
+                      value_col: str = "val", res: int = 8,
+                      ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+                      **pip_kwargs) -> DataFrame:
+    """Per-polygon EXACT percentiles of a point measure — the order
+    statistic ``zonal_stats``' moments can't give (median rainfall per
+    watershed, p75 latency per region).
+
+    Same ``pip_join`` plan; the aggregate is Spark's exact ``percentile``
+    (sort-based within the zone — the shuffle moves zone-partitioned
+    values once, no second pass).  Exact percentile at 100 TB is
+    per-zone-sort-bound by definition; swap ``approx_percentile`` in
+    when zones stop fitting a task and a bounded error is acceptable.
+    Definition parity: Spark ``percentile`` and DuckDB ``quantile_cont``
+    both interpolate at rank p·(n−1) — with integral inputs and dyadic p
+    the result is bit-exact across engines.
+    """
+    hits = pip_join(points, polygons, res=res, **pip_kwargs)
+    aggs = [F.count("*").alias("n_pts")] + [
+        F.expr(f"percentile({value_col}, {p!r})").alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return hits.groupBy("poly_id").agg(*aggs)

@@ -196,3 +196,59 @@ def contour_cases(
          .when(F.col("ms_case").isin(5, 10), 2)
          .otherwise(1).cast("long"),
     )
+
+
+def flow_d8(
+    dem: DataFrame,
+    gi: str = "gi",
+    gj: str = "gj",
+    elev: str = "elev",
+) -> DataFrame:
+    """D8 flow direction for every interior DEM cell: the ESRI code
+    (E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128) of the steepest
+    DOWNHILL neighbor, 0 for pits/flats; ties break to the LOWEST code
+    — both rules explicit so the result is engine-independent.
+
+    Same separable-window discipline as ``dem_hillshade``: pass 1 lags
+    the row (W/E), pass 2 lags/leads pass-1's columns (N/S + the four
+    diagonals come free as lags of the lagged row) — two 1×-volume
+    shuffles, zero data amplification, no 8-way self-join.  Run it on
+    an INTEGER surface and every drop comparison is exact (the gate
+    query does; float DEMs inherit the usual last-ulp caveat).
+    """
+    row_w = Window.partitionBy(gj).orderBy(F.col(gi).asc())
+    col_w = Window.partitionBy(gi).orderBy(F.col(gj).asc())
+    p1 = dem.select(
+        gi, gj, elev,
+        F.lag(elev).over(row_w).alias("_zw"),
+        F.lead(elev).over(row_w).alias("_ze"),
+    )
+    p2 = p1.select(
+        gi, gj, elev, "_zw", "_ze",
+        F.lag(elev).over(col_w).alias("_zs"),
+        F.lead(elev).over(col_w).alias("_zn"),
+        F.lag("_zw").over(col_w).alias("_zsw"),
+        F.lead("_zw").over(col_w).alias("_znw"),
+        F.lag("_ze").over(col_w).alias("_zse"),
+        F.lead("_ze").over(col_w).alias("_zne"),
+    ).where(
+        F.col("_zw").isNotNull() & F.col("_ze").isNotNull()
+        & F.col("_zs").isNotNull() & F.col("_zn").isNotNull()
+        & F.col("_zsw").isNotNull() & F.col("_znw").isNotNull()
+        & F.col("_zse").isNotNull() & F.col("_zne").isNotNull()
+    )
+    z = F.col(elev)
+    # (code, neighbor) in ascending code order — the tie-break order
+    hood = [(1, "_ze"), (2, "_zse"), (4, "_zs"), (8, "_zsw"),
+            (16, "_zw"), (32, "_znw"), (64, "_zn"), (128, "_zne")]
+    drops = [(code, z - F.col(c)) for code, c in hood]
+    best = F.greatest(*[d for _, d in drops])
+    dir_expr = F.lit(0)
+    for code, d in reversed(drops):
+        dir_expr = F.when(d == best, F.lit(code)).otherwise(dir_expr)
+    return p2.select(
+        gi, gj,
+        F.when(best > 0, dir_expr).otherwise(F.lit(0)).cast("int")
+        .alias("flow_dir"),
+        best.alias("max_drop"),
+    )

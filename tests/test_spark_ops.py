@@ -1565,3 +1565,57 @@ def test_track_hausdorff_analytic(spark):
     assert abs(got[(1, 2)] - 0.5 * deg) < 1.0
     # track 3 vs 1: farthest point of 1 is lon 0 -> 50 deg away
     assert abs(got[(1, 3)] - 50.0 * deg) < 1.0
+
+
+def test_flow_d8_analytic(spark):
+    """Tilted plane z = gi + 2*gj: steepest drop from any interior cell
+    is the SW diagonal (code 8, drop 3); a bowl center is a pit (0);
+    a flat plane is all pits with ties never firing."""
+    from pyspark.sql import functions as F
+
+    from projcl_spark.operators.raster import flow_d8
+
+    n = 5
+    plane = [(i, j, i + 2 * j) for i in range(n) for j in range(n)]
+    df = spark.createDataFrame(plane, "gi long, gj long, elev long")
+    got = {(r["gi"], r["gj"]): r for r in flow_d8(df).collect()}
+    assert set(got) == {(i, j) for i in range(1, 4) for j in range(1, 4)}
+    for r in got.values():
+        assert r["flow_dir"] == 8 and r["max_drop"] == 3
+
+    bowl = [(i, j, abs(i - 2) + abs(j - 2)) for i in range(n) for j in range(n)]
+    bdf = spark.createDataFrame(bowl, "gi long, gj long, elev long")
+    bgot = {(r["gi"], r["gj"]): r for r in flow_d8(bdf).collect()}
+    assert bgot[(2, 2)]["flow_dir"] == 0  # pit
+    # cell east of center: ties between W (16, toward center) and the
+    # diagonals NW/SW (32/8, same drop 1 on manhattan bowl)? drops:
+    # W=1, NW=0, SW=0 -> W wins outright... check the simple fact:
+    assert bgot[(3, 2)]["flow_dir"] == 16 and bgot[(3, 2)]["max_drop"] == 1
+    flat = spark.createDataFrame([(i, j, 7) for i in range(n) for j in range(n)],
+                                 "gi long, gj long, elev long")
+    assert all(r["flow_dir"] == 0 for r in flow_d8(flat).collect())
+
+
+def test_cell_bfs_hops(spark):
+    """A 1-wide corridor with a gap: hops count along the corridor, the
+    far side of the gap is unreachable; max_hops truncates."""
+    from pyspark.sql import functions as F
+
+    from projcl_spark.operators.dbscan import cell_bfs
+
+    res, n = 3, 8
+
+    def cid(ix, iy):
+        return ix * n + iy
+
+    corridor = [cid(i, 4) for i in range(5)]          # (0..4, 4)
+    island = [cid(7, 0)]                              # unreachable (gap)
+    cells = spark.createDataFrame(
+        [(c, 1) for c in corridor + island], "cell_id long, cnt long")
+    src = spark.createDataFrame([(cid(0, 4),)], "cell_id long")
+    got = {r["cell_id"]: r["hops"]
+           for r in cell_bfs(cells, res, src, max_hops=10).collect()}
+    assert got == {cid(i, 4): i for i in range(5)}
+    got2 = {r["cell_id"]: r["hops"]
+            for r in cell_bfs(cells, res, src, max_hops=2).collect()}
+    assert got2 == {cid(i, 4): i for i in range(3)}
