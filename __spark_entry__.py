@@ -4842,6 +4842,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "zonal_median",
     "flow_d8",
     "cell_bfs",
+    "decontaminate",
+    "pii_scan",
 )
 
 

@@ -533,6 +533,16 @@ def build_queries(spark, sf_dir):
         _force(E.q_cell_bfs(spark, sf_dir))
         return n_pts
 
+    def q_decontaminate():
+        # eval-leak check: exploded-gram winnow + fingerprint equi-join
+        _force(E._q_text("decontaminate")(spark, sf_dir))
+        return n_docs
+
+    def q_pii_scan():
+        # three regex counters per doc, pure codegen map
+        _force(E._q_text("pii_scan")(spark, sf_dir))
+        return n_docs
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -594,6 +604,8 @@ def build_queries(spark, sf_dir):
         "zonal_median": q_zonal_median,
         "flow_d8": q_flow_d8,
         "cell_bfs": q_cell_bfs,
+        "decontaminate": q_decontaminate,
+        "pii_scan": q_pii_scan,
     }
 
 

@@ -47,12 +47,31 @@ def _d(dialect: str) -> dict:
         return dict(
             T="transform", FILT="filter", MIN="array_min", SIZE="size",
             DIST="array_distinct", SUML="aggregate({x}, CAST(0 AS BIGINT), (acc, v) -> acc + v)",
-            STR="STRING",
+            STR="STRING", EXPL="explode",
         )
     return dict(
         T="list_transform", FILT="list_filter", MIN="list_min", SIZE="len",
         DIST="list_distinct", SUML="list_sum({x})", STR="VARCHAR",
+        EXPL="unnest",
     )
+
+
+def _regex_count(text: str, pat: str, dialect: str) -> str:
+    """Non-overlapping match count of a BACKSLASH-FREE regex (patterns
+    here use [.] / [0-9] instead of \\. / \\d so the literal needs no
+    escaping in either dialect: Spark treats backslash as a string
+    escape, DuckDB does not)."""
+    if dialect == "spark":
+        return f"regexp_count({text}, '{pat}')"
+    return f"len(regexp_extract_all({text}, '{pat}'))"
+
+
+# PII patterns — deliberately backslash-free (see _regex_count); both
+# engines use leftmost non-overlapping semantics for these constructs
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE = "[+][0-9][0-9 ()-]{7,}[0-9]"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+DECON_MIN_SHARED = 1  # any shared fingerprint flags a doc
 
 
 def _seq(a, b, dialect: str) -> str:
@@ -343,6 +362,69 @@ SELECT doc_id, CAST({D['SIZE']}(fps) AS BIGINT) AS n_fp,
        {D['MIN']}(fps) AS min_fp
 FROM fp"""
 
+    # Decontamination: treat the mutated copies as a LEAKED EVAL SET and
+    # find which corpus docs share winnowing fingerprints with it — the
+    # training-pipeline "did the benchmark leak into the corpus?" check.
+    # Equi-join on the 60-bit fingerprint hash (never text×text); per-doc
+    # fingerprint lists are already distinct and the eval list is
+    # distinct'd, so plain counts are exact overlap cardinalities.
+    # The fingerprints here are NOT the winnow_sql list expression: an
+    # explode over that list re-evaluates the whole per-doc gram-hash
+    # list once PER EMITTED ROW (measured: 180 s vs 2 s at sf0.001).
+    # Instead explode the gram POSITIONS first (one md5 per gram row),
+    # take window minima over an ordered frame, then distinct — the
+    # identical winnowing semantics (k-gram hashes → per-window minima →
+    # distinct), and the formulation that scales: the shuffle moves
+    # (doc_id, i, hash) triples, never text or hash lists.
+    expl = D["EXPL"]
+    k, w = WINNOW_K, WINNOW_W
+
+    def fp_cte(src: str, tag: str) -> str:
+        seq = _seq("0", f"length(text) - {k}", dialect)
+        gram = f"substring(text, i + 1, {k})"
+        return f"""
+g{tag} AS (SELECT doc_id, text, {expl}({seq}) AS i FROM {src}),
+h{tag} AS (SELECT doc_id, i, length(text) AS ln,
+                  {_h60_of(gram, 'fp', dialect)} AS h FROM g{tag}),
+w{tag} AS (SELECT doc_id, i, ln,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                    AS fp
+           FROM h{tag}),
+fp{tag} AS (SELECT DISTINCT doc_id, fp FROM w{tag}
+            WHERE i <= ln - {k} + 1 - {w})"""
+
+    decontam = f"""
+WITH base AS ({base}),
+mut AS ({mut}),{fp_cte('base', 'b')},{fp_cte('mut', 'e0')},
+fpe AS (SELECT DISTINCT fp FROM fpe0),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fpb GROUP BY doc_id),
+hits AS (SELECT fpb.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM fpb JOIN fpe ON fpb.fp = fpe.fp GROUP BY fpb.doc_id)
+SELECT h.doc_id, h.n_shared, nf.n_fp
+FROM hits h JOIN nf ON h.doc_id = nf.doc_id
+WHERE h.n_shared >= {DECON_MIN_SHARED}"""
+
+    # PII scan: counts of email/phone/IPv4-shaped spans per document.
+    # Every 7th doc gets synthetic PII appended INSIDE the query (the
+    # base_mut trick) so true positives exist and zero-count rows verify
+    # the absence of false positives.
+    st = D["STR"]
+    pii_text = (
+        f"CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'"
+        f" || CAST(doc_id AS {st}) || '@example.com or +1 555 010 '"
+        f" || CAST(doc_id % 10000 AS {st}) || ' at 10.0.'"
+        f" || CAST(doc_id % 256 AS {st}) || '.25' ELSE text END"
+    )
+    pii = f"""
+WITH base AS ({base}),
+aug AS (SELECT doc_id, {pii_text} AS text FROM base)
+SELECT doc_id,
+       CAST({_regex_count('text', PII_EMAIL, dialect)} AS BIGINT) AS n_email,
+       CAST({_regex_count('text', PII_PHONE, dialect)} AS BIGINT) AS n_phone,
+       CAST({_regex_count('text', PII_IPV4, dialect)} AS BIGINT) AS n_ipv4
+FROM aug"""
+
     return {
         "dedup_minhash": minhash_pairs,
         "dedup_simhash": simhash,
@@ -350,6 +432,8 @@ FROM fp"""
         "lang_id": langid,
         "doc_quality": quality,
         "doc_fingerprint": fingerprint,
+        "decontaminate": decontam,
+        "pii_scan": pii,
     }
 
 
