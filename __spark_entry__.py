@@ -24,7 +24,7 @@ from collections.abc import Callable
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projcl_spark import oracle as O
@@ -3860,6 +3860,155 @@ SELECT id AS cell_id, CAST(min(h) AS INT) AS hops
 FROM reach GROUP BY id"""
 
 
+_HR_BOX = (0.0, 30.0, 10.0, 40.0)  # lon_min, lon_max, lat_min, lat_max
+
+
+def q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert scan-range planning (``index.hilbert.hilbert_ranges``):
+    the occupied res-8 cells of a lon/lat box, Hilbert-encoded and
+    collapsed into maximal consecutive id ranges — the min/max
+    predicates a reader pushes down against a Hilbert-clustered table.
+    Window runs over the CELL set, never the corpus; all integer."""
+    from projcl_spark.index.hilbert import hilbert_cols, hilbert_ranges
+
+    n = 1 << _HILBERT_RES
+    lo, hi, blo, bhi = _HR_BOX
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+        (F.col("lon") >= lo) & (F.col("lon") < hi)
+        & (F.col("lat") >= blo) & (F.col("lat") < bhi))
+    c = cell_id_col(F.col("lon"), F.col("lat"), _HILBERT_RES)
+    cells = pts.select(
+        F.floor(c / n).cast("long").alias("ix"),
+        (c % n).cast("long").alias("iy"),
+    ).distinct()
+    return hilbert_ranges(hilbert_cols(cells, _HILBERT_RES))
+
+
+def _o_hilbert_ranges() -> str:
+    n = 1 << _HILBERT_RES
+    lo, hi, blo, bhi = _HR_BOX
+    cell = cell_id_sql("lon", "lat", _HILBERT_RES)
+    ctes = [
+        f"pts AS (SELECT * FROM ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})"
+        f" WHERE lon >= {O._r(lo)} AND lon < {O._r(hi)}"
+        f" AND lat >= {O._r(blo)} AND lat < {O._r(bhi)})",
+        f"d AS (SELECT DISTINCT {cell} // {n} AS ix, {cell} % {n} AS iy FROM pts)",
+    ]
+    prev = "d"
+    for name, stage in O.hilbert_stages_sql(_HILBERT_RES, "ix", "iy"):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage.items())
+        ctes.append(f"{name} AS (SELECT {cols} FROM {prev})")
+        prev = name
+    ctes.append(f"r AS (SELECT hd AS h, hd - row_number() OVER (ORDER BY hd)"
+                f" AS rid FROM {prev})")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT CAST(min(h) AS BIGINT) AS range_start,
+       CAST(max(h) AS BIGINT) AS range_end,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM r GROUP BY rid"""
+
+
+_QT_RES_MAX, _QT_RES_MIN, _QT_CAP_DEN = 7, 4, 150
+
+
+def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree tiling (``index.cells.adaptive_tiles``): the
+    lineitem density surface cut into mixed-resolution tiles, each
+    holding ≤ 1/150 of the corpus where possible (denser → deeper, to
+    res 7) — roughly equal-weight tiles however skewed the surface.
+    Relative integer cap ⇒ the same query is meaningful at every sf;
+    all integer ⇒ bit-exact."""
+    from projcl_spark.index.cells import adaptive_tiles
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    leaf = pts.groupBy(
+        cell_id_col(F.col("lon"), F.col("lat"), _QT_RES_MAX).alias("cell_id")
+    ).agg(F.count("*").alias("cnt"))
+    return adaptive_tiles(leaf, _QT_RES_MAX, _QT_RES_MIN,
+                          cap_den=_QT_CAP_DEN)
+
+
+def _o_adaptive_tiles() -> str:
+    n7 = 1 << _QT_RES_MAX
+    cell = cell_id_sql("lon", "lat", _QT_RES_MAX)
+    anc = []
+    for lv in range(_QT_RES_MIN, _QT_RES_MAX):
+        sh = 1 << (_QT_RES_MAX - lv)
+        anc.append(f"(c // {n7}) // {sh} * {1 << lv} + (c % {n7}) // {sh} AS a{lv}")
+    joins, cnt_ctes = [], []
+    for lv in range(_QT_RES_MIN, _QT_RES_MAX):
+        cnt_ctes.append(
+            f"g{lv} AS (SELECT a{lv} AS k{lv}, CAST(sum(v) AS BIGINT)"
+            f" AS cnt{lv} FROM a GROUP BY a{lv})")
+        joins.append(f"JOIN g{lv} ON a.a{lv} = g{lv}.k{lv}")
+    lvl, tile, cnt = str(_QT_RES_MAX), "c", "v"
+    for lv in range(_QT_RES_MAX - 1, _QT_RES_MIN - 1, -1):
+        fits = f"{_QT_CAP_DEN} * cnt{lv} <= tot"
+        lvl = f"CASE WHEN {fits} THEN {lv} ELSE {lvl} END"
+        tile = f"CASE WHEN {fits} THEN a{lv} ELSE {tile} END"
+        cnt = f"CASE WHEN {fits} THEN cnt{lv} ELSE {cnt} END"
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+leaf AS (SELECT {cell} AS c, CAST(count(*) AS BIGINT) AS v FROM pts GROUP BY 1),
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS tot FROM leaf),
+a AS (SELECT c, v, {', '.join(anc)} FROM leaf),
+{', '.join(cnt_ctes)}
+SELECT DISTINCT CAST({lvl} AS INT) AS level,
+       CAST({tile} AS BIGINT) AS cell_id,
+       CAST({cnt} AS BIGINT) AS cnt
+FROM a {' '.join(joins)}, tot"""
+
+
+_MODE_RES = 4
+
+
+def q_cell_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell majority class: the most frequent event_type per res-4
+    cell, ties to the lexicographically smallest type — the categorical
+    'mode' aggregate, as a count rollup + WindowGroupLimit rank (both
+    exchanges on shrinking data; integer counts, total tie order)."""
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "event_type")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_type",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    counts = ev.groupBy(
+        cell_id_col(F.col("lon"), F.col("lat"), _MODE_RES).alias("cell_id"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("cell_id", F.col("event_type").alias("top_type"),
+                F.col("n").cast("long").alias("n_events"))
+    )
+
+
+def _o_cell_mode() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    cell = cell_id_sql("lon", "lat", _MODE_RES)
+    return f"""
+WITH pts AS (SELECT event_type, {lon_e} AS lon, {lat_e} AS lat FROM events),
+c AS (SELECT {cell} AS cell_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+r AS (SELECT cell_id, event_type, n,
+             row_number() OVER (PARTITION BY cell_id
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM c)
+SELECT cell_id, event_type AS top_type, n AS n_events
+FROM r WHERE rk = 1"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -4844,6 +4993,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "cell_bfs",
     "decontaminate",
     "pii_scan",
+    "hilbert_ranges",
+    "adaptive_tiles",
+    "cell_mode",
 )
 
 
@@ -4938,6 +5090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         zonal_median=q_zonal_median,
         flow_d8=q_flow_d8,
         cell_bfs=q_cell_bfs,
+        hilbert_ranges=q_hilbert_ranges,
+        adaptive_tiles=q_adaptive_tiles,
+        cell_mode=q_cell_mode,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -5048,6 +5203,9 @@ def oracle_sql() -> dict[str, str]:
         zonal_median=_o_zonal_median(),
         flow_d8=_o_flow_d8(),
         cell_bfs=_o_cell_bfs(),
+        hilbert_ranges=_o_hilbert_ranges(),
+        adaptive_tiles=_o_adaptive_tiles(),
+        cell_mode=_o_cell_mode(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -543,6 +543,21 @@ def build_queries(spark, sf_dir):
         _force(E._q_text("pii_scan")(spark, sf_dir))
         return n_docs
 
+    def q_hilbert_ranges():
+        # box cover -> hilbert ids -> islands-and-gaps scan ranges
+        _force(E.q_hilbert_ranges(spark, sf_dir))
+        return n_pts
+
+    def q_adaptive_tiles():
+        # mixed-resolution quadtree cut of the density surface
+        _force(E.q_adaptive_tiles(spark, sf_dir))
+        return n_pts
+
+    def q_cell_mode():
+        # per-cell majority class: rollup + WindowGroupLimit rank
+        _force(E.q_cell_mode(spark, sf_dir))
+        return n_events
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -606,6 +621,9 @@ def build_queries(spark, sf_dir):
         "cell_bfs": q_cell_bfs,
         "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
+        "hilbert_ranges": q_hilbert_ranges,
+        "adaptive_tiles": q_adaptive_tiles,
+        "cell_mode": q_cell_mode,
     }
 
 

@@ -228,3 +228,64 @@ def compact_cover(cells: DataFrame, res: int, min_res: int,
     for more in levels[1:]:
         out = out.unionByName(more)
     return out
+
+
+def adaptive_tiles(leaf_counts: DataFrame, res_max: int, res_min: int,
+                   cap_den: int = 150, cell: str = "cell_id",
+                   val: str = "cnt") -> DataFrame:
+    """Adaptive quadtree tiling — the inverse of ``compact_cover``:
+    starting from leaf-resolution counts, each region is represented at
+    the COARSEST level whose tile holds ≤ total/cap_den of the corpus
+    (denser areas recurse deeper, down to ``res_max``).  The output
+    (level, cell_id, cnt) is the mixed-resolution tile set a map server
+    or partitioner wants: roughly equal-weight tiles regardless of how
+    skewed the density surface is.
+
+    The relative cap (cap_den·cnt ≤ total, integer cross-multiplication)
+    keeps the query meaningful at every scale.  Tile choice per leaf is
+    the FIRST level in res_min..res_max whose ancestor count fits —
+    counts only shrink with depth, so the cut is well-defined; leaves
+    whose own count still violates the cap stay at res_max.
+
+    Plan: one rollup per level off the leaf table (each a cell-sized
+    map-side-combinable aggregate), ancestor ids by bit arithmetic, a
+    join per level (cell-sized × cell-sized), one CASE — the corpus is
+    touched only by whoever built ``leaf_counts``.
+    """
+    total = leaf_counts.agg(F.sum(F.col(val)).cast("long").alias("_total"))
+    n_max = _scale(res_max)
+    base = leaf_counts.select(
+        F.col(cell).cast("long").alias("c"), F.col(val).cast("long").alias("v"))
+    ix = F.floor(F.col("c") / n_max).cast("long")
+    iy = (F.col("c") % n_max).cast("long")
+    anc_cols = {}
+    for lv in range(res_min, res_max):
+        sh = res_max - lv
+        anc_cols[f"a{lv}"] = (
+            F.floor(ix / (1 << sh)) * _scale(lv) + F.floor(iy / (1 << sh))
+        ).cast("long")
+    # the leaf table sits on BOTH sides of every per-level join (spine +
+    # that level's rollup) — without materialization the plan embeds 2^L
+    # copies of the upstream corpus rollup (measured 22 s vs 2 s at
+    # sf0.1).  It is cell-sized, so the checkpoint is cheap.
+    leaf = base.withColumns(anc_cols).localCheckpoint()
+    out = leaf
+    for lv in range(res_min, res_max):
+        cnts = (leaf.groupBy(F.col(f"a{lv}").alias("_k"))
+                .agg(F.sum("v").alias(f"cnt{lv}")))
+        out = out.join(cnts, out[f"a{lv}"] == cnts["_k"]).drop("_k")
+    out = out.crossJoin(F.broadcast(total))
+    level = F.lit(res_max)
+    tile = F.col("c")
+    cnt = F.col("v")
+    for lv in range(res_max - 1, res_min - 1, -1):
+        fits = (F.lit(cap_den) * F.col(f"cnt{lv}")) <= F.col("_total")
+        level = F.when(fits, F.lit(lv)).otherwise(level)
+        tile = F.when(fits, F.col(f"a{lv}")).otherwise(tile)
+        cnt = F.when(fits, F.col(f"cnt{lv}")).otherwise(cnt)
+    return (
+        out.select(level.alias("level"), tile.alias(cell), cnt.alias(val))
+        .distinct()
+        .select(F.col("level").cast("int"), F.col(cell).cast("long"),
+                F.col(val).cast("long"))
+    )

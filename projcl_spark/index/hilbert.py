@@ -16,7 +16,7 @@ all-integer, so the ids are bit-identical cross-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import oracle as O
@@ -53,3 +53,26 @@ def hilbert_np(ix, iy, res: int):
         x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
         s >>= 1
     return d
+
+
+def hilbert_ranges(cells_h: DataFrame, h: str = "h") -> DataFrame:
+    """Collapse a set of Hilbert cell ids into maximal CONSECUTIVE id
+    ranges — the scan-plan form of a spatial region: a box cover that
+    compacts to a handful of (start, end) ranges is exactly what a
+    reader pushes down as min/max predicates against a Hilbert-sorted
+    table (the payoff of the curve's adjacency property; a Z-order
+    cover of the same box fragments into many more runs).
+
+    Islands-and-gaps: sort ids, run_id = h − row_number() (constant
+    within a consecutive run), one aggregate per run.  Two window/agg
+    stages over the CELL set (not the corpus).  All integer.
+    """
+    w = Window.orderBy(F.col(h).asc())
+    runs = cells_h.select(F.col(h).cast("long").alias("h")).distinct() \
+        .withColumn("_rid", F.col("h") - F.row_number().over(w))
+    return (
+        runs.groupBy("_rid")
+        .agg(F.min("h").alias("range_start"), F.max("h").alias("range_end"),
+             F.count("*").alias("n_cells"))
+        .select("range_start", "range_end", "n_cells")
+    )

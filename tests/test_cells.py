@@ -179,3 +179,41 @@ def test_compact_cover_analytic(spark):
     got2 = {(r["level"], r["cell_id"])
             for r in compact_cover(bdf, 3, 2).collect()}
     assert got2 == {(2, ix * 4 + iy) for ix in (2, 3) for iy in (2, 3)}
+
+
+def test_adaptive_tiles_skewed(spark):
+    """One hot max-res cell holding most of the mass stays a leaf; the
+    sparse remainder collapses to coarse tiles; tiles partition the
+    leaf set (every leaf count is inside exactly one tile)."""
+    from projcl_spark.index.cells import adaptive_tiles
+
+    res_max, res_min = 4, 2
+    n = 1 << res_max
+
+    def cid(ix, iy):
+        return ix * n + iy
+
+    # hot cell with 1000 points, 20 sparse cells with 1 point each
+    rows = [(cid(3, 3), 1000)] + [(cid(8 + i % 4, 8 + i // 4), 1)
+                                  for i in range(16)]
+    df = spark.createDataFrame(rows, "cell_id long, cnt long")
+    out = adaptive_tiles(df, res_max, res_min, cap_den=10).collect()
+    got = {(r["level"], r["cell_id"]): r["cnt"] for r in out}
+    # total = 1016, cap = total/10 = 101.6: the hot leaf (1000) violates
+    # the cap at EVERY level -> stays at res_max
+    assert got[(res_max, cid(3, 3))] == 1000
+    # the sparse 4x4 block at (8..11, 8..11) = one res-2 tile (2,2)@res2
+    # with 16 points <= cap
+    assert got[(res_min, 2 * 4 + 2)] == 16
+    assert sum(got.values()) == 1016
+
+
+def test_hilbert_ranges_runs(spark):
+    """Consecutive ids collapse into single ranges; gaps split them."""
+    from projcl_spark.index.hilbert import hilbert_ranges
+
+    ids = [5, 6, 7, 10, 11, 40]
+    df = spark.createDataFrame([(h,) for h in ids], "h long")
+    got = sorted((r["range_start"], r["range_end"], r["n_cells"])
+                 for r in hilbert_ranges(df).collect())
+    assert got == [(5, 7, 3), (10, 11, 2), (40, 40, 1)]
