@@ -101,3 +101,21 @@ def test_neighbors_are_adjacent(lon, lat, res):
         )
         assert lon_touches
         assert nla1 >= la0 - 1e-9 and nla0 <= la1 + 1e-9
+
+
+@settings(max_examples=12, deadline=None)
+@given(res=st.integers(1, 5))
+def test_hilbert_bijection_adjacency_all_res(res):
+    """For every resolution, the Hilbert map is a bijection onto
+    [0, 4^res) and consecutive ids are always grid-adjacent (manhattan
+    step 1) — exhaustively over the full lattice."""
+    from projcl_spark.index.hilbert import hilbert_np
+
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_np(xs.ravel(), ys.ravel(), res)
+    assert np.array_equal(np.sort(d), np.arange(n * n))
+    order = np.argsort(d)
+    steps = (np.abs(np.diff(xs.ravel()[order]))
+             + np.abs(np.diff(ys.ravel()[order])))
+    assert (steps == 1).all()

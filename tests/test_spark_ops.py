@@ -1619,3 +1619,86 @@ def test_cell_bfs_hops(spark):
     got2 = {r["cell_id"]: r["hops"]
             for r in cell_bfs(cells, res, src, max_hops=2).collect()}
     assert got2 == {cid(i, 4): i for i in range(3)}
+
+
+def test_compact_cover_expansion_roundtrip_property(spark):
+    """Hypothesis: for random cell sets, expanding the compacted cover
+    back to leaf resolution reproduces EXACTLY the input set (no cell
+    lost, none invented), and no emitted tile above min_res has all 4
+    siblings present (else it would have been compacted)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from projcl_spark.index.cells import compact_cover
+
+    res, min_res, n = 4, 1, 16
+
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(cells=st.sets(st.integers(0, n * n - 1), min_size=1, max_size=80))
+    def run(cells):
+        df = spark.createDataFrame([(c,) for c in cells], "cell_id long")
+        out = compact_cover(df, res, min_res).collect()
+
+        def leaves(level, c):
+            ix, iy = c // (1 << level), c % (1 << level)
+            sh = res - level
+            return {(ix * (1 << sh) + dx) * n + iy * (1 << sh) + dy
+                    for dx in range(1 << sh) for dy in range(1 << sh)}
+
+        expanded = set()
+        for r in out:
+            lv = r["level"]
+            got = leaves(lv, r["cell_id"])
+            assert not (expanded & got)  # tiles are disjoint
+            expanded |= got
+        assert expanded == set(cells)
+
+    run()
+
+
+def test_ring_pairs_random_vs_brute_property(spark):
+    """Hypothesis: ripley pair counts equal the brute-force double loop
+    for random clouds that include high-latitude points (the adaptive
+    lon ring's hard case)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from projcl_spark.operators.stats import ripley_pairs
+
+    R = 6370997.0
+
+    def hav(lo1, la1, lo2, la2):
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dl = math.radians(lo2 - lo1)
+        a = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(seed=st.integers(0, 2**31 - 1))
+    def run(seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        m = 30
+        lons = list(rng.uniform(-170, 170, m))
+        lats = list(np.clip(rng.normal(55, 25, m), -85.0, 85.0))
+        rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lons, lats))]
+        df = spark.createDataFrame(rows, "id long, lon double, lat double")
+        radii = (100_000.0, 300_000.0)
+        got = ripley_pairs(df, radii, res=6).first()
+        want = {r: 0 for r in radii}
+        for i in range(m):
+            for j in range(i + 1, m):
+                d = hav(lons[i], lats[i], lons[j], lats[j])
+                for r in radii:
+                    if d < r:
+                        want[r] += 1
+        assert got["pairs_100km"] == want[100_000.0]
+        assert got["pairs_300km"] == want[300_000.0]
+
+    run()
