@@ -4009,6 +4009,27 @@ SELECT cell_id, event_type AS top_type, n AS n_events
 FROM r WHERE rk = 1"""
 
 
+def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence transitions, value-checked: the stateless
+    inside-flag closure + an ``applyInPandasWithState`` flip detector
+    (two scalars of state per entity, NO timeout — fence state never
+    expires, so the availableNow drain terminates immediately).
+    n_parts=1 → one micro-batch → per-user complete order → the emitted
+    set equals the batch ``geofence_events`` operator row-for-row, which
+    is exactly what the DuckDB lag-window twin computes."""
+    from projcl_spark.sources.synth import polygons_df
+    from projcl_spark.streaming.ops import stream_geofence
+
+    polys = polygons_df(spark, 16, res=PIP_RES)
+    name = _run_available_now(spark, sf_dir, "stream_geofence", 1,
+                              lambda s: stream_geofence(s, polys, res=PIP_RES))
+    return spark.sql(f"SELECT user_id, t_us, direction FROM {name}")
+
+
+def _o_stream_geofence() -> str:
+    return _o_geofence_events()
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -4996,6 +5017,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "hilbert_ranges",
     "adaptive_tiles",
     "cell_mode",
+    "stream_geofence",
 )
 
 
@@ -5093,6 +5115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hilbert_ranges=q_hilbert_ranges,
         adaptive_tiles=q_adaptive_tiles,
         cell_mode=q_cell_mode,
+        stream_geofence=q_stream_geofence,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -5206,6 +5229,7 @@ def oracle_sql() -> dict[str, str]:
         hilbert_ranges=_o_hilbert_ranges(),
         adaptive_tiles=_o_adaptive_tiles(),
         cell_mode=_o_cell_mode(),
+        stream_geofence=_o_stream_geofence(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -558,6 +558,11 @@ def build_queries(spark, sf_dir):
         _force(E.q_cell_mode(spark, sf_dir))
         return n_events
 
+    def q_stream_geofence():
+        # stateless inside-flag + stateful flip detector, availableNow
+        E.q_stream_geofence(spark, sf_dir).count()
+        return n_events
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -624,6 +629,7 @@ def build_queries(spark, sf_dir):
         "hilbert_ranges": q_hilbert_ranges,
         "adaptive_tiles": q_adaptive_tiles,
         "cell_mode": q_cell_mode,
+        "stream_geofence": q_stream_geofence,
     }
 
 

@@ -263,3 +263,80 @@ def sessionize_batch_oracle(df: DataFrame) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+GEOFENCE_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("t_us", LongType()),
+    StructField("direction", StringType()),
+])
+
+# last inside/outside flag per entity; last event µs carried so a later
+# micro-batch continues from the right boundary state
+_GEOFENCE_STATE = "last_inside boolean, last_us double"
+
+
+def _geofence_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-entity geofence state machine: emit a row whenever the
+    inside-flag CHANGES between consecutive pings (batch rows sorted by
+    (t_us, event_id) — the same total order as the batch operator).  The
+    boundary state (last flag) persists across micro-batches, so a
+    transition straddling two batches is emitted exactly once, by the
+    batch that observes the flip.  No timeout: fence state is two scalars
+    per entity and never expires on its own."""
+    (user_id,) = key
+    df = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
+    if state.exists:
+        prev_inside, _ = state.get
+        prev = bool(prev_inside)
+    else:
+        prev = None
+    t_out, d_out = [], []
+    last_t = 0.0
+    for t, ins in zip(df["t_us"].to_numpy(), df["inside"].to_numpy()):
+        ins = bool(ins)
+        if prev is not None and ins != prev:
+            t_out.append(int(t))
+            d_out.append("enter" if ins else "exit")
+        prev = ins
+        last_t = float(t)
+    if prev is not None:
+        state.update((prev, last_t))
+    yield pd.DataFrame({
+        "user_id": [user_id] * len(t_out),
+        "t_us": pd.Series(t_out, dtype="int64"),
+        "direction": d_out,
+    })
+
+
+def stream_geofence(stream: DataFrame, polygons: DataFrame,
+                    res: int = 7) -> DataFrame:
+    """Streaming geofence enter/exit detection — the live twin of
+    ``operators.trajectory.geofence_transitions``: a STATELESS
+    inside-flag map (the inverted broadcast cover closure,
+    ``pip.pip_inside_flag`` — zero joins on the stream side) feeds a
+    per-entity ``applyInPandasWithState`` flip detector whose state is
+    two scalars per entity.  With a single availableNow micro-batch the
+    emitted set equals the batch operator row-for-row (the gate query's
+    value oracle); across batches the boundary state makes each
+    transition fire exactly once."""
+    from ..operators.pip import pip_inside_flag
+
+    lon_e, lat_e = derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                  "spark")
+    pts = stream.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"),
+    )
+    flagged = pip_inside_flag(pts, polygons, res=res).select(
+        "user_id", "event_id", "t_us", "inside")
+    return flagged.groupBy("user_id").applyInPandasWithState(
+        _geofence_fn,
+        outputStructType=GEOFENCE_SCHEMA,
+        stateStructType=_GEOFENCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -266,3 +266,76 @@ def test_ivf_deterministic(spark):
     b = cosine_topk_ivf(q.repartition(3), emb.repartition(7), k=3).toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert (a["neighbor_id"] == b["neighbor_id"]).all()
+
+
+def test_stream_geofence_cross_batch_boundary(spark, tmp_path):
+    """A user whose fence crossing straddles two micro-batches emits the
+    transition EXACTLY once (from the batch that observes the flip), and
+    the full emitted set equals the batch operator.  Two parquet files +
+    maxFilesPerTrigger=1 force two ordered micro-batches."""
+    import uuid
+
+    import numpy as np
+
+    from projcl_spark.operators.trajectory import geofence_transitions
+    from projcl_spark.sources.synth import polygon_cover_cells
+    from projcl_spark.streaming.ops import stream_geofence
+    from projcl_spark.oracle import derived_lonlat
+
+    # fence = unit square matching PIP res 7 conventions
+    p = {"poly_id": 0,
+         "xs": np.array([0.0, 20.0, 20.0, 0.0]),
+         "ys": np.array([0.0, 0.0, 20.0, 20.0])}
+    polys = spark.createDataFrame(
+        [(0, [0.0, 20.0, 20.0, 0.0], [0.0, 0.0, 20.0, 20.0],
+          [int(c) for c in polygon_cover_cells(p, 7)])],
+        "poly_id long, xs array<double>, ys array<double>, cells array<long>")
+
+    # stream_geofence derives lon/lat from event_id; probe the derivation
+    # to build a ping sequence that actually crosses the fence
+    lon_e, lat_e = derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                  "spark")
+    probe = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    inside_ids, outside_ids = [], []
+    for r in probe.collect():
+        (inside_ids if (0 < r["lon"] < 20 and 0 < r["lat"] < 20)
+         else outside_ids).append(r["event_id"])
+    assert len(inside_ids) >= 2 and len(outside_ids) >= 2
+
+    # user 1: out, in | (batch split) | in, out  -> enter + exit, the
+    # exit observed in batch 2 relative to batch-1 boundary state
+    seq = [outside_ids[0], inside_ids[0], inside_ids[1], outside_ids[1]]
+    ts = ["2024-01-01 10:0%d:00" % i for i in range(4)]
+    rows1 = [(seq[0], 1, ts[0]), (seq[1], 1, ts[1])]
+    rows2 = [(seq[2], 1, ts[2]), (seq[3], 1, ts[3])]
+    d = str(tmp_path / "geo_in")
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(d)
+    # batch reference over the SAME rows
+    allrows = spark.read.parquet(d)
+    lon_e2, lat_e2 = derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = allrows.select("user_id", "ts", "event_id",
+                        F.expr(lon_e2).alias("lon"), F.expr(lat_e2).alias("lat"))
+    want = sorted((r["user_id"], r["t_us"], r["direction"]) for r in
+                  geofence_transitions(ev, polys, order_id="event_id", res=7)
+                  .withColumn("t_us", F.col("t_us").cast("long")).collect())
+
+    schema = allrows.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    name = f"geof_{uuid.uuid4().hex[:8]}"
+    q = (stream_geofence(stream, polys, res=7)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(180), "stream did not terminate"
+    finally:
+        q.stop()
+    got = sorted((r["user_id"], r["t_us"], r["direction"]) for r in
+                 spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == want and len(got) == 2
