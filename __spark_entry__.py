@@ -1131,7 +1131,7 @@ FROM pts, e"""
 
 
 # fixed great-circle route spanning the test envelope corner-to-corner
-_XT_ROUTE = (-60.0, -40.0, 60.0, 60.0)
+_XT_ROUTE = (-10.0, 8.0, 18.0, 36.0)
 
 
 def q_cross_track(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4030,6 +4030,168 @@ def _o_stream_geofence() -> str:
     return _o_geofence_events()
 
 
+_DIS_RES = 9
+
+
+def q_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon dissolve (union) measure by fine-grid rasterization: the
+    res-9 cover cells of the 16-polygon layer, center-tested against
+    their own polygon (the exact winding refine), reduced to ONE row —
+    union cell count, total per-polygon hits, and their difference (the
+    overlap measure a dissolve removes).  Cell centers are exact dyadic
+    arithmetic on the integer cell id, so both engines test identical
+    doubles; the layer is touched per (poly, cover-cell) — never a
+    point corpus."""
+    from projcl_spark.operators.pip import _pip_refine
+    from projcl_spark.sources.synth import polygons_df
+
+    n = 1 << _DIS_RES
+    polys = polygons_df(spark, 16, res=_DIS_RES)
+    cand = polys.select("poly_id", "xs", "ys", F.explode("cells").alias("c"))
+    lon_c = F.lit(-180.0) + (F.floor(F.col("c") / n) + 0.5) * F.lit(360.0 / n)
+    lat_c = F.lit(-90.0) + (F.col("c") % n + 0.5) * F.lit(180.0 / n)
+    ctr = cand.select("poly_id", "xs", "ys", "c",
+                      lon_c.alias("lon"), lat_c.alias("lat"))
+    # _pip_refine is already a pandas UDF (pip.py's huge-layer refine path)
+    hits = ctr.where(_pip_refine("lon", "lat", "xs", "ys", "poly_id")) \
+        .select("poly_id", "c").localCheckpoint()
+    agg = hits.agg(
+        F.countDistinct("c").cast("long").alias("n_union"),
+        F.count("*").cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        "n_union", "n_hits",
+        (F.col("n_hits") - F.col("n_union")).alias("n_overlap"),
+    )
+
+
+def _o_dissolve_area() -> str:
+    from projcl_spark.sources.synth import polygon_cover_cells, polygon_layer_np
+
+    n = 1 << _DIS_RES
+    rows = ", ".join(
+        "({}, [{}], [{}], [{}])".format(
+            p["poly_id"],
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+            ",".join(str(int(c)) for c in polygon_cover_cells(p, _DIS_RES)),
+        )
+        for p in polygon_layer_np(16, 42)
+    )
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    return f"""
+WITH poly(poly_id, xs, ys, cs) AS (VALUES {rows}),
+cand AS (SELECT poly_id, xs, ys, unnest(cs) AS c FROM poly),
+ctr AS (SELECT poly_id, xs, ys, c,
+               -180.0 + ((c // {n}) + 0.5) * {O._r(360.0 / n)} AS lon,
+               -90.0 + ((c % {n}) + 0.5) * {O._r(180.0 / n)} AS lat
+        FROM cand),
+hits AS (SELECT poly_id, c FROM ctr WHERE {inside})
+SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_union,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) - count(DISTINCT c) AS BIGINT) AS n_overlap
+FROM hits"""
+
+
+_ROUTE = (-10.0, 8.0, 18.0, 36.0)
+_CORRIDOR_M = 100_000.0
+
+
+def _route_bbox() -> tuple[float, float, float, float]:
+    """Conservative corridor bounding box: the densified great-circle
+    path's lon/lat envelope plus a margin that over-covers 100 km at the
+    worst-case latitude the corridor can reach.  A SUPERSET prune only —
+    the exact cross/along-track predicate decides membership; the bbox
+    exists so the expensive folded-trig chain (which Catalyst
+    re-evaluates per consumer across the filter/project boundary —
+    measured 4.5 s vs 0.7 s for the plain map) runs on candidates, not
+    the corpus.  At cluster scale this same literal range is what prunes
+    partitions/files."""
+    import math
+
+    lo1, la1, lo2, la2 = map(math.radians, _ROUTE)
+    lons, lats = [], []
+    d = 2.0 * math.asin(math.sqrt(
+        math.sin((la2 - la1) / 2) ** 2
+        + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2))
+    for k in range(65):
+        f = k / 64.0
+        a = math.sin((1 - f) * d) / math.sin(d)
+        b = math.sin(f * d) / math.sin(d)
+        x = a * math.cos(la1) * math.cos(lo1) + b * math.cos(la2) * math.cos(lo2)
+        y = a * math.cos(la1) * math.sin(lo1) + b * math.cos(la2) * math.sin(lo2)
+        z = a * math.sin(la1) + b * math.sin(la2)
+        lats.append(math.degrees(math.atan2(z, math.hypot(x, y))))
+        lons.append(math.degrees(math.atan2(y, x)))
+    lat_m = _CORRIDOR_M / 111_320.0 * 1.5
+    max_abs_lat = max(abs(min(lats)), abs(max(lats))) + lat_m
+    lon_m = _CORRIDOR_M / (111_320.0 * math.cos(math.radians(
+        min(max_abs_lat, 85.0)))) * 1.5
+    return (min(lons) - lon_m, max(lons) + lon_m,
+            min(lats) - lat_m, max(lats) + lat_m)
+
+
+def q_route_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route-corridor filter: sampled lineitem points within 100 km
+    cross-track of the fixed great-circle route AND within its
+    along-track length — one constant-folded codegen predicate off the
+    shared ``oracle.cross_track`` text (the route trig folds at plan
+    build; zero joins, zero shuffle).  The unsigned along-track bound
+    admits the mirrored pre-origin lobe — identical convention on both
+    engines (documented operator semantics)."""
+    import math
+
+    ks = ("l_orderkey", "l_linenumber")
+    blo, bhi, plo, phi = _route_bbox()
+    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+        (F.col("l_orderkey") % 3 == 0)
+        & (F.col("lon") >= blo) & (F.col("lon") <= bhi)
+        & (F.col("lat") >= plo) & (F.col("lat") <= phi))
+    dxt, dat = O.cross_track("lon", "lat", *_ROUTE)
+    R = 6370997.0
+    lo1, la1, lo2, la2 = map(math.radians, _ROUTE)
+    h = (math.sin((la2 - la1) / 2) ** 2
+         + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+    route_len = 2.0 * R * math.asin(math.sqrt(h))
+    out = pts.select(
+        *ks, F.expr(dxt).alias("_dxt"), F.expr(dat).alias("_dat"))
+    return (
+        out.where((F.abs(F.col("_dxt")) < _CORRIDOR_M)
+                  & (F.col("_dat") <= route_len))
+        .select(*ks, _q10_col(F.col("_dxt")).alias("dxt_10m"),
+                _q10_col(F.col("_dat")).alias("dat_10m"))
+    )
+
+
+def _o_route_corridor() -> str:
+    import math
+
+    dxt, dat = O.cross_track("lon", "lat", *_ROUTE)
+    R = 6370997.0
+    lo1, la1, lo2, la2 = map(math.radians, _ROUTE)
+    h = (math.sin((la2 - la1) / 2) ** 2
+         + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+    route_len = 2.0 * R * math.asin(math.sqrt(h))
+    blo, bhi, plo, phi = _route_bbox()
+    return f"""
+WITH pts AS (SELECT * FROM ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+             WHERE l_orderkey % 3 = 0
+               AND lon >= {O._r(blo)} AND lon <= {O._r(bhi)}
+               AND lat >= {O._r(plo)} AND lat <= {O._r(phi)}),
+d AS (SELECT l_orderkey, l_linenumber, {dxt} AS dxt, {dat} AS dat FROM pts)
+SELECT l_orderkey, l_linenumber,
+       {_q10('dxt')} AS dxt_10m, {_q10('dat')} AS dat_10m
+FROM d WHERE abs(dxt) < {O._r(_CORRIDOR_M)} AND dat <= {O._r(route_len)}"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -5018,6 +5180,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "adaptive_tiles",
     "cell_mode",
     "stream_geofence",
+    "dissolve_area",
+    "route_corridor",
 )
 
 
@@ -5116,6 +5280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         adaptive_tiles=q_adaptive_tiles,
         cell_mode=q_cell_mode,
         stream_geofence=q_stream_geofence,
+        dissolve_area=q_dissolve_area,
+        route_corridor=q_route_corridor,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -5230,6 +5396,8 @@ def oracle_sql() -> dict[str, str]:
         adaptive_tiles=_o_adaptive_tiles(),
         cell_mode=_o_cell_mode(),
         stream_geofence=_o_stream_geofence(),
+        dissolve_area=_o_dissolve_area(),
+        route_corridor=_o_route_corridor(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

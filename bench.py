@@ -563,6 +563,16 @@ def build_queries(spark, sf_dir):
         E.q_stream_geofence(spark, sf_dir).count()
         return n_events
 
+    def q_dissolve_area():
+        # fine-grid union/overlap measure of the polygon layer
+        _force(E.q_dissolve_area(spark, sf_dir))
+        return 16
+
+    def q_route_corridor():
+        # constant-folded cross/along-track corridor predicate, pure map
+        _force(E.q_route_corridor(spark, sf_dir))
+        return n_pts // 3
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -630,6 +640,8 @@ def build_queries(spark, sf_dir):
         "adaptive_tiles": q_adaptive_tiles,
         "cell_mode": q_cell_mode,
         "stream_geofence": q_stream_geofence,
+        "dissolve_area": q_dissolve_area,
+        "route_corridor": q_route_corridor,
     }
 
 
