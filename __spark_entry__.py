@@ -5060,11 +5060,30 @@ SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs, doc_id AS canonical
 FROM ranked WHERE rn = 1"""
 
 
+def _q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine side of the curation funnel: the scored MinHash pair list
+    comes from the MATERIALIZED signature checkpoint
+    (``_minhash_pairs_df`` — the dedup_minhash path), registered as the
+    ``scored`` relation for ``funnel_from_scored_sql``.  Running the
+    oracle's single-statement rendering here would recompute the
+    shingle→minhash stage 3× under CTE inlining (~5 min vs seconds at
+    sf0.1)."""
+    from projcl_spark.operators.text import funnel_from_scored_sql
+
+    _minhash_pairs_df(spark, sf_dir).createOrReplaceTempView("scored")
+    spark.read.parquet(_t(sf_dir, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("documents")
+    return spark.sql(funnel_from_scored_sql("spark"))
+
+
 def _q_text(name: str) -> Callable:
     from projcl_spark.operators.text import text_queries_sql
 
     if name == "dedup_minhash":
         return _minhash_pairs_df
+    if name == "corpus_funnel":
+        return _q_corpus_funnel
 
     sql = text_queries_sql("spark")[name]
 
@@ -5182,6 +5201,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_geofence",
     "dissolve_area",
     "route_corridor",
+    "corpus_funnel",
 )
 
 

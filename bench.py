@@ -573,6 +573,11 @@ def build_queries(spark, sf_dir):
         _force(E.q_route_corridor(spark, sf_dir))
         return n_pts // 3
 
+    def q_corpus_funnel():
+        # end-to-end curation verdicts off the materialized pair stage
+        _force(E._q_text("corpus_funnel")(spark, sf_dir))
+        return n_docs
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -642,6 +647,7 @@ def build_queries(spark, sf_dir):
         "stream_geofence": q_stream_geofence,
         "dissolve_area": q_dissolve_area,
         "route_corridor": q_route_corridor,
+        "corpus_funnel": q_corpus_funnel,
     }
 
 

@@ -300,6 +300,43 @@ JOIN __SIG__ y ON y.doc_id = p.doc_b"""
     return sig_stage, pairs
 
 
+FUNNEL_DR_MIN = 330_000  # distinct-token ratio ×1e6 below which = low_quality
+
+
+def funnel_from_scored_sql(dialect: str, lead_with: str = "WITH ") -> str:
+    """The corpus-funnel verdict SQL given a ``scored`` relation
+    (doc_a, doc_b, n_match) already in scope: gate precedence pii →
+    duplicate (greedy keep-smaller-id side of the scored pairs) →
+    low_quality (distinct-token ratio) → keep, over the base ∪ mut
+    document universe.  ``lead_with=''`` continues an existing WITH
+    list (the oracle); the engine passes a temp-view-backed ``scored``
+    and the default ``WITH``."""
+    D = _d(dialect)
+    st = D["STR"]
+    toks = tokens("text", dialect)
+    dr = quality_features_sql("text", toks, dialect)["distinct_ratio_e6"]
+    pii_t = (
+        f"CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'"
+        f" || CAST(doc_id AS {st}) || '@example.com' ELSE text END"
+    )
+    n_pii = _regex_count("ptext", PII_EMAIL, dialect)
+    base_sql, mut_sql = base_mut_sql(dialect)
+    return f"""{lead_with}
+dup AS (SELECT DISTINCT doc_b AS doc_id FROM scored
+        WHERE n_match >= {CLUSTER_MATCH_T}),
+base AS ({base_sql}),
+m AS ({mut_sql}),
+uni AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM m),
+feat AS (SELECT doc_id, {pii_t} AS ptext, {dr} AS dr FROM uni),
+v AS (SELECT feat.doc_id,
+        CASE WHEN {n_pii} > 0 THEN 'pii'
+             WHEN dup.doc_id IS NOT NULL THEN 'duplicate'
+             WHEN dr < {FUNNEL_DR_MIN} THEN 'low_quality'
+             ELSE 'keep' END AS verdict
+      FROM feat LEFT JOIN dup ON feat.doc_id = dup.doc_id)
+SELECT doc_id, verdict FROM v"""
+
+
 def text_queries_sql(dialect: str) -> dict[str, str]:
     """The six text/dedup queries, rendered for one dialect.
 
@@ -425,6 +462,26 @@ SELECT doc_id,
        CAST({_regex_count('text', PII_IPV4, dialect)} AS BIGINT) AS n_ipv4
 FROM aug"""
 
+    # Corpus-curation funnel: every document (base ∪ the synthesized
+    # mutated copies, the dedup universe) gets ONE verdict by explicit
+    # gate precedence — the end-to-end training-data filter this suite's
+    # pieces exist for.  All gates are exact-integer comparisons over
+    # shared texts, and the duplicate rule is the greedy keep-smaller-id
+    # side of the scored MinHash pairs (every flagged doc has a kept
+    # near-duplicate with a smaller id).
+    # single-statement assembly for the oracle: same split the
+    # dedup-clusters oracle uses.  The SPARK engine does NOT run this
+    # rendering — __spark_entry__ substitutes the materialized signature
+    # checkpoint via funnel_from_scored_sql (CTE inlining would recompute
+    # the shingle→minhash stage 3×; measured ~5 min vs seconds at sf0.1).
+    body = (pairs.replace("WITH keyed", ", keyed", 1)
+            .replace("__SIG__", "sig"))
+    cte_part, final_select = body.split("SELECT p.doc_a", 1)
+    scored_sql = "SELECT p.doc_a" + final_select
+    funnel = (f"WITH sig AS ({sig_stage.strip()}){cte_part},\n"
+              f"scored AS ({scored_sql}),"
+              + funnel_from_scored_sql(dialect, lead_with=""))
+
     return {
         "dedup_minhash": minhash_pairs,
         "dedup_simhash": simhash,
@@ -434,6 +491,7 @@ FROM aug"""
         "doc_fingerprint": fingerprint,
         "decontaminate": decontam,
         "pii_scan": pii,
+        "corpus_funnel": funnel,
     }
 
 
