@@ -4192,6 +4192,74 @@ SELECT l_orderkey, l_linenumber,
 FROM d WHERE abs(dxt) < {O._r(_CORRIDOR_M)} AND dat <= {O._r(route_len)}"""
 
 
+_ACC_STEPS = 12
+_D8_DX = {1: 1, 2: 1, 4: 0, 8: -1, 16: -1, 32: -1, 64: 0, 128: 1}
+_D8_DY = {1: 0, 2: -1, 4: -1, 8: -1, 16: 0, 32: 1, 64: 1, 128: 1}
+
+
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon D8 flow accumulation
+    (``operators.raster.flow_accumulation``) over the integer 192×192
+    surface: upstream cells draining through each cell within 12 hops.
+    Strict-downhill edges form a DAG (no cycle guard needed); the token
+    walk is an equi-join per round on strictly shrinking live-token
+    state.  All integer — bit-exact vs the bounded recursive-CTE
+    twin."""
+    from projcl_spark.operators.raster import flow_accumulation
+
+    n = _DEM_W * _DEM_H
+    dem = (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select((F.col("id") % _DEM_W).alias("gi"),
+                (F.col("id") / _DEM_W).cast("long").alias("gj"))
+        .select("gi", "gj", F.expr(_MS_SURF).alias("elev"))
+    )
+    return flow_accumulation(dem, max_steps=_ACC_STEPS).select(
+        "gi", "gj", "acc")
+
+
+def _o_flow_accum() -> str:
+    drops = [(code, f"(elev - {c})") for code, c in _D8_HOOD]
+    best = "greatest(" + ", ".join(d for _, d in drops) + ")"
+    arms = " ".join(f"WHEN {d} = best THEN {code}" for code, d in drops)
+    dxc = " ".join(f"WHEN fdir = {c} THEN {_D8_DX[c]}" for c in _D8_DX)
+    dyc = " ".join(f"WHEN fdir = {c} THEN {_D8_DY[c]}" for c in _D8_DY)
+    return f"""
+WITH RECURSIVE
+g AS (SELECT a.range AS gi, b.range AS gj
+      FROM range(0, {_DEM_W}) a CROSS JOIN range(0, {_DEM_H}) b),
+dem AS (SELECT gi, gj, {_MS_SURF} AS elev FROM g),
+p1 AS (SELECT gi, gj, elev,
+         lag(elev) OVER rw AS zw, lead(elev) OVER rw AS ze
+       FROM dem WINDOW rw AS (PARTITION BY gj ORDER BY gi)),
+p2 AS (SELECT gi, gj, elev, zw, ze,
+         lag(elev) OVER cw AS zs, lead(elev) OVER cw AS zn,
+         lag(zw) OVER cw AS zsw, lead(zw) OVER cw AS znw,
+         lag(ze) OVER cw AS zse, lead(ze) OVER cw AS zne
+       FROM p1 WINDOW cw AS (PARTITION BY gi ORDER BY gj)),
+i AS (SELECT gi, gj, elev, zw, ze, zs, zn, zsw, znw, zse, zne,
+             {best} AS best
+      FROM p2
+      WHERE zw IS NOT NULL AND ze IS NOT NULL AND zs IS NOT NULL
+        AND zn IS NOT NULL AND zsw IS NOT NULL AND znw IS NOT NULL
+        AND zse IS NOT NULL AND zne IS NOT NULL),
+d AS (SELECT gi, gj,
+             CASE WHEN best <= 0 THEN 0 {arms} ELSE 0 END AS fdir
+      FROM i),
+e AS (SELECT gi AS si, gj AS sj,
+             gi + (CASE {dxc} END) AS ti,
+             gj + (CASE {dyc} END) AS tj
+      FROM d WHERE fdir > 0),
+walk AS (SELECT si AS oi, sj AS oj, ti AS ci, tj AS cj, 1 AS depth FROM e
+         UNION ALL
+         SELECT w.oi, w.oj, e.ti, e.tj, w.depth + 1
+         FROM walk w JOIN e ON e.si = w.ci AND e.sj = w.cj
+         WHERE w.depth < {_ACC_STEPS})
+SELECT ci AS gi, cj AS gj, CAST(count(*) AS BIGINT) AS acc
+FROM walk GROUP BY 1, 2"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -5202,6 +5270,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dissolve_area",
     "route_corridor",
     "corpus_funnel",
+    "flow_accum",
 )
 
 
@@ -5302,6 +5371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_geofence=q_stream_geofence,
         dissolve_area=q_dissolve_area,
         route_corridor=q_route_corridor,
+        flow_accum=q_flow_accum,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -5418,6 +5488,7 @@ def oracle_sql() -> dict[str, str]:
         stream_geofence=_o_stream_geofence(),
         dissolve_area=_o_dissolve_area(),
         route_corridor=_o_route_corridor(),
+        flow_accum=_o_flow_accum(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

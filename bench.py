@@ -578,6 +578,11 @@ def build_queries(spark, sf_dir):
         _force(E._q_text("corpus_funnel")(spark, sf_dir))
         return n_docs
 
+    def q_flow_accum():
+        # bounded-horizon token walk along D8 edges (shrinking state)
+        _force(E.q_flow_accum(spark, sf_dir))
+        return E._DEM_W * E._DEM_H
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -648,6 +653,7 @@ def build_queries(spark, sf_dir):
         "dissolve_area": q_dissolve_area,
         "route_corridor": q_route_corridor,
         "corpus_funnel": q_corpus_funnel,
+        "flow_accum": q_flow_accum,
     }
 
 

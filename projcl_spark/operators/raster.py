@@ -252,3 +252,64 @@ def flow_d8(
         .alias("flow_dir"),
         best.alias("max_drop"),
     )
+
+
+def flow_accumulation(
+    dem: DataFrame,
+    max_steps: int = 12,
+    gi: str = "gi",
+    gj: str = "gj",
+    elev: str = "elev",
+) -> DataFrame:
+    """Bounded-horizon D8 flow accumulation: for every interior cell,
+    how many upstream cells drain THROUGH it within ``max_steps`` hops
+    of the steepest-descent graph (the hydrology primitive on top of
+    ``flow_d8``; the horizon cap bounds rounds exactly like the CC/BFS
+    loops — strict-downhill edges mean the graph is a DAG, so the walk
+    needs no cycle guard).
+
+    Plan: the flow function is an edge table (one row per non-pit
+    cell); each round advances EVERY live token one step along its
+    cell's single outgoing edge (equi-join on the current position) and
+    counts arrivals — state is O(live tokens), strictly shrinking as
+    tokens reach pits or the border; per-round arrival counts fold into
+    one map-side-combinable aggregate at the end.  All integer.
+    """
+    d8 = flow_d8(dem, gi=gi, gj=gj, elev=elev)
+    # target coords from the direction code (E=1 … NE=128)
+    dx = {1: 1, 2: 1, 4: 0, 8: -1, 16: -1, 32: -1, 64: 0, 128: 1}
+    dy = {1: 0, 2: -1, 4: -1, 8: -1, 16: 0, 32: 1, 64: 1, 128: 1}
+    dxc = F.lit(0)
+    dyc = F.lit(0)
+    for code in (128, 64, 32, 16, 8, 4, 2, 1):
+        dxc = F.when(F.col("flow_dir") == code, F.lit(dx[code])).otherwise(dxc)
+        dyc = F.when(F.col("flow_dir") == code, F.lit(dy[code])).otherwise(dyc)
+    edges = (
+        d8.where(F.col("flow_dir") > 0)
+        .select(F.col(gi).alias("si"), F.col(gj).alias("sj"),
+                (F.col(gi) + dxc).alias("ti"), (F.col(gj) + dyc).alias("tj"))
+        .localCheckpoint()
+    )
+    tokens = edges.select(F.col("si").alias("oi"), F.col("sj").alias("oj"),
+                          F.col("si").alias("ci"), F.col("sj").alias("cj"))
+    arrivals = []
+    for _ in range(max_steps):
+        moved = (
+            tokens.join(edges, (F.col("ci") == F.col("si"))
+                        & (F.col("cj") == F.col("sj")))
+            .select("oi", "oj", F.col("ti").alias("ci"),
+                    F.col("tj").alias("cj"))
+            .localCheckpoint()
+        )
+        if moved.isEmpty():
+            break
+        arrivals.append(moved.select(F.col("ci").alias(gi),
+                                     F.col("cj").alias(gj)))
+        tokens = moved
+    if not arrivals:
+        return d8.select(gi, gj).limit(0).withColumn(
+            "acc", F.lit(0).cast("long"))
+    allarr = arrivals[0]
+    for a in arrivals[1:]:
+        allarr = allarr.unionByName(a)
+    return allarr.groupBy(gi, gj).agg(F.count("*").cast("long").alias("acc"))

@@ -1702,3 +1702,31 @@ def test_ring_pairs_random_vs_brute_property(spark):
         assert got["pairs_300km"] == want[300_000.0]
 
     run()
+
+
+def test_flow_accumulation_chain(spark):
+    """A monotone staircase along one row drains left-to-right: cell k
+    receives exactly k upstream arrivals (within the horizon); pits
+    receive from all their drainage; the horizon cap truncates long
+    chains."""
+    from projcl_spark.operators.raster import flow_accumulation
+
+    n = 8
+    # elevation decreases with gi along the middle row, flat elsewhere
+    # high: interior cells all drain E toward gi = n-1
+    rows = [(i, j, (n - i) * 10) for i in range(n) for j in range(n)]
+    df = spark.createDataFrame(rows, "gi long, gj long, elev long")
+    got = {(r["gi"], r["gj"]): r["acc"]
+           for r in flow_accumulation(df, max_steps=20).collect()}
+    # interior cells are (1..6, 1..6); every interior cell flows E (drop
+    # 10, code 1 lowest tie? E drop=10, SE/NE drop=10 too on this ramp —
+    # ties break to E=1). Cell (i, j) interior receives from (1..i-1, j)
+    # chain plus the border arrival at (7, j) accumulates 6 upstream.
+    for j in range(1, 7):
+        for i in range(2, 7):
+            assert got[(i, j)] == i - 1, (i, j, got.get((i, j)))
+        assert got[(7, j)] == 6  # border sink collects the whole row
+    # cap truncation: horizon 3 -> at most 3 arrivals anywhere
+    got3 = {(r["gi"], r["gj"]): r["acc"]
+            for r in flow_accumulation(df, max_steps=3).collect()}
+    assert max(got3.values()) == 3
