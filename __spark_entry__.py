@@ -4260,6 +4260,127 @@ SELECT ci AS gi, cj AS gj, CAST(count(*) AS BIGINT) AS acc
 FROM walk GROUP BY 1, 2"""
 
 
+_STA_RES = 4
+_STA_D_M = 1_000_000.0
+_STA_TAU_US = 7 * 24 * 3600 * 1_000_000
+_STA_MOD = 5
+
+
+def q_spacetime_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal as-of join (attribution): for each sampled
+    'purchase' event, the LATEST prior 'click' within 150 km and 48 h.
+    Purchases fan to their res-5 queen ring × two 48-h buckets (a fixed
+    ring certifiably covers 150 km at this res even at the envelope's
+    max latitude — 11.25° of lon is ≥ 188 km at 81.4°N); clicks sit in
+    their own (cell, bucket); candidates pass exact distance + strict
+    time-order filters and a (t DESC, id DESC) row_number picks the
+    winner — integer rank order, so the choice can never flip on a
+    float near-tie.  The brute-force windowed SQL twin is the oracle."""
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "ts", "event_type")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "event_type",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    n_s = 1 << _STA_RES
+    lon_span, lat_span = 360.0 / n_s, 180.0 / n_s
+    ix = F.least(F.floor((F.col("lon") + 180.0) / lon_span).cast("long"),
+                 F.lit(n_s - 1))
+    iy = F.least(F.floor((F.col("lat") + 90.0) / lat_span).cast("long"),
+                 F.lit(n_s - 1))
+    bkt = F.floor(F.col("t_us") / F.lit(_STA_TAU_US)).cast("long")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("t_us").alias("tc"),
+        F.col("lon").alias("clon"), F.col("lat").alias("clat"),
+        (ix * n_s + iy).alias("nc"), bkt.alias("kb"),
+    )
+    # latitude-adaptive lon ring (same discipline as stats._ring_pairs):
+    # 1000 km of longitude at the envelope's top latitudes spans several
+    # res-4 cells — a fixed ring would silently lose matches, and the
+    # brute-force oracle would catch exactly that
+    import math
+
+    deg_m = 111_320.0
+    k_lat = int(math.ceil(_STA_D_M / (deg_m * lat_span)))
+    dlat_max = _STA_D_M / deg_m
+    wlat = F.least(F.abs(F.col("lat")) + F.lit(dlat_max), F.lit(85.0))
+    k_lon = F.ceil(
+        F.lit(_STA_D_M) / (F.lit(deg_m) * F.cos(F.radians(wlat))
+                           * F.lit(lon_span))
+    ).cast("int")
+    pur = (
+        ev.where((F.col("event_type") == "purchase")
+                 & (F.col("event_id") % _STA_MOD == 0))
+        .select(F.col("event_id").alias("pid"), F.col("t_us").alias("tp"),
+                "lon", "lat", ix.alias("_ix"), iy.alias("_iy"),
+                bkt.alias("_k"), k_lon.alias("_kl"))
+        .withColumn("_dx", F.explode(F.sequence(-F.col("_kl"), F.col("_kl"))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-k_lat), F.lit(k_lat))))
+        .withColumn("_dk", F.explode(F.array(F.lit(-1), F.lit(0))))
+        .select(
+            "pid", "tp", "lon", "lat",
+            ((((F.col("_ix") + F.col("_dx")) % n_s + n_s) % n_s) * n_s
+             + (F.col("_iy") + F.col("_dy"))).alias("nc"),
+            (F.col("_iy") + F.col("_dy")).alias("_niy"),
+            (F.col("_k") + F.col("_dk")).alias("kb"),
+        )
+        .where((F.col("_niy") >= 0) & (F.col("_niy") < n_s))
+        .drop("_niy")
+    )
+    d = F.expr(O.haversine("lon", "lat", "clon", "clat"))
+    cand = (
+        pur.join(clicks, ["nc", "kb"])
+        .where(
+            ((F.col("tc") < F.col("tp"))
+             | ((F.col("tc") == F.col("tp")) & (F.col("cid") < F.col("pid"))))
+            & (F.col("tp") - F.col("tc") < F.lit(_STA_TAU_US))
+        )
+        .withColumn("_d", d)
+        .where(F.col("_d") < F.lit(_STA_D_M))
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("tc").desc(), F.col("cid").desc())
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("pid").alias("purchase_id"),
+            F.col("cid").alias("click_id"),
+            (F.col("tp") - F.col("tc")).alias("dt_us"),
+            _q10_col(F.col("_d")).alias("d_10m"),
+        )
+    )
+
+
+def _o_spacetime_asof() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    hav = O.haversine("p.lon", "p.lat", "c.lon", "c.lat")
+    return f"""
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t_us,
+                  {lon_e} AS lon, {lat_e} AS lat FROM events),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'
+      AND event_id % {_STA_MOD} = 0),
+c AS (SELECT * FROM e WHERE event_type = 'click'),
+cand AS (
+  SELECT p.event_id AS pid, c.event_id AS cid,
+         p.t_us AS tp, c.t_us AS tc, {hav} AS d
+  FROM p JOIN c
+    ON (c.t_us < p.t_us OR (c.t_us = p.t_us AND c.event_id < p.event_id))
+   AND p.t_us - c.t_us < {_STA_TAU_US}),
+f AS (SELECT pid, cid, tp, tc, d,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY tc DESC, cid DESC) AS rk
+      FROM cand WHERE d < {O._r(_STA_D_M)})
+SELECT pid AS purchase_id, cid AS click_id,
+       CAST(tp - tc AS BIGINT) AS dt_us, {_q10('d')} AS d_10m
+FROM f WHERE rk = 1"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -5271,6 +5392,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "route_corridor",
     "corpus_funnel",
     "flow_accum",
+    "spacetime_asof",
 )
 
 
@@ -5372,6 +5494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dissolve_area=q_dissolve_area,
         route_corridor=q_route_corridor,
         flow_accum=q_flow_accum,
+        spacetime_asof=q_spacetime_asof,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -5489,6 +5612,7 @@ def oracle_sql() -> dict[str, str]:
         dissolve_area=_o_dissolve_area(),
         route_corridor=_o_route_corridor(),
         flow_accum=_o_flow_accum(),
+        spacetime_asof=_o_spacetime_asof(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

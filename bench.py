@@ -583,6 +583,11 @@ def build_queries(spark, sf_dir):
         _force(E.q_flow_accum(spark, sf_dir))
         return E._DEM_W * E._DEM_H
 
+    def q_spacetime_asof():
+        # attribution as-of: lat-adaptive ring x 2 time buckets + rank
+        _force(E.q_spacetime_asof(spark, sf_dir))
+        return n_events // 25  # ~purchases/5
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -654,6 +659,7 @@ def build_queries(spark, sf_dir):
         "route_corridor": q_route_corridor,
         "corpus_funnel": q_corpus_funnel,
         "flow_accum": q_flow_accum,
+        "spacetime_asof": q_spacetime_asof,
     }
 
 
