@@ -4381,6 +4381,76 @@ SELECT pid AS purchase_id, cid AS click_id,
 FROM f WHERE rk = 1"""
 
 
+_DIST_EPS = 0.25        # dyadic degrees: lon±ε / lat±ε are exact both engines
+_DIST_MOD = 11
+_DIST_CASE = "proj_albers_s"
+
+
+def _distortion_exprs(dialect: str) -> tuple[str, str]:
+    """(h_sql, k_sql): meridian / parallel scale factors of the spherical
+    Albers case by central finite differences of the SHARED forward
+    transliteration — four closed-form projections per point, one text
+    for both engines.  ε is dyadic so the probe coordinates are exact;
+    the trig last-ulp spread between JVM Math and libm propagates to
+    ~1e-5 relative in the differenced numerator, which is why the gate
+    quantizes at ×1e4 (flip probability ~1e-9/row) rather than ×1e6."""
+    import math
+
+    proj, params = PROJ_CASES[_DIST_CASE]
+    eps = _DIST_EPS
+    deg_m = math.pi * 6370997.0 / 180.0
+    xp, yp = O.fwd_xy_sql(proj, params, lon="lon", lat=f"(lat + {O._r(eps)})",
+                          dialect=dialect)
+    xm, ym = O.fwd_xy_sql(proj, params, lon="lon", lat=f"(lat - {O._r(eps)})",
+                          dialect=dialect)
+    xe, ye = O.fwd_xy_sql(proj, params, lon=f"(lon + {O._r(eps)})", lat="lat",
+                          dialect=dialect)
+    xw, yw = O.fwd_xy_sql(proj, params, lon=f"(lon - {O._r(eps)})", lat="lat",
+                          dialect=dialect)
+    den_h = f"(2.0 * {O._r(eps)} * {O._r(deg_m)})"
+    den_k = f"(2.0 * {O._r(eps)} * {O._r(deg_m)} * cos(radians(lat)))"
+    h = (f"(sqrt(({xp} - {xm}) * ({xp} - {xm})"
+         f" + ({yp} - {ym}) * ({yp} - {ym})) / {den_h})")
+    k = (f"(sqrt(({xe} - {xw}) * ({xe} - {xw})"
+         f" + ({ye} - {yw}) * ({ye} - {yw})) / {den_k})")
+    return h, k
+
+
+def q_proj_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tissot-style distortion analysis of the spherical Albers case:
+    finite-difference meridian (h) and parallel (k) scale factors per
+    sampled point, plus the areal factor h·k — which an EQUAL-AREA
+    projection keeps at 1 (the classic projection-quality check the
+    reference's own projections invite; asserted ≈1 in the unit test).
+    Pure codegen: four folded forward projections per row, zero
+    shuffle."""
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+        F.col("l_orderkey") % _DIST_MOD == 0)
+    h, k = _distortion_exprs("spark")
+    out = pts.select(*ks, F.expr(h).alias("_h"), F.expr(k).alias("_k"))
+    return out.select(
+        *ks,
+        F.round(F.col("_h") * 10000.0, 0).cast("long").alias("h_e4"),
+        F.round(F.col("_k") * 10000.0, 0).cast("long").alias("k_e4"),
+        F.round(F.col("_h") * F.col("_k") * 10000.0, 0).cast("long")
+        .alias("hk_e4"),
+    )
+
+
+def _o_proj_distortion() -> str:
+    h, k = _distortion_exprs("duck")
+    return f"""
+WITH pts AS (SELECT * FROM ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+             WHERE l_orderkey % {_DIST_MOD} = 0),
+d AS (SELECT l_orderkey, l_linenumber, {h} AS h, {k} AS k FROM pts)
+SELECT l_orderkey, l_linenumber,
+       CAST(round(h * 10000.0, 0) AS BIGINT) AS h_e4,
+       CAST(round(k * 10000.0, 0) AS BIGINT) AS k_e4,
+       CAST(round(h * k * 10000.0, 0) AS BIGINT) AS hk_e4
+FROM d"""
+
+
 NEARDUP_SIM = 0.35
 
 
@@ -5393,6 +5463,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_funnel",
     "flow_accum",
     "spacetime_asof",
+    "proj_distortion",
 )
 
 
@@ -5495,6 +5566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         route_corridor=q_route_corridor,
         flow_accum=q_flow_accum,
         spacetime_asof=q_spacetime_asof,
+        proj_distortion=q_proj_distortion,
         embedding_neardup=q_embedding_neardup,
         ann_cosine=q_ann_cosine,
         ann_lsh=q_ann_lsh,
@@ -5613,6 +5685,7 @@ def oracle_sql() -> dict[str, str]:
         route_corridor=_o_route_corridor(),
         flow_accum=_o_flow_accum(),
         spacetime_asof=_o_spacetime_asof(),
+        proj_distortion=_o_proj_distortion(),
         embedding_neardup=_o_embedding_neardup(),
         ann_cosine=_o_ann_cosine(),
         ann_lsh=_o_ann_lsh(),

@@ -588,6 +588,11 @@ def build_queries(spark, sf_dir):
         _force(E.q_spacetime_asof(spark, sf_dir))
         return n_events // 25  # ~purchases/5
 
+    def q_proj_distortion():
+        # four folded forward projections per row, zero shuffle
+        _force(E.q_proj_distortion(spark, sf_dir))
+        return n_pts // 11 * 4
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -660,6 +665,7 @@ def build_queries(spark, sf_dir):
         "corpus_funnel": q_corpus_funnel,
         "flow_accum": q_flow_accum,
         "spacetime_asof": q_spacetime_asof,
+        "proj_distortion": q_proj_distortion,
     }
 
 

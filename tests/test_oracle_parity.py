@@ -95,7 +95,7 @@ def test_sample_priority_prefix():
     priority list must not drop or duplicate registry entries."""
     q = list(E.queries())
     first50 = set(q[:50])
-    assert len(q) == len(set(q)) == 151
+    assert len(q) == len(set(q)) == 152
     for name in E._SAMPLE_PRIORITY[:50]:
         assert name in first50, f"{name} fell out of the driver sample window"
     # the 20 queries whose driver record is absent or red as of r3, plus

@@ -1730,3 +1730,24 @@ def test_flow_accumulation_chain(spark):
     got3 = {(r["gi"], r["gj"]): r["acc"]
             for r in flow_accumulation(df, max_steps=3).collect()}
     assert max(got3.values()) == 3
+
+
+def test_proj_distortion_equal_area_property(spark):
+    """The finite-difference scale factors must witness the projection
+    families' defining properties: spherical Albers (equal-area) keeps
+    h*k = 1 to finite-difference accuracy across the envelope."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+
+    pts = spark.createDataFrame(
+        [(i, -50.0 + i * 7.3, -30.0 + (i * 11) % 90) for i in range(40)],
+        "id long, lon double, lat double")
+    h, k = E._distortion_exprs("spark")
+    rows = pts.select(F.expr(h).alias("h"), F.expr(k).alias("k")).collect()
+    hk = np.array([r["h"] * r["k"] for r in rows])
+    assert np.abs(hk - 1.0).max() < 2e-3  # O(eps^2) truncation at eps=0.25
+    # and the factors themselves are non-trivial (Albers distorts shapes)
+    ratio = np.array([r["h"] / r["k"] for r in rows])
+    assert np.abs(ratio - 1.0).max() > 0.01
