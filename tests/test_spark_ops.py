@@ -1751,3 +1751,111 @@ def test_proj_distortion_equal_area_property(spark):
     # and the factors themselves are non-trivial (Albers distorts shapes)
     ratio = np.array([r["h"] / r["k"] for r in rows])
     assert np.abs(ratio - 1.0).max() > 0.01
+
+
+def test_staypoints_invariants_property(spark):
+    """Hypothesis: for random tracks, (1) staypoint intervals per user
+    are disjoint and time-ordered, (2) every run's duration equals
+    end - start, (3) total pings across min_pings=1 runs equals the
+    user's ping count (runs partition the track)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from projcl_spark.operators.trajectory import staypoints
+
+    h = 3600 * 1_000_000
+
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(seed=st.integers(0, 2**31 - 1))
+    def run(seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = []
+        eid = 0
+        for u in range(4):
+            t = 0
+            lon, lat = rng.uniform(-30, 30), rng.uniform(-20, 40)
+            for _ in range(rng.integers(5, 25)):
+                t += int(rng.integers(1, 30) * h)
+                if rng.random() < 0.4:   # jump
+                    lon, lat = rng.uniform(-30, 30), rng.uniform(-20, 40)
+                else:                    # dwell wiggle
+                    lon += rng.uniform(-0.001, 0.001)
+                    lat += rng.uniform(-0.001, 0.001)
+                rows.append((u, eid, t, float(lon), float(lat)))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, us long, lon double, lat double"
+        ).select("user_id", "event_id",
+                 F.timestamp_micros(F.col("us")).alias("ts"), "lon", "lat")
+        out = staypoints(df, order_id="event_id", radius_m=1000.0,
+                         max_gap_us=12 * h, min_pings=1).collect()
+        per_user = {}
+        total = 0
+        for r in out:
+            assert r["duration_us"] == r["end_us"] - r["start_us"]
+            per_user.setdefault(r["user_id"], []).append(
+                (r["start_us"], r["end_us"]))
+            total += r["n_pings"]
+        assert total == len(rows)  # runs partition every track
+        for ivs in per_user.values():
+            ivs.sort()
+            for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+                assert e1 < s2  # disjoint, ordered
+
+    run()
+
+
+def test_geofence_alternation_property(spark):
+    """Hypothesis: per user, emitted transitions strictly alternate
+    enter/exit in time order, and the first transition's direction is
+    determined by the first ping's state (outside -> first is enter)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    from projcl_spark.operators.trajectory import geofence_transitions
+    from projcl_spark.sources.synth import polygon_cover_cells
+
+    res = 5
+    p = {"poly_id": 0,
+         "xs": np.array([0.0, 15.0, 15.0, 0.0]),
+         "ys": np.array([0.0, 0.0, 15.0, 15.0])}
+    polys = spark.createDataFrame(
+        [(0, [0.0, 15.0, 15.0, 0.0], [0.0, 0.0, 15.0, 15.0],
+          [int(c) for c in polygon_cover_cells(p, res)])],
+        "poly_id long, xs array<double>, ys array<double>, cells array<long>")
+    h = 3600 * 1_000_000
+
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(seed=st.integers(0, 2**31 - 1))
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        rows, first_inside = [], {}
+        for u in range(5):
+            for i in range(12):
+                lon = float(rng.uniform(-10, 25))
+                lat = float(rng.uniform(-10, 25))
+                if i == 0:
+                    first_inside[u] = (0 < lon < 15 and 0 < lat < 15)
+                rows.append((u, u * 100 + i, i * h, lon, lat))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, us long, lon double, lat double"
+        ).select("user_id", "event_id",
+                 F.timestamp_micros(F.col("us")).alias("ts"), "lon", "lat")
+        out = geofence_transitions(df, polys, order_id="event_id", res=res)
+        per_user = {}
+        for r in sorted(out.collect(), key=lambda r: (r["user_id"], r["t_us"])):
+            per_user.setdefault(r["user_id"], []).append(r["direction"])
+        for u, dirs in per_user.items():
+            want_first = "exit" if first_inside[u] else "enter"
+            assert dirs[0] == want_first
+            for a, b in zip(dirs, dirs[1:]):
+                assert a != b  # strict alternation
+
+    run()
