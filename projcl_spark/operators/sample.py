@@ -53,7 +53,13 @@ def stratified_sample(
         keep = c if keep is None else keep | c
         cond = F.col(stratum) == val if cond is None else cond | (F.col(stratum) == val)
     dn, dd = default
-    other = (~cond if cond is not None else F.lit(True)) & (h % dd < dn)
+    # NULL strata must take the default arm, matching the SQL twin's CASE
+    # ELSE: `~(stratum == val)` is NULL for NULL strata, which where()
+    # would DROP while the oracle keeps it at the default rate (ADVICE r4).
+    not_listed = (
+        (F.col(stratum).isNull() | ~cond) if cond is not None else F.lit(True)
+    )
+    other = not_listed & (h % dd < dn)
     keep = other if keep is None else keep | other
     return df.where(keep)
 

@@ -51,7 +51,11 @@ def _d(dialect: str) -> dict:
         )
     return dict(
         T="list_transform", FILT="list_filter", MIN="list_min", SIZE="len",
-        DIST="list_distinct", SUML="list_sum({x})", STR="VARCHAR",
+        DIST="list_distinct",
+        # CAST: DuckDB list_sum returns HUGEINT, which fetchdf() materializes
+        # as float64 — the driver's value hash then sees 8.0 vs Spark's 8
+        # (the r4 dedup_minhash/dedup_simhash reds).  BIGINT keeps int64.
+        SUML="CAST(list_sum({x}) AS BIGINT)", STR="VARCHAR",
         EXPL="unnest",
     )
 
