@@ -712,6 +712,30 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     return out
 
 
+def emit_bench(out: dict) -> None:
+    """Print the ONE stdout JSON line sized to survive the driver's
+    2000-char tail capture (BENCH_r04.json's `parsed` came back null
+    because the grown query list pushed the line past the window), and
+    persist the FULL structured dict to BENCH/bench_latest.json so
+    round-over-round diffs never regex a truncated tail."""
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench_latest.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        slim = dict(out)
+        slim.pop("throughput", None)  # kept in BENCH/bench_latest.json
+        slim["full"] = "BENCH/bench_latest.json"
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 1900:
+        slim["queries"] = {k: v for k, v in sorted(
+            out["queries"].items(), key=lambda kv: -kv[1])[:40]}
+        slim["queries_truncated_to_slowest"] = 40
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
+
+
 SCALING_N = 16_000_000
 SCALING_PARTS = 128  # fixed input layout — only the core count varies
 SCALING_LEVELS = (2, 8)  # N and 4N cores (see hardware note in run_scaling)
@@ -851,4 +875,4 @@ if __name__ == "__main__":
         only = None
         if "--queries" in sys.argv:
             only = sys.argv[sys.argv.index("--queries") + 1].split(",")
-        print(json.dumps(run_bench(SF_DIR, CPUS, only)))
+        emit_bench(run_bench(SF_DIR, CPUS, only))

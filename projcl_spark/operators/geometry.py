@@ -258,6 +258,13 @@ def distance_to_boundary(
 
     from ..functions import EARTH_RADIUS_SPHERE
 
+    from .layer_guard import check_layer_size
+
+    check_layer_size(
+        polygons, what="distance_to_boundary(polygons)", size_col="xs",
+        bytes_per_item=32,  # each vertex becomes a 4-double edge row
+        fallback_hint="Pre-filter the layer (e.g. by cell cover near the "
+                      "points) before asking for exact boundary distance.")
     rows = polygons.select("poly_id", "xs", "ys").collect()
     segs = []
     for r in rows:
@@ -323,6 +330,12 @@ def snap_to_segments(
 
     from ..functions import EARTH_RADIUS_SPHERE
 
+    from .layer_guard import check_layer_size
+
+    check_layer_size(
+        segs, what="snap_to_segments(segs)", bytes_per_row=48,
+        fallback_hint="Cell-partition the segment layer and snap per cell "
+                      "(pip_join-style equi-join) for layers this large.")
     rows = sorted(
         segs.select("seg_id", "x1", "y1", "x2", "y2").collect(),
         key=lambda r: r["seg_id"],

@@ -118,7 +118,19 @@ def build_vert_map(polygons: DataFrame) -> dict:
     """Collect the polygon vertex table into the {poly_id: (xs, ys)} dict the
     closure refine captures.  ONE bounded driver action per distinct polygon
     layer — callers with a stable layer should build this once and pass it to
-    every ``pip_join`` call (bench loops, repeated gate queries)."""
+    every ``pip_join`` call (bench loops, repeated gate queries).
+
+    Guarded: a Spark-side size aggregate runs BEFORE the collect and
+    raises ``LayerTooLargeError`` on layers over the driver envelope
+    (the r4 verdict's 100×-scale hazard) — ``pip_join`` catches it and
+    falls back to the distributed cell equi-join plan."""
+    from .layer_guard import check_layer_size
+
+    check_layer_size(
+        polygons, what="build_vert_map(polygons)", size_col="xs",
+        bytes_per_item=16,  # two float64 arrays per vertex
+        fallback_hint="Use pip_join(..., broadcast_polygons=False) — the "
+                      "cell equi-join plan never collects the layer.")
     return {
         int(r["poly_id"]): (np.asarray(r["xs"], dtype=np.float64),
                             np.asarray(r["ys"], dtype=np.float64))
@@ -198,11 +210,23 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 8,
     per-call collect entirely; otherwise a semanticHash-keyed memo makes
     repeated calls over the same layer collect once.
     """
+    from .layer_guard import LayerTooLargeError
+
     pts = points.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), res))
     if broadcast_polygons:
-        cover = polygons.select("poly_id", F.explode("cells").alias("cell_id"))
         if vert_map is None:
-            vert_map = _cached_vert_map(polygons)
+            try:
+                vert_map = _cached_vert_map(polygons)
+            except LayerTooLargeError as ex:
+                # layer outgrew the driver envelope: degrade to the
+                # distributed cell equi-join plan instead of OOMing
+                import warnings
+
+                warnings.warn(f"pip_join: {ex} — falling back to the "
+                              "cell equi-join plan", stacklevel=2)
+                broadcast_polygons = False
+    if broadcast_polygons:
+        cover = polygons.select("poly_id", F.explode("cells").alias("cell_id"))
         cand = pts.join(F.broadcast(cover), "cell_id", how="inner")
         refined = cand.filter(
             _pip_refine_closure(vert_map)("lon", "lat", "poly_id"))
@@ -226,6 +250,14 @@ def build_cell_map(polygons: DataFrame) -> dict:
     other half of the broadcast state ``pip_anti_join`` captures (same
     bounded one-collect discipline and freshness contract as
     ``build_vert_map``)."""
+    from .layer_guard import check_layer_size
+
+    check_layer_size(
+        polygons, what="build_cell_map(polygons)", size_col="cells",
+        bytes_per_item=32,  # dict-of-lists entries cost more than raw int64s
+        fallback_hint="The closure-map plan needs the whole cover on the "
+                      "driver; for larger layers use pip_join(..., "
+                      "broadcast_polygons=False) and anti-join its output.")
     cm: dict[int, list[int]] = {}
     for r in polygons.select("poly_id", "cells").collect():
         for c in r["cells"]:
