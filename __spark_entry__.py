@@ -952,6 +952,52 @@ SELECT pts.l_orderkey, pts.l_linenumber, poly.poly_id
 FROM pts, poly WHERE {inside}"""
 
 
+def q_pip_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED pip_join plan (``broadcast_polygons=False``) at the
+    gate: the cell equi-join with vertices riding as columns — the exact
+    plan ``pip_join`` degrades to when ``layer_guard`` rejects an
+    over-envelope layer, so the 100-TB fallback path earns its own driver
+    CORRECTNESS row.  Input thinned with a scan-pushed modulo (distinct
+    from ``pip_polygons``' full set, so the two rows can't be conflated);
+    oracle = the same crossing-count transliteration."""
+    from projcl_spark.sources.synth import polygons_df
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+        F.col("l_orderkey") % 3 == 0)
+    hits = pip_join(pts, polygons_df(spark, 16, res=PIP_RES), res=PIP_RES,
+                    broadcast_polygons=False)
+    return hits.select("l_orderkey", "l_linenumber", "poly_id")
+
+
+def _o_pip_shuffle_join() -> str:
+    from projcl_spark.sources.synth import polygon_layer_np
+
+    rows = ", ".join(
+        "({}, [{}], [{}])".format(
+            p["poly_id"],
+            ",".join(O._r(float(v)) for v in p["xs"]),
+            ",".join(O._r(float(v)) for v in p["ys"]),
+        )
+        for p in polygon_layer_np(16, 42)
+    )
+    xj = "xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END]"
+    yj = "ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END]"
+    cross = (
+        f"CASE WHEN ((ys[i] > lat) <> ({yj} > lat)) AND "
+        f"(lon < xs[i] + (lat - ys[i]) * ({xj} - xs[i]) / ({yj} - ys[i])) "
+        f"THEN 1 ELSE 0 END"
+    )
+    inside = (f"(list_sum(list_transform(range(1, len(xs) + 1), "
+              f"i -> {cross})) % 2) = 1")
+    return f"""
+WITH pts AS (SELECT * FROM ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+             WHERE l_orderkey % 3 = 0),
+poly(poly_id, xs, ys) AS (VALUES {rows})
+SELECT pts.l_orderkey, pts.l_linenumber, poly.poly_id
+FROM pts, poly WHERE {inside}"""
+
+
 def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial ANTI-join (``pip.pip_anti_join``): points contained by NO
     polygon of the layer.  Not a join-then-anti-join (two corpus
@@ -5365,6 +5411,211 @@ def _q_text(name: str) -> Callable:
     return q
 
 
+# ------------------------------------------------------- round-5 queries ---
+
+_GH_P = 5
+
+
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash addressing (``index.geohash.with_geohash``): every
+    lineitem point encoded to its precision-5 geohash (pure staged
+    integer codegen, zero UDFs — see ``oracle.geohash_stages``), rolled
+    up per precision-3 PREFIX with the distinct precision-5 count —
+    prefix truncation = coarsening is THE geohash property consumers
+    rely on, so the gate exercises encode + prefix rollup together.
+    String/integer outputs only; verified against the classic published
+    vectors in unit tests."""
+    from projcl_spark.index.geohash import with_geohash
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    gh = with_geohash(pts, precision=_GH_P)
+    return gh.groupBy(F.substring("gh", 1, 3).alias("gh3")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.countDistinct("gh").cast("long").alias("n_gh5"),
+    )
+
+
+def _o_geohash_encode() -> str:
+    g = O.geohash_stages(_GH_P)
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+v AS (SELECT {g['lonv'].format(lon='lon')} AS lonv,
+             {g['latv'].format(lat='lat')} AS latv FROM pts),
+h AS (SELECT {g['gh'].format(lonv='lonv', latv='latv')} AS gh FROM v)
+SELECT substr(gh, 1, 3) AS gh3, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(count(DISTINCT gh) AS BIGINT) AS n_gh5
+FROM h GROUP BY 1"""
+
+
+_BBOX_CELL_DEG = 8.0
+# (half-width base, spread), (half-height base, spread) per layer
+_BBOX_SUPP = ((2.0, 4.0), (1.5, 3.0))
+_BBOX_NATION = ((3.0, 6.0), (2.0, 4.0))
+
+
+def _bbox_exprs(table: str, key: str, dims, dialect: str) -> dict[str, str]:
+    """Deterministic box layer: md5-derived center ± md5-derived half
+    sizes — the same constant-folded texts feed the Spark frame and the
+    DuckDB oracle."""
+    k = _key(table, (key,), dialect)
+    lon_e, lat_e = O.derived_lonlat(k, dialect)
+    (wb, ws), (hb, hs) = dims
+    w = f"({O._r(wb)} + {O._r(ws)} * {O.unit(f'{chr(39)}bw:{chr(39)} || ' + k, dialect)})"
+    h = f"({O._r(hb)} + {O._r(hs)} * {O.unit(f'{chr(39)}bh:{chr(39)} || ' + k, dialect)})"
+    return {"lon": lon_e, "lat": lat_e, "w": w, "h": h}
+
+
+def _bbox_layer_cte(table: str, key: str, dims) -> str:
+    e = _bbox_exprs(table, key, dims, "duck")
+    return (f"SELECT {key}, {e['lon']} - {e['w']} AS lon_min, "
+            f"{e['lon']} + {e['w']} AS lon_max, "
+            f"{e['lat']} - {e['h']} AS lat_min, "
+            f"{e['lat']} + {e['h']} AS lat_max FROM {table}")
+
+
+def _bbox_layer_df(spark: SparkSession, sf_dir: str, table: str, key: str,
+                   dims) -> DataFrame:
+    e = _bbox_exprs(table, key, dims, "spark")
+    staged = (
+        spark.read.parquet(_t(sf_dir, table)).select(key)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(key, F.expr(e["lon"]).alias("_clon"),
+                F.expr(e["lat"]).alias("_clat"),
+                F.expr(e["w"]).alias("_w"), F.expr(e["h"]).alias("_h"))
+    )
+    return staged.select(
+        key,
+        (F.col("_clon") - F.col("_w")).alias("lon_min"),
+        (F.col("_clon") + F.col("_w")).alias("lon_max"),
+        (F.col("_clat") - F.col("_h")).alias("lat_min"),
+        (F.col("_clat") + F.col("_h")).alias("lat_max"),
+    )
+
+
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-overlap join (``operators.bbox.bbox_join``): supplier
+    envelope boxes × nation envelope boxes via the grid-cell equi-join
+    with canonical-cell dedup (no distinct() shuffle — each pair is
+    claimed only by the overlap region's min-corner cell).  The oracle
+    is the brute-force theta join; both sides evaluate identical
+    md5-derived doubles, so the closed-inequality boundary decisions
+    match exactly."""
+    from projcl_spark.operators.bbox import bbox_join
+
+    a = _bbox_layer_df(spark, sf_dir, "supplier", "s_suppkey", _BBOX_SUPP)
+    b = _bbox_layer_df(spark, sf_dir, "nation", "n_nationkey", _BBOX_NATION)
+    return bbox_join(a, b, cell_deg=_BBOX_CELL_DEG,
+                     id_a="s_suppkey", id_b="n_nationkey")
+
+
+def _o_bbox_join() -> str:
+    return f"""
+WITH a AS ({_bbox_layer_cte('supplier', 's_suppkey', _BBOX_SUPP)}),
+b AS ({_bbox_layer_cte('nation', 'n_nationkey', _BBOX_NATION)})
+SELECT a.s_suppkey, b.n_nationkey
+FROM a, b
+WHERE a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max"""
+
+
+_VW_MIN_AREA2 = 2_000_000_000_000_000  # doubled-area, µdeg² (2e15)
+_VW_MOD = 7
+
+
+def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Visvalingam–Whyatt simplification
+    (``operators.trajectory.simplify_vw``) of per-user event tracks:
+    integer-µdeg coordinates, pure BIGINT effective-area math — a keep
+    decision can NEVER flip on a float tie, across engines or
+    parallelism.  Endpoints kept (area2 = −1).  One shuffle on user_id;
+    lag/lead share the exchange; the filter is codegen."""
+    from projcl_spark.operators.trajectory import simplify_vw
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .where(F.col("user_id") % _VW_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.round(F.expr(lon_e) * 1000000.0, 0).cast("long").alias("x_e6"),
+            F.round(F.expr(lat_e) * 1000000.0, 0).cast("long").alias("y_e6"),
+        )
+    )
+    out = simplify_vw(ev, key="user_id", ts="t_us", order_id="event_id",
+                      min_area2=_VW_MIN_AREA2)
+    return out.select("user_id", "event_id", "area2")
+
+
+def _o_track_simplify() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    return f"""
+WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+                    CAST(round({lon_e} * 1000000.0, 0) AS BIGINT) AS x,
+                    CAST(round({lat_e} * 1000000.0, 0) AS BIGINT) AS y
+             FROM events WHERE user_id % {_VW_MOD} = 0),
+s AS (SELECT user_id, event_id, x, y,
+             lag(x) OVER w AS x0, lag(y) OVER w AS y0,
+             lead(x) OVER w AS x2, lead(y) OVER w AS y2
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+a AS (SELECT user_id, event_id,
+             CASE WHEN x0 IS NULL OR x2 IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE abs((x - x0) * (y2 - y0) - (x2 - x0) * (y - y0))
+             END AS area2
+      FROM s)
+SELECT user_id, event_id, area2
+FROM a WHERE area2 < 0 OR area2 >= {_VW_MIN_AREA2}"""
+
+
+_MVT_ZOOM = 5
+_MVT_EXTENT = 4096
+
+
+def q_mvt_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT-style tile-local quantization: every lineitem point addressed
+    to its zoom-5 tile and snapped to the tile's 4096-step integer
+    extent (the Mapbox-Vector-Tile encode step), rolled up per tile with
+    the DISTINCT quantized-vertex count — the dedup ratio (n_pts vs
+    n_vertices) a tile encoder's payload depends on.  One floor()
+    derives tile AND in-tile coordinate, so a point can never quantize
+    into a neighboring tile.  Exact integers end to end."""
+    gx_e, gy_e = O.slippy_global_px("lon", "lat", _MVT_ZOOM,
+                                    tile_px=_MVT_EXTENT)
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    g = pts.select(F.expr(gx_e).alias("gx"), F.expr(gy_e).alias("gy"))
+    t = g.select(
+        (F.col("gx") / _MVT_EXTENT).cast("long").alias("tx"),
+        (F.col("gy") / _MVT_EXTENT).cast("long").alias("ty"),
+        ((F.col("gx") % _MVT_EXTENT) * _MVT_EXTENT
+         + (F.col("gy") % _MVT_EXTENT)).alias("q"),
+    )
+    return t.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.countDistinct("q").cast("long").alias("n_vertices"),
+    )
+
+
+def _o_mvt_quantize() -> str:
+    gx_e, gy_e = O.slippy_global_px("lon", "lat", _MVT_ZOOM,
+                                    tile_px=_MVT_EXTENT)
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+g AS (SELECT {gx_e} AS gx, {gy_e} AS gy FROM pts),
+t AS (SELECT CAST(floor(gx / {_MVT_EXTENT}.0) AS BIGINT) AS tx,
+             CAST(floor(gy / {_MVT_EXTENT}.0) AS BIGINT) AS ty,
+             (gx % {_MVT_EXTENT}) * {_MVT_EXTENT} + (gy % {_MVT_EXTENT}) AS q
+      FROM g)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(count(DISTINCT q) AS BIGINT) AS n_vertices
+FROM t GROUP BY tx, ty"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -5419,8 +5670,14 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "flow_accum",
     "spacetime_asof",
     "proj_distortion",
-    # -- new in round 5 (no driver rows can exist yet; 16 window slots
-    #    remain — keep round-5 additions HERE until they earn a green row) --
+    # -- new in round 5 (no driver rows can exist yet; slots 35-50 of the
+    #    window — keep round-5 additions HERE until they earn a green row) --
+    "pip_shuffle_join",
+    "geohash_encode",
+    "bbox_join",
+    "track_simplify",
+    "mvt_quantize",
+    "dedup_containment",
 )
 
 
@@ -5544,6 +5801,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_frames=q_media_frames,
         media_resize=q_media_resize,
         media_embed=q_media_embed,
+        # round 5
+        pip_shuffle_join=q_pip_shuffle_join,
+        geohash_encode=q_geohash_encode,
+        bbox_join=q_bbox_join,
+        track_simplify=q_track_simplify,
+        mvt_quantize=q_mvt_quantize,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -5663,6 +5926,12 @@ def oracle_sql() -> dict[str, str]:
         media_frames=_o_media_frames(),
         media_resize=_o_media_resize(),
         media_embed=_o_media_embed(),
+        # round 5
+        pip_shuffle_join=_o_pip_shuffle_join(),
+        geohash_encode=_o_geohash_encode(),
+        bbox_join=_o_bbox_join(),
+        track_simplify=_o_track_simplify(),
+        mvt_quantize=_o_mvt_quantize(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

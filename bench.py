@@ -593,6 +593,17 @@ def build_queries(spark, sf_dir):
         _force(E.q_proj_distortion(spark, sf_dir))
         return n_pts // 11 * 4
 
+    def q_geohash_encode():
+        # 25 integer bit-terms + 5 substr chars per row, then the
+        # prefix rollup with exact distinct
+        _force(E.q_geohash_encode(spark, sf_dir))
+        return n_pts
+
+    def q_track_simplify():
+        # one keyed shuffle, lag+lead window, pure BIGINT area filter
+        _force(E.q_track_simplify(spark, sf_dir))
+        return n_events // E._VW_MOD
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -666,6 +677,8 @@ def build_queries(spark, sf_dir):
         "flow_accum": q_flow_accum,
         "spacetime_asof": q_spacetime_asof,
         "proj_distortion": q_proj_distortion,
+        "geohash_encode": q_geohash_encode,
+        "track_simplify": q_track_simplify,
     }
 
 

@@ -209,6 +209,21 @@ def jaccard_sql(sha: str, shb: str, dialect: str) -> str:
             f"(CASE WHEN {union} = 0 THEN 1 ELSE {union} END) * 1e6, 0) AS BIGINT)")
 
 
+def containment_sql(sha: str, shb: str, dialect: str) -> str:
+    """Asymmetric containment |A∩B| / |A| of DISTINCT shingle sets ×1e6
+    (BIGINT) — the corpus-curation metric for "does doc A's content
+    appear inside doc B" (catches quote-inclusion and super-document
+    duplication that symmetric Jaccard under-scores)."""
+    if dialect == "spark":
+        inter = f"size(array_intersect({sha}, {shb}))"
+        na = f"size(array_distinct({sha}))"
+    else:
+        inter = f"len(list_intersect({sha}, {shb}))"
+        na = f"len(list_distinct({sha}))"
+    return (f"CAST(round(CAST({inter} AS DOUBLE) / "
+            f"(CASE WHEN {na} = 0 THEN 1 ELSE {na} END) * 1e6, 0) AS BIGINT)")
+
+
 def stopword_score_sql(toks: str, lang: str, dialect: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     D = _d(dialect)
@@ -342,7 +357,7 @@ SELECT doc_id, verdict FROM v"""
 
 
 def text_queries_sql(dialect: str) -> dict[str, str]:
-    """The six text/dedup queries, rendered for one dialect.
+    """The text/dedup queries, rendered for one dialect.
 
     The Spark engine executes the ``spark`` rendering over a ``documents``
     temp view; the DuckDB oracle executes the ``duck`` rendering over the
@@ -376,6 +391,21 @@ FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
 UNION ALL
 SELECT a.doc_id AS doc_a, m.doc_id AS doc_b,
        {jaccard_sql(dsh.replace('text', 'a.text'), dsh.replace('text', 'm.text'), dialect)} AS jac_e6
+FROM base a JOIN mut m ON m.doc_id = a.doc_id + 10000000"""
+
+    # Same pairing scheme as jaccard; the mutated copy CONTAINS all but
+    # the first token of its source, so base→mut containment scores near
+    # 1e6 while the unrelated consecutive-id pairs stay low — both arms
+    # meaningfully exercised.
+    containment = f"""
+WITH base AS ({base}),
+mut AS ({mut})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {containment_sql(dsh.replace('text', 'a.text'), dsh.replace('text', 'b.text'), dialect)} AS cont_e6
+FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+UNION ALL
+SELECT m.doc_id AS doc_a, a.doc_id AS doc_b,
+       {containment_sql(dsh.replace('text', 'm.text'), dsh.replace('text', 'a.text'), dialect)} AS cont_e6
 FROM base a JOIN mut m ON m.doc_id = a.doc_id + 10000000"""
 
     scores = {lg: stopword_score_sql("toks", lg, dialect) for lg in STOPWORDS}
@@ -490,6 +520,7 @@ FROM aug"""
         "dedup_minhash": minhash_pairs,
         "dedup_simhash": simhash,
         "dedup_jaccard": jaccard,
+        "dedup_containment": containment,
         "lang_id": langid,
         "doc_quality": quality,
         "doc_fingerprint": fingerprint,

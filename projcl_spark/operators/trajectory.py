@@ -184,6 +184,47 @@ def track_resample(
     )
 
 
+def simplify_vw(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    lon_e6: str = "x_e6",
+    lat_e6: str = "y_e6",
+    order_id: str | None = None,
+    min_area2: int = 0,
+) -> DataFrame:
+    """One-pass Visvalingam–Whyatt track simplification: drop interior
+    points whose effective-area triangle (previous, this, next) is below
+    ``min_area2`` — engine-added (map rendering / tile export thins dense
+    GPS tracks before styling; the reference projects points but has no
+    polyline simplifier).
+
+    Coordinates come in as INTEGER micro-degrees, and the doubled
+    triangle area ``|（x1−x0)(y2−y0) − (x2−x0)(y1−y0)|`` is computed in
+    pure BIGINT arithmetic — exact end-to-end, no float tie can flip a
+    keep decision across engines or parallelism levels.  Endpoints
+    (lag/lead NULL) are always kept, with ``area2`` reported as −1.
+
+    Plan shape: ONE shuffle on the track key; both window functions ride
+    the same (key, ts, id)-ordered exchange; the filter is codegen.  This
+    is the single-pass effective-area variant (each point scored against
+    its ORIGINAL neighbors): at constant memory per window row it
+    streams any track length, where the classic iterative VW would need
+    per-track state proportional to the polyline.
+    """
+    order = [F.col(ts).asc()] + ([F.col(order_id).asc()] if order_id else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    x0, y0 = F.lag(lon_e6).over(w), F.lag(lat_e6).over(w)
+    x2, y2 = F.lead(lon_e6).over(w), F.lead(lat_e6).over(w)
+    area2 = F.abs(
+        (F.col(lon_e6) - x0) * (y2 - y0) - (x2 - x0) * (F.col(lat_e6) - y0)
+    )
+    return (
+        df.withColumn("area2", F.coalesce(area2, F.lit(-1)).cast("long"))
+        .where((F.col("area2") < 0) | (F.col("area2") >= min_area2))
+    )
+
+
 def od_matrix(
     df: DataFrame,
     res: int = 3,

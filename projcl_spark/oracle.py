@@ -1096,6 +1096,64 @@ def slippy_global_px(lon: str, lat: str, zoom: int,
     return gx, gy
 
 
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_stages(precision: int = 5) -> dict[str, str]:
+    """Classic base32 geohash as staged dialect-free SQL fragments.
+
+    Engine-added (the reference has no string cell addressing; geohash is
+    the interoperable key format for exporting the cell index to external
+    systems).  Format-string fragments, staged so the md5-derived lon/lat
+    are evaluated ONCE per row in a CTE and the per-bit terms reference
+    plain columns:
+
+    - ``lonv``/``latv``: {lon}/{lat} → integer bin (18/17 bits at p=7);
+    - ``morton``: {lonv}/{latv} → the interleaved 5p-bit Morton code
+      (lon bit k at position 2k, lat bit k at 2k+1 — lon leads, per the
+      geohash spec) — exact BIGINT term-sum at any precision;
+    - ``gh``: {lonv}/{latv} → the base32 string, one substr per
+      character, each 5-bit value assembled bit-by-bit straight from the
+      bin integers.  (NOT derived from the morton column: dividing a
+      5p-bit BIGINT by 2^k routes through float64 and corrupts the low
+      bits past 2^53 — i.e. from precision 11 up.  lonv/latv stay < 2^28,
+      where floor/mod in double is exact.)
+
+    All integer floor/mod arithmetic + substr/|| — identical text runs
+    as Spark whole-stage codegen and as the DuckDB oracle.  Verified
+    against the classic vectors (u4pruydqqvj at p=11, ezs42) in tests."""
+    total = 5 * precision
+    lonbits, latbits = (total + 1) // 2, total // 2
+    out = {
+        "lonv": (f"least(CAST(floor(({{lon}} + 180.0) / 360.0 * "
+                 f"{_r(float(1 << lonbits))}) AS BIGINT), {(1 << lonbits) - 1})"),
+        "latv": (f"least(CAST(floor(({{lat}} + 90.0) / 180.0 * "
+                 f"{_r(float(1 << latbits))}) AS BIGINT), {(1 << latbits) - 1})"),
+    }
+
+    def _bit(pos: int) -> str:
+        # geohash interleave counts from the MSB: stream index j = 0 is
+        # lon's top bit, j = 1 lat's top bit, …  (an LSB-parity shortcut
+        # flips lon/lat whenever 5·precision is even — caught by the
+        # prefix-coarsening test at p=6)
+        j = total - 1 - pos
+        if j % 2 == 0:
+            src, k = "{lonv}", lonbits - 1 - j // 2
+        else:
+            src, k = "{latv}", latbits - 1 - (j - 1) // 2
+        return f"(CAST(floor({src} / {_r(float(1 << k))}) AS BIGINT) % 2)"
+
+    out["morton"] = "(" + " + ".join(
+        f"{_bit(p)} * {1 << p}" for p in range(total)) + ")"
+    chars = []
+    for i in range(1, precision + 1):
+        lo = total - 5 * i  # bit positions [lo, lo+4] make character i
+        v = " + ".join(f"{_bit(lo + b)} * {1 << b}" for b in range(5))
+        chars.append(f"substr('{GEOHASH32}', CAST(({v}) AS INT) + 1, 1)")
+    out["gh"] = " || ".join(chars)
+    return out
+
+
 def slerp_lonlat(lon1: str, lat1: str, lon2: str, lat2: str,
                  f: str) -> tuple[str, str]:
     """Great-circle interpolation (spherical slerp) at fraction ``f`` as

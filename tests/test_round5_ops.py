@@ -1,0 +1,112 @@
+"""Round-5 operators: geohash addressing, bbox join, Visvalingam
+simplification, shingle containment."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_geohash_classic_vectors(spark):
+    """The published reference vectors every geohash implementation is
+    checked against — including p=11, which catches any float64 route
+    for the morton code (low bits past 2^53 corrupt silently)."""
+    from projcl_spark.index.geohash import with_geohash
+
+    df = spark.createDataFrame(
+        [(0, 10.40744, 57.64911), (1, -5.6, 42.6), (2, 0.0, 0.0),
+         (3, -179.9999, -89.9999), (4, 179.9999, 89.9999)],
+        "i long, lon double, lat double")
+    got11 = {r["i"]: r["gh"] for r in with_geohash(df, precision=11).collect()}
+    got5 = {r["i"]: r["gh"] for r in with_geohash(df, precision=5).collect()}
+    assert got11[0] == "u4pruydqqvj"
+    assert got5[0] == "u4pru" and got5[1] == "ezs42"
+    assert got5[2] == "s0000"          # origin
+    assert got5[3].startswith("0")     # SW corner of the base grid
+    assert got5[4].startswith("z")     # NE corner
+
+
+def test_geohash_prefix_is_coarsening(spark):
+    """p=3 encode == prefix of the p=6 encode for every point (the
+    truncation property rollups rely on)."""
+    from projcl_spark.index.geohash import with_geohash
+    from projcl_spark.sources import synth
+
+    pts = synth.geo_points(spark, 200)
+    both = with_geohash(with_geohash(pts, precision=6, out="g6"),
+                        precision=3, out="g3")
+    bad = both.where(F.substring("g6", 1, 3) != F.col("g3")).count()
+    assert bad == 0
+
+
+def test_bbox_join_matches_bruteforce(spark):
+    """Grid-cell equi-join + canonical-cell dedup == brute-force theta
+    join, pair-for-pair (no duplicates, no misses), on a layer with
+    boxes spanning multiple cells and exact shared-edge touches."""
+    from projcl_spark.operators.bbox import bbox_join, bbox_join_bruteforce
+
+    rng = np.random.RandomState(7)
+    def layer(n, scale):
+        rows = []
+        for i in range(n):
+            cx, cy = rng.uniform(-60, 60), rng.uniform(-40, 40)
+            w, h = rng.uniform(0.5, scale), rng.uniform(0.5, scale)
+            rows.append((i, cx - w, cx + w, cy - h, cy + h))
+        return rows
+    a_rows, b_rows = layer(80, 12.0), layer(40, 18.0)
+    # exact shared-edge touch: b box 0 starts where a box 0 ends
+    ax = a_rows[0]
+    b_rows[0] = (0, ax[2], ax[2] + 3.0, ax[3], ax[4])
+    schema = "id_{} long, lon_min double, lon_max double, lat_min double, lat_max double"
+    a = spark.createDataFrame(a_rows, schema.format("a"))
+    b = spark.createDataFrame(b_rows, schema.format("b"))
+    fast = bbox_join(a, b, cell_deg=8.0)
+    slow = bbox_join_bruteforce(a, b)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    n = fast.count()
+    assert n == fast.distinct().count()  # canonical-cell dedup left no dups
+    assert n > 0
+    # the shared-edge pair is IN (closed envelopes)
+    assert fast.where((F.col("id_a") == 0) & (F.col("id_b") == 0)).count() == 1
+
+
+def test_simplify_vw_exact_small_track(spark):
+    """Hand-checkable 5-point track in integer µdeg: endpoints always
+    survive with area2 = −1; interior points filter on the exact
+    doubled-triangle-area integer."""
+    from projcl_spark.operators.trajectory import simplify_vw
+
+    # (t, x, y): collinear middle point at t=2 (area 0), a 1e12-area
+    # detour at t=3
+    rows = [(1, 1, 0, 0), (1, 2, 1_000_000, 1_000_000),
+            (1, 3, 2_000_000, 2_000_000), (1, 4, 3_000_000, 2_000_000),
+            (1, 5, 4_000_000, 2_000_000)]
+    df = spark.createDataFrame(
+        rows, "user_id long, t_us long, x_e6 long, y_e6 long")
+    out = {r["t_us"]: r["area2"] for r in
+           simplify_vw(df, key="user_id", ts="t_us",
+                       min_area2=1).collect()}
+    # t=2 collinear (area 0) dropped; t=4 collinear with 3,5 dropped
+    assert set(out) == {1, 3, 5}
+    assert out[1] == -1 and out[5] == -1
+    # t=3 doubled area: |(2e6-1e6)(2e6-1e6) - (3e6-1e6)(2e6-1e6)| = 1e12
+    assert out[3] == 10**12
+    # threshold above that kills it too
+    kept = simplify_vw(df, key="user_id", ts="t_us",
+                       min_area2=10**12 + 1).collect()
+    assert {r["t_us"] for r in kept} == {1, 5}
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """containment(A⊂B → 1e6) where Jaccard < 1e6 — the metric's reason
+    to exist; SQL runs on the Spark dialect directly."""
+    from projcl_spark.operators.text import containment_sql, jaccard_sql
+
+    df = spark.createDataFrame(
+        [(["a", "b"], ["a", "b", "c", "d"])], "sa array<string>, sb array<string>")
+    df.createOrReplaceTempView("cj")
+    row = spark.sql(
+        f"SELECT {containment_sql('sa', 'sb', 'spark')} AS c, "
+        f"{jaccard_sql('sa', 'sb', 'spark')} AS j FROM cj").collect()[0]
+    assert row["c"] == 1_000_000 and row["j"] == 500_000
