@@ -119,3 +119,41 @@ def test_hilbert_bijection_adjacency_all_res(res):
     steps = (np.abs(np.diff(xs.ravel()[order]))
              + np.abs(np.diff(ys.ravel()[order])))
     assert (steps == 1).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(lon=st.floats(-180.0, 180.0), lat=st.floats(-90.0, 90.0),
+       precision=st.integers(1, 12))
+def test_geohash_sql_matches_reference_bits(lon, lat, precision):
+    """oracle.geohash_stages (the SQL both engines share, evaluated here
+    by DuckDB) == an independent pure-Python big-int geohash at any
+    precision and any coordinate, including the poles/antimeridian
+    clamps and the p≥11 range where a float64 morton would corrupt."""
+    import duckdb
+
+    from projcl_spark import oracle as O
+
+    total = 5 * precision
+    lonbits, latbits = (total + 1) // 2, total // 2
+    lonv = min(int(np.floor((lon + 180.0) / 360.0 * (1 << lonbits))),
+               (1 << lonbits) - 1)
+    latv = min(int(np.floor((lat + 90.0) / 180.0 * (1 << latbits))),
+               (1 << latbits) - 1)
+    bits = []
+    li, ti = lonbits - 1, latbits - 1
+    for j in range(total):
+        if j % 2 == 0:
+            bits.append((lonv >> li) & 1)
+            li -= 1
+        else:
+            bits.append((latv >> ti) & 1)
+            ti -= 1
+    want = "".join(
+        O.GEOHASH32[int("".join(map(str, bits[5 * i:5 * i + 5])), 2)]
+        for i in range(precision))
+    g = O.geohash_stages(precision)
+    q = (f"WITH v AS (SELECT {g['lonv'].format(lon=repr(lon))} AS lonv, "
+         f"{g['latv'].format(lat=repr(lat))} AS latv) "
+         f"SELECT {g['gh'].format(lonv='lonv', latv='latv')} AS gh FROM v")
+    got = duckdb.connect().execute(q).fetchone()[0]
+    assert got == want, (lon, lat, precision, got, want)
