@@ -725,16 +725,18 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     return out
 
 
-def emit_bench(out: dict) -> None:
+def emit_bench(out: dict, full_run: bool = True) -> None:
     """Print the ONE stdout JSON line sized to survive the driver's
     2000-char tail capture (BENCH_r04.json's `parsed` came back null
     because the grown query list pushed the line past the window), and
     persist the FULL structured dict to BENCH/bench_latest.json so
-    round-over-round diffs never regex a truncated tail."""
+    round-over-round diffs never regex a truncated tail.  A partial
+    ``--queries`` run must not clobber the full-run record."""
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "bench_latest.json"), "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    if full_run:
+        with open(os.path.join(bench_dir, "bench_latest.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
         slim = dict(out)
@@ -888,4 +890,4 @@ if __name__ == "__main__":
         only = None
         if "--queries" in sys.argv:
             only = sys.argv[sys.argv.index("--queries") + 1].split(",")
-        emit_bench(run_bench(SF_DIR, CPUS, only))
+        emit_bench(run_bench(SF_DIR, CPUS, only), full_run=only is None)
