@@ -5616,6 +5616,37 @@ SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_pts,
 FROM t GROUP BY tx, ty"""
 
 
+def q_utm_autozone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch UTM with AUTOMATIC per-row zone selection
+    (``oracle.utm_fwd_sql``): every lineitem point projected against its
+    own zone's central meridian through the Krüger order-4 ellipsoidal
+    Transverse Mercator (reference kernel
+    ``pl_project_transverse_mercator.opencl``, here with |λ−λ0| ≤ 3° so
+    the series is at full accuracy everywhere on the globe).  The SAME
+    constant-folded SQL text is the Spark plan (``F.expr`` → JVM
+    whole-stage codegen, zero UDFs) and the DuckDB oracle — verified
+    bit-stable across engines at the 10 m quantization.  k0 = 0.9996,
+    false easting 500 km, southern-hemisphere false northing 10 000 km."""
+    zone_e, x_e, y_e = O.utm_fwd_sql("lon", "lat")
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    return pts.select(
+        *ks,
+        F.expr(zone_e).alias("zone"),
+        F.expr(_q10(x_e)).alias("e_10m"),
+        F.expr(_q10(y_e)).alias("n_10m"),
+    )
+
+
+def _o_utm_autozone() -> str:
+    zone_e, x_e, y_e = O.utm_fwd_sql("lon", "lat")
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+SELECT l_orderkey, l_linenumber, {zone_e} AS zone,
+       {_q10(x_e)} AS e_10m, {_q10(y_e)} AS n_10m
+FROM pts"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -5678,6 +5709,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "track_simplify",
     "mvt_quantize",
     "dedup_containment",
+    "utm_autozone",
 )
 
 
@@ -5807,6 +5839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bbox_join=q_bbox_join,
         track_simplify=q_track_simplify,
         mvt_quantize=q_mvt_quantize,
+        utm_autozone=q_utm_autozone,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -5932,6 +5965,7 @@ def oracle_sql() -> dict[str, str]:
         bbox_join=_o_bbox_join(),
         track_simplify=_o_track_simplify(),
         mvt_quantize=_o_mvt_quantize(),
+        utm_autozone=_o_utm_autozone(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

@@ -248,6 +248,58 @@ def _qsfn_s(s: str, e: float, one_es: float) -> str:
     return f"({_r(one_es)} * ({s} / (1.0 - {con} * {con}) + {atanh_s(con)} / {_r(e)}))"
 
 
+def _tmerc_e_body_sql(lam: str, phi: str, C: dict) -> tuple[str, str]:
+    """Krüger order-4 ellipsoidal forward body (unscaled η', ξ').
+
+    ``lam`` may be any SQL expression — a folded constant for the fixed
+    central-meridian cases (``fwd_xy_sql``) or a per-row zone meridian
+    (``utm_fwd_sql``).  Same series as ``proj/transverse_mercator.forward``
+    (reference kernel ``pl_project_transverse_mercator.opencl``)."""
+    e = _r(C["ecc"])
+    a = C["alpha"]
+    tau = f"tan({phi})"
+    sigma = sinh_s(f"({e} * {atanh_s(f'({e} * {tau} / sqrt(1.0 + {tau} * {tau}))')})")
+    tau1 = f"({tau} * sqrt(1.0 + {sigma} * {sigma}) - {sigma} * sqrt(1.0 + {tau} * {tau}))"
+    xi = f"atan2({tau1}, cos({lam}))"
+    eta = asinh_s(f"(sin({lam}) / sqrt({tau1} * {tau1} + cos({lam}) * cos({lam})))")
+    y_terms = " + ".join(
+        f"{_r(a[i])} * sin({2 * (i + 1)} * {xi}) * {cosh_s(f'({2 * (i + 1)} * {eta})')}"
+        for i in range(4)
+    )
+    x_terms = " + ".join(
+        f"{_r(a[i])} * cos({2 * (i + 1)} * {xi}) * {sinh_s(f'({2 * (i + 1)} * {eta})')}"
+        for i in range(4)
+    )
+    return f"({eta} + {x_terms})", f"({xi} + {y_terms})"
+
+
+def utm_fwd_sql(lon: str = "lon", lat: str = "lat") -> tuple[str, str, str]:
+    """(zone, easting, northing) SQL for WGS-84 UTM with AUTOMATIC zone
+    selection — the practical batch form of the reference's Transverse
+    Mercator (fixed lon0 there; here each row projects against its own
+    zone's central meridian, so |λ−λ0| ≤ 3° and the Krüger order-4 series
+    is at full accuracy everywhere).
+
+    zone = floor((lon+180)/6) mod 60 + 1; central meridian = 6·zone − 183;
+    k0 = 0.9996, false easting 500 km, false northing 10 000 km in the
+    southern hemisphere.  Pure common-dialect SQL: the engine wraps the
+    same text in ``F.expr`` (JVM codegen), the oracle runs it in DuckDB.
+    """
+    from .core.spheroid import Spheroid
+
+    params = ProjectionParams(spheroid=Spheroid.WGS_84, scale=0.9996)
+    C = _MODULES["transverse_mercator"].prepare(params)
+    sc = _r(C["scale"])  # k0 · a · Krüger-A
+    zone = f"(CAST(floor(({lon} + 180.0) / 6.0) AS BIGINT) % 60 + 1)"
+    cm = f"(CAST({zone} AS DOUBLE) * 6.0 - 183.0)"
+    lam = f"(radians({lon}) - radians({cm}))"
+    phi = f"radians({lat})"
+    xb, yb = _tmerc_e_body_sql(lam, phi, C)
+    x = f"(500000.0 + {sc} * {xb})"
+    y = f"((CASE WHEN {lat} >= 0.0 THEN 0.0 ELSE 10000000.0 END) + {sc} * {yb})"
+    return zone, x, y
+
+
 def fwd_xy_sql(proj: str, params: ProjectionParams,
                lon: str = "lon", lat: str = "lat",
                dialect: str = "duck") -> tuple[str, str]:
@@ -361,23 +413,8 @@ def fwd_xy_sql(proj: str, params: ProjectionParams,
             y = f"({y0} + {sc} * atan2({tau}, cos({lam})))"
             x = f"({x0} + {sc} * {asinh_s(f'(sin({lam}) / {hyp})')})"
             return x, y
-        e = _r(C["ecc"])
-        a = C["alpha"]
-        tau = f"tan({phi})"
-        sigma = sinh_s(f"({e} * {atanh_s(f'({e} * {tau} / sqrt(1.0 + {tau} * {tau}))')})")
-        tau1 = f"({tau} * sqrt(1.0 + {sigma} * {sigma}) - {sigma} * sqrt(1.0 + {tau} * {tau}))"
-        xi = f"atan2({tau1}, cos({lam}))"
-        eta = asinh_s(f"(sin({lam}) / sqrt({tau1} * {tau1} + cos({lam}) * cos({lam})))")
-        y_terms = " + ".join(
-            f"{_r(a[i])} * sin({2 * (i + 1)} * {xi}) * {cosh_s(f'({2 * (i + 1)} * {eta})')}"
-            for i in range(4)
-        )
-        x_terms = " + ".join(
-            f"{_r(a[i])} * cos({2 * (i + 1)} * {xi}) * {sinh_s(f'({2 * (i + 1)} * {eta})')}"
-            for i in range(4)
-        )
-        return (f"({x0} + {sc} * ({eta} + {x_terms}))",
-                f"({y0} + {sc} * ({xi} + {y_terms}))")
+        xb, yb = _tmerc_e_body_sql(lam, phi, C)
+        return f"({x0} + {sc} * {xb})", f"({y0} + {sc} * {yb})"
 
     if proj == "robinson":
         dphi = f"abs(radians({lat}))"

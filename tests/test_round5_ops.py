@@ -110,3 +110,41 @@ def test_containment_vs_jaccard_asymmetry(spark):
         f"SELECT {containment_sql('sa', 'sb', 'spark')} AS c, "
         f"{jaccard_sql('sa', 'sb', 'spark')} AS j FROM cj").collect()[0]
     assert row["c"] == 1_000_000 and row["j"] == 500_000
+
+
+def test_utm_autozone_published_vectors(spark):
+    """WGS-84 UTM against externally published coordinates (±1 m):
+    the CN Tower (zone 17N) and the Sydney Opera House (zone 56 south,
+    false northing 10 000 km), plus the zone rule at the antimeridian
+    (+180° ≡ −180° → zone 1) and |λ−λ0| ≤ 3° for every sampled point."""
+    from projcl_spark.oracle import utm_fwd_sql
+
+    z_e, x_e, y_e = utm_fwd_sql("lon", "lat")
+    df = spark.createDataFrame(
+        [(0, -79.387139, 43.642567),   # CN Tower: 17N 630084 4833439
+         (1, 151.215297, -33.856159),  # Opera House: zone 56, south
+         (2, 151.215297, 33.856159),   # mirror point, north
+         (3, 180.0, 10.0), (4, -180.0, 10.0)],
+        "i long, lon double, lat double")
+    rows = {r["i"]: r for r in df.selectExpr(
+        "i", f"{z_e} AS z", f"{x_e} AS x", f"{y_e} AS y").collect()}
+    assert rows[0]["z"] == 17
+    assert abs(rows[0]["x"] - 630084.0) < 1.0
+    assert abs(rows[0]["y"] - 4833439.0) < 2.0
+    assert rows[1]["z"] == 56
+    # hemisphere mirror: same easting; south northing = 1e7 − |north|
+    assert abs(rows[1]["x"] - rows[2]["x"]) < 1e-6
+    assert abs(rows[1]["y"] - (10_000_000.0 - rows[2]["y"])) < 1e-6
+    assert rows[3]["z"] == 1 and rows[4]["z"] == 1
+    assert abs(rows[3]["x"] - rows[4]["x"]) < 1e-6  # same point, same zone
+
+    # every zone's central meridian is within 3° of its points
+    import numpy as np
+    rng = np.random.default_rng(3)
+    pts = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in zip(
+            rng.uniform(-180, 180, 300), rng.uniform(-80, 80, 300))],
+        "lon double, lat double")
+    bad = pts.selectExpr(f"{z_e} AS z", "lon").where(
+        "abs(lon - (CAST(z AS DOUBLE) * 6.0 - 183.0)) > 3.0000001").count()
+    assert bad == 0
