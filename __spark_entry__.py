@@ -5647,6 +5647,39 @@ SELECT l_orderkey, l_linenumber, {zone_e} AS zone,
 FROM pts"""
 
 
+_QK_ZOOM = 6
+
+
+def q_quadkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey addressing (``index.tiles.with_quadkey``): every lineitem
+    point encoded to its zoom-6 Bing quadkey (pure staged codegen, zero
+    UDFs — ``oracle.quadkey_sql``), rolled up per zoom-2 PREFIX with the
+    distinct zoom-6 count.  Prefix truncation = quadtree ancestor is THE
+    quadkey property tile caches rely on, so the gate exercises encode +
+    prefix rollup together; the published Bing vector (tile 3,5 @ L3 →
+    '213') is pinned in unit tests."""
+    from projcl_spark.index.tiles import with_quadkey
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    qk = with_quadkey(pts, zoom=_QK_ZOOM)
+    return qk.groupBy(F.substring("qk", 1, 2).alias("qk2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.countDistinct("qk").cast("long").alias("n_qk6"),
+    )
+
+
+def _o_quadkey_encode() -> str:
+    gx_e, gy_e = O.slippy_global_px("lon", "lat", _QK_ZOOM, tile_px=1)
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+t AS (SELECT {gx_e} AS tx, {gy_e} AS ty FROM pts),
+k AS (SELECT {O.quadkey_sql('tx', 'ty', _QK_ZOOM)} AS qk FROM t)
+SELECT substr(qk, 1, 2) AS qk2, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(count(DISTINCT qk) AS BIGINT) AS n_qk6
+FROM k GROUP BY 1"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -5710,6 +5743,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "mvt_quantize",
     "dedup_containment",
     "utm_autozone",
+    "quadkey_encode",
 )
 
 
@@ -5840,6 +5874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         track_simplify=q_track_simplify,
         mvt_quantize=q_mvt_quantize,
         utm_autozone=q_utm_autozone,
+        quadkey_encode=q_quadkey_encode,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -5966,6 +6001,7 @@ def oracle_sql() -> dict[str, str]:
         track_simplify=_o_track_simplify(),
         mvt_quantize=_o_mvt_quantize(),
         utm_autozone=_o_utm_autozone(),
+        quadkey_encode=_o_quadkey_encode(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

@@ -69,3 +69,26 @@ def tile_rollup(
         F.sum("px").alias("sum_px"),
         F.sum("py").alias("sum_py"),
     )
+
+
+def with_quadkey(
+    df: DataFrame,
+    zoom: int = 6,
+    lon: str = "lon",
+    lat: str = "lat",
+    out: str = "qk",
+) -> DataFrame:
+    """Add the Bing-maps quadkey string for each point's slippy tile at
+    ``zoom`` (``oracle.quadkey_sql``): pure whole-stage codegen, zero
+    shuffle, zero UDFs.  ``substring(qk, 1, k)`` is the zoom-k ancestor
+    tile — the prefix property tile caches and pyramid rollups key on,
+    so coarsening never needs a re-encode.
+    """
+    gx_e, gy_e = O.slippy_global_px(lon, lat, zoom, tile_px=1)
+    # stage tile coords once: the quadkey text references tx/ty 2·zoom
+    # times, and staged plain columns keep the plan (and the SQL twin)
+    # linear in zoom instead of quadratic
+    staged = df.withColumns({"_qtx": F.expr(gx_e), "_qty": F.expr(gy_e)})
+    return (staged
+            .withColumn(out, F.expr(O.quadkey_sql("_qtx", "_qty", zoom)))
+            .drop("_qtx", "_qty"))

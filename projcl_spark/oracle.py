@@ -1133,6 +1133,28 @@ def slippy_global_px(lon: str, lat: str, zoom: int,
     return gx, gy
 
 
+def quadkey_sql(tx: str, ty: str, zoom: int) -> str:
+    """Bing-maps quadkey string for a slippy tile (``tx``, ``ty``) at
+    ``zoom``: digit i (MSB first) = 2·bit_i(ty) + bit_i(tx), so the
+    level-k PREFIX of a quadkey IS the ancestor tile at zoom k — the
+    string form of the quadtree containment the tile cache keys on.
+
+    Engine-added (the reference stops at projected meters; quadkeys are
+    the interoperable tile address for Bing/Azure-style tile stores).
+    Dialect-free text: bit extraction is floor-division arithmetic
+    (tiles are < 2^zoom, exact in float64) and each digit maps through a
+    4-arm CASE to its character, so the same string feeds Spark codegen
+    and the DuckDB oracle with no cast-rendering differences."""
+    digits = []
+    for i in range(zoom - 1, -1, -1):
+        p = 1 << i
+        d = (f"(CAST(floor({ty} / {p}.0) AS BIGINT) % 2 * 2"
+             f" + CAST(floor({tx} / {p}.0) AS BIGINT) % 2)")
+        digits.append("(CASE " + " ".join(
+            f"WHEN {d} = {v} THEN '{v}'" for v in range(3)) + " ELSE '3' END)")
+    return "(" + " || ".join(digits) + ")"
+
+
 GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

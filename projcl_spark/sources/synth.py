@@ -107,11 +107,16 @@ def geo_points(spark: SparkSession, n_docs: int, hotspot: bool = False) -> DataF
     sp = docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
     geo = sp.filter(F.col("span.kind") == "geo")
     parts = F.split(F.col("span.text"), ",")
+    # F.get (NULL past the end) + try_cast, not getItem/cast: Catalyst may
+    # collapse a caller's filter into this projection and evaluate it
+    # before the kind == 'geo' predicate, and non-geo span texts are not
+    # "lon,lat" — under ANSI mode getItem(1) throws INVALID_ARRAY_INDEX
+    # and cast throws CAST_INVALID_INPUT on those rows
     return geo.select(
         "doc_id",
         F.col("span.offset").alias("offset"),
-        parts.getItem(0).cast("double").alias("lon"),
-        parts.getItem(1).cast("double").alias("lat"),
+        F.get(parts, 0).try_cast("double").alias("lon"),
+        F.get(parts, 1).try_cast("double").alias("lat"),
     )
 
 

@@ -148,3 +148,28 @@ def test_utm_autozone_published_vectors(spark):
     bad = pts.selectExpr(f"{z_e} AS z", "lon").where(
         "abs(lon - (CAST(z AS DOUBLE) * 6.0 - 183.0)) > 3.0000001").count()
     assert bad == 0
+
+
+def test_quadkey_published_vector_and_prefix(spark):
+    """The Bing docs example (tile 3,5 at level 3 → '213'), the
+    prefix-is-ancestor property against an independent zoom-3 encode,
+    and digit-set sanity at zoom 6."""
+    from projcl_spark.index.tiles import tile_assign, with_quadkey
+    from projcl_spark.oracle import quadkey_sql
+    from projcl_spark.sources import synth
+
+    row = spark.sql(f"SELECT {quadkey_sql('3', '5', 3)} AS qk").collect()[0]
+    assert row["qk"] == "213"
+
+    pts = synth.geo_points(spark, 300)
+    both = with_quadkey(with_quadkey(pts, zoom=6, out="q6"),
+                        zoom=3, out="q3")
+    assert both.where(F.substring("q6", 1, 3) != F.col("q3")).count() == 0
+    assert both.where(
+        "length(q6) <> 6 OR translate(q6, '0123', '') <> ''").count() == 0
+
+    # quadkey agrees with tile_assign's (tx, ty) digit-for-digit
+    t = tile_assign(with_quadkey(pts, zoom=5, out="q5"),
+                    zoom=5, tile_px=1)
+    recon = f"{quadkey_sql('tx', 'ty', 5)}"
+    assert t.where(F.expr(recon) != F.col("q5")).count() == 0
