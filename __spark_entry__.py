@@ -5680,6 +5680,71 @@ SELECT substr(qk, 1, 2) AS qk2, CAST(count(*) AS BIGINT) AS n_pts,
 FROM k GROUP BY 1"""
 
 
+_HEX_SIZE_DEG = 3.0
+
+
+def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-density binning (``index.hexbin.hex_rollup``): every lineitem
+    point addressed to its pointy-top axial hex cell (size 3°) via cube
+    rounding — staged codegen from ``oracle.hexbin_stages``, zero UDFs —
+    then ONE map-side-combinable rollup per cell.  The nearest-center
+    property of the rounding (the part square-grid binning gets wrong on
+    diagonals) is pinned against numpy in unit tests; the gate verifies
+    the full assign + rollup against the same staged text in DuckDB."""
+    from projcl_spark.index.hexbin import hex_rollup
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    return hex_rollup(pts, size_deg=_HEX_SIZE_DEG)
+
+
+def _o_hex_bin() -> str:
+    g = O.hexbin_stages(_HEX_SIZE_DEG)
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))}),
+f AS (SELECT {g['qf'].format(x='lon', y='lat')} AS qf,
+             {g['rf'].format(x='lon', y='lat')} AS rf FROM pts),
+h AS (SELECT {g['hq'].format(qf='qf', rf='rf')} AS hq,
+             {g['hr'].format(qf='qf', rf='rf')} AS hr FROM f)
+SELECT hq, hr, CAST(count(*) AS BIGINT) AS n_pts
+FROM h GROUP BY 1, 2"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN index vs exact brute force — the standard
+    quality gauge an approximate index ships with (a fast index you can't
+    measure is not deployable).  Per query: |LSH top-k ∩ exact top-k| as
+    an integer hit count next to the exact count, via one equi-join of
+    the two (already individually driver-green) top-k pipelines.  At
+    scale the exact arm is the bounded evaluation SAMPLE (ANN_NQ
+    queries), not all queries — the standard recall-measurement shape."""
+    from projcl_spark.operators.ann import cosine_topk, cosine_topk_lsh
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < ANN_NQ)
+    ex = cosine_topk(qs, emb, k=ANN_K).select("query_id", "neighbor_id")
+    ls = (cosine_topk_lsh(qs, emb, k=ANN_K, n_bits=LSH_BITS,
+                          n_tables=LSH_TABLES, dim=64)
+          .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+    return (ex.join(ls, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"),
+                 F.coalesce(F.sum("hit"), F.lit(0)).cast("long")
+                 .alias("n_hit")))
+
+
+def _o_ann_recall() -> str:
+    return f"""
+WITH ex AS ({_o_ann_cosine()}),
+ls AS ({_o_ann_lsh()})
+SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN ls.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_hit
+FROM ex LEFT JOIN ls
+  ON ex.query_id = ls.query_id AND ex.neighbor_id = ls.neighbor_id
+GROUP BY 1"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -5744,6 +5809,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "utm_autozone",
     "quadkey_encode",
+    "hex_bin",
+    "ann_recall",
 )
 
 
@@ -5875,6 +5942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mvt_quantize=q_mvt_quantize,
         utm_autozone=q_utm_autozone,
         quadkey_encode=q_quadkey_encode,
+        hex_bin=q_hex_bin,
+        ann_recall=q_ann_recall,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -6002,6 +6071,8 @@ def oracle_sql() -> dict[str, str]:
         mvt_quantize=_o_mvt_quantize(),
         utm_autozone=_o_utm_autozone(),
         quadkey_encode=_o_quadkey_encode(),
+        hex_bin=_o_hex_bin(),
+        ann_recall=_o_ann_recall(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

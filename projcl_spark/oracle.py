@@ -1155,6 +1155,43 @@ def quadkey_sql(tx: str, ty: str, zoom: int) -> str:
     return "(" + " || ".join(digits) + ")"
 
 
+def hexbin_stages(size_deg: float) -> dict[str, str]:
+    """Pointy-top hexagonal binning (axial coordinates + cube rounding)
+    as staged dialect-free SQL fragments — the hex-density aggregation
+    every geo dashboard offers, engine-added (the reference has no
+    binning).  Plate-carrée frame: x = lon°, y = lat°, hex size
+    ``size_deg`` = center-to-vertex distance in degrees.
+
+    - ``qf``/``rf``: {x}/{y} → fractional axial coords
+      (q = (√3/3·x − y/3)/s, r = 2y/3s);
+    - ``hq``/``hr``: {qf}/{rf} → the rounded axial cell, via cube
+      rounding (round q, r, s=−q−r; re-derive the axis with the largest
+      rounding error from the other two, so the cell is always the
+      nearest hex center).
+
+    round() is spelled floor(v + 0.5) so both engines share one
+    half-up semantic; inputs are md5-derived so exact .5 never occurs.
+    """
+    s = _r(float(size_deg))
+    rt3 = _r(math.sqrt(3.0) / 3.0)
+    qf = f"(({rt3} * {{x}} - {{y}} / 3.0) / {s})"
+    rf = f"((2.0 / 3.0) * {{y}} / {s})"
+
+    def rnd(v: str) -> str:
+        return f"CAST(floor({v} + 0.5) AS BIGINT)"
+
+    yf = "(-({qf}) - ({rf}))"
+    rx, ry, rz = rnd("{qf}"), rnd(yf), rnd("{rf}")
+    dx = f"abs({rx} - ({{qf}}))"
+    dy = f"abs({ry} - {yf})"
+    dz = f"abs({rz} - ({{rf}}))"
+    hq = (f"(CASE WHEN {dx} > {dy} AND {dx} > {dz}"
+          f" THEN -({ry}) - ({rz}) ELSE {rx} END)")
+    hr = (f"(CASE WHEN NOT ({dx} > {dy} AND {dx} > {dz})"
+          f" AND NOT ({dy} > {dz}) THEN -({rx}) - ({ry}) ELSE {rz} END)")
+    return {"qf": qf, "rf": rf, "hq": hq, "hr": hr}
+
+
 GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

@@ -173,3 +173,53 @@ def test_quadkey_published_vector_and_prefix(spark):
                     zoom=5, tile_px=1)
     recon = f"{quadkey_sql('tx', 'ty', 5)}"
     assert t.where(F.expr(recon) != F.col("q5")).count() == 0
+
+
+def test_hexbin_nearest_center_property(spark):
+    """Cube rounding's defining property: the assigned hex center is the
+    NEAREST center — strictly closer than all six neighbors (ties are
+    measure-zero for md5-ish random points).  Verified in numpy against
+    the axial→cartesian formulas, plus the cube-sum invariant."""
+    from projcl_spark.index.hexbin import with_hexbin
+
+    s = 3.0
+    rng = np.random.RandomState(11)
+    pts = [(float(x), float(y)) for x, y in
+           zip(rng.uniform(-170, 170, 400), rng.uniform(-85, 85, 400))]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = with_hexbin(df, size_deg=s).collect()
+    rt3 = np.sqrt(3.0)
+    for row in got:
+        x, y, q, r = row["lon"], row["lat"], row["hq"], row["hr"]
+        # axial -> cartesian center (pointy-top)
+        cx, cy = s * rt3 * (q + r / 2.0), s * 1.5 * r
+        d0 = np.hypot(x - cx, y - cy)
+        for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            nx = s * rt3 * ((q + dq) + (r + dr) / 2.0)
+            ny = s * 1.5 * (r + dr)
+            assert d0 <= np.hypot(x - nx, y - ny) + 1e-9, (x, y, q, r)
+        # a point is never farther than one hex circumradius from its center
+        assert d0 <= s + 1e-9
+
+
+def test_ann_recall_bounds_and_self_recall(spark):
+    """Every sampled query appears exactly once with 0 ≤ n_hit ≤ n_exact
+    ≤ k; and measuring exact-vs-exact gives perfect recall (the metric's
+    fixed point)."""
+    import __spark_entry__ as E
+    from projcl_spark.operators.ann import cosine_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = E.q_ann_recall(spark, sf_dir).collect()
+    assert len(out) == E.ANN_NQ
+    for r in out:
+        assert 0 <= r["n_hit"] <= r["n_exact"] <= E.ANN_K
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 4)
+    ex = cosine_topk(qs, emb, k=3).select("query_id", "neighbor_id")
+    ls = ex.withColumn("hit", F.lit(1))
+    perfect = (ex.join(ls, ["query_id", "neighbor_id"], "left")
+               .groupBy("query_id")
+               .agg(F.sum("hit").alias("n_hit")).collect())
+    assert all(r["n_hit"] == 3 for r in perfect)
