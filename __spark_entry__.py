@@ -5627,24 +5627,24 @@ def q_utm_autozone(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, zero UDFs) and the DuckDB oracle — verified
     bit-stable across engines at the 10 m quantization.  k0 = 0.9996,
     false easting 500 km, southern-hemisphere false northing 10 000 km."""
-    zone_e, x_e, y_e = O.utm_fwd_sql("lon", "lat")
     ks = ("l_orderkey", "l_linenumber")
-    pts = _points_df(spark, sf_dir, "lineitem", ks)
-    return pts.select(
-        *ks,
-        F.expr(zone_e).alias("zone"),
-        F.expr(_q10(x_e)).alias("e_10m"),
-        F.expr(_q10(y_e)).alias("n_10m"),
+    df = _points_df(spark, sf_dir, "lineitem", ks)
+    for stage in O.utm_stages("lon", "lat"):
+        df = df.withColumns({n: F.expr(t) for n, t in stage.items()})
+    return df.select(
+        *ks, F.col("zone"),
+        F.expr(_q10("utm_x")).alias("e_10m"),
+        F.expr(_q10("utm_y")).alias("n_10m"),
     )
 
 
 def _o_utm_autozone() -> str:
-    zone_e, x_e, y_e = O.utm_fwd_sql("lon", "lat")
+    ks = ("l_orderkey", "l_linenumber")
+    inner = O.utm_stages_cte(_points_cte("lineitem", ks), ks)
     return f"""
-WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
-SELECT l_orderkey, l_linenumber, {zone_e} AS zone,
-       {_q10(x_e)} AS e_10m, {_q10(y_e)} AS n_10m
-FROM pts"""
+SELECT l_orderkey, l_linenumber, zone,
+       {_q10('utm_x')} AS e_10m, {_q10('utm_y')} AS n_10m
+FROM ({inner})"""
 
 
 _QK_ZOOM = 6

@@ -604,6 +604,27 @@ def build_queries(spark, sf_dir):
         _force(E.q_track_simplify(spark, sf_dir))
         return n_events // E._VW_MOD
 
+    def q_utm_autozone():
+        # Krüger order-4 with per-row zone meridian, all whole-stage
+        # codegen (zero UDFs, zero shuffle)
+        _force(E.q_utm_autozone(spark, sf_dir))
+        return n_pts
+
+    def q_quadkey_encode():
+        # staged tile coords + 6 CASE digits, prefix rollup
+        _force(E.q_quadkey_encode(spark, sf_dir))
+        return n_pts
+
+    def q_hex_bin():
+        # axial cube rounding + one partial-agg exchange
+        _force(E.q_hex_bin(spark, sf_dir))
+        return n_pts
+
+    def q_ann_recall():
+        # exact + LSH top-k pipelines joined per query
+        _force(E.q_ann_recall(spark, sf_dir))
+        return E.ANN_NQ
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -679,6 +700,10 @@ def build_queries(spark, sf_dir):
         "proj_distortion": q_proj_distortion,
         "geohash_encode": q_geohash_encode,
         "track_simplify": q_track_simplify,
+        "utm_autozone": q_utm_autozone,
+        "quadkey_encode": q_quadkey_encode,
+        "hex_bin": q_hex_bin,
+        "ann_recall": q_ann_recall,
     }
 
 

@@ -300,6 +300,62 @@ def utm_fwd_sql(lon: str = "lon", lat: str = "lat") -> tuple[str, str, str]:
     return zone, x, y
 
 
+def utm_stages(lon: str = "lon", lat: str = "lat") -> list[dict[str, str]]:
+    """``utm_fwd_sql`` as STAGED fragments — same math, each intermediate
+    (λ, τ, σ, τ′, ξ, η) computed ONCE as a named column instead of being
+    re-inlined combinatorially into one expression tree (the flat form
+    measured ~3.6× slower through codegen than the fixed-meridian tmerc;
+    staging restores the expected per-row cost, and the DuckDB twin
+    chains the same fragments as CTEs).
+
+    Returns a list of stages; each stage is a dict of new column name →
+    SQL text over the previous stages' columns (plus ``lon``/``lat``).
+    The final stage defines ``zone``, ``utm_x``, ``utm_y``.
+    """
+    from .core.spheroid import Spheroid
+
+    params = ProjectionParams(spheroid=Spheroid.WGS_84, scale=0.9996)
+    C = _MODULES["transverse_mercator"].prepare(params)
+    sc = _r(C["scale"])
+    e = _r(C["ecc"])
+    a = C["alpha"]
+    zone = f"(CAST(floor(({lon} + 180.0) / 6.0) AS BIGINT) % 60 + 1)"
+    stages: list[dict[str, str]] = [
+        {"_zn": zone,
+         "_phi": f"radians({lat})"},
+        {"_lam": f"(radians({lon}) - radians(CAST(_zn AS DOUBLE) * 6.0 - 183.0))",
+         "_tau": "tan(_phi)"},
+        {"_sig": sinh_s(f"({e} * {atanh_s(f'({e} * _tau / sqrt(1.0 + _tau * _tau))')})")},
+        {"_tau1": "(_tau * sqrt(1.0 + _sig * _sig) - _sig * sqrt(1.0 + _tau * _tau))"},
+        {"_xi": "atan2(_tau1, cos(_lam))",
+         "_eta": asinh_s("(sin(_lam) / sqrt(_tau1 * _tau1 + cos(_lam) * cos(_lam)))")},
+        {"zone": "_zn",
+         "utm_x": "(500000.0 + " + sc + " * (_eta + " + " + ".join(
+             f"{_r(a[i])} * cos({2 * (i + 1)} * _xi) * {sinh_s(f'({2 * (i + 1)} * _eta)')}"
+             for i in range(4)) + "))",
+         "utm_y": (f"((CASE WHEN {lat} >= 0.0 THEN 0.0 ELSE 10000000.0 END) + "
+                   + sc + " * (_xi + " + " + ".join(
+                       f"{_r(a[i])} * sin({2 * (i + 1)} * _xi) * {cosh_s(f'({2 * (i + 1)} * _eta)')}"
+                       for i in range(4)) + "))")},
+    ]
+    return stages
+
+
+def utm_stages_cte(table_sql: str, keys: tuple[str, ...],
+                   lon: str = "lon", lat: str = "lat") -> str:
+    """Chain ``utm_stages`` as DuckDB CTEs over ``table_sql`` (which must
+    expose ``keys`` + lon/lat): SELECT keys, zone, utm_x, utm_y."""
+    stages = utm_stages(lon, lat)
+    ks = ", ".join(keys)
+    sql = f"WITH s0 AS ({table_sql})"
+    prev = "s0"
+    for i, st in enumerate(stages, 1):
+        cols = ", ".join(f"{txt} AS {name}" for name, txt in st.items())
+        sql += f",\ns{i} AS (SELECT *, {cols} FROM {prev})"
+        prev = f"s{i}"
+    return sql + f"\nSELECT {ks}, zone, utm_x, utm_y FROM {prev}"
+
+
 def fwd_xy_sql(proj: str, params: ProjectionParams,
                lon: str = "lon", lat: str = "lat",
                dialect: str = "duck") -> tuple[str, str]:

@@ -152,8 +152,13 @@ def test_geohash_sql_matches_reference_bits(lon, lat, precision):
         O.GEOHASH32[int("".join(map(str, bits[5 * i:5 * i + 5])), 2)]
         for i in range(precision))
     g = O.geohash_stages(precision)
-    q = (f"WITH v AS (SELECT {g['lonv'].format(lon=repr(lon))} AS lonv, "
-         f"{g['latv'].format(lat=repr(lat))} AS latv) "
+    # CAST the literals: in real usage {lon}/{lat} are DOUBLE columns, but
+    # a bare SQL literal like 180.0 stays DECIMAL in DuckDB and the
+    # stage arithmetic then overflows the inferred decimal width
+    lon_e = f"CAST({lon!r} AS DOUBLE)"
+    lat_e = f"CAST({lat!r} AS DOUBLE)"
+    q = (f"WITH v AS (SELECT {g['lonv'].format(lon=lon_e)} AS lonv, "
+         f"{g['latv'].format(lat=lat_e)} AS latv) "
          f"SELECT {g['gh'].format(lonv='lonv', latv='latv')} AS gh FROM v")
     got = duckdb.connect().execute(q).fetchone()[0]
     assert got == want, (lon, lat, precision, got, want)
