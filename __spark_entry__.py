@@ -5710,6 +5710,46 @@ SELECT hq, hr, CAST(count(*) AS BIGINT) AS n_pts
 FROM h GROUP BY 1, 2"""
 
 
+def q_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM forward→inverse closure per zone — the reference's primary
+    oracle (projcl_test.c:648-669, 1 arc-second) extended to the
+    auto-zone path: staged codegen forward (``oracle.utm_stages``), then
+    a per-zone Arrow-batched Krüger inverse
+    (``functions.utm_inverse_udf`` — same module math as every fixed
+    inverse), closure flagged row-wise and aggregated per zone.  The
+    oracle derives the zone histogram independently and asserts ZERO
+    failures — the engine only matches if the round trip actually
+    closes for every row."""
+    from projcl_spark.functions import utm_inverse_udf
+
+    ks = ("l_orderkey", "l_linenumber")
+    df = _points_df(spark, sf_dir, "lineitem", ks)
+    for stage in O.utm_stages("lon", "lat"):
+        df = df.withColumns({n: F.expr(t) for n, t in stage.items()})
+    inv = utm_inverse_udf()
+    df = (df
+          .withColumn("y_ell", F.col("utm_y")
+                      - F.when(F.col("lat") < 0.0, 1e7).otherwise(0.0))
+          .withColumn("ll", inv("zone", "utm_x", "y_ell")))
+    bad = (
+        (F.abs(F.col("ll.lon") - F.col("lon")) > ARCSEC)
+        | (F.abs(F.col("ll.lat") - F.col("lat")) > ARCSEC)
+    ).cast("long")
+    return df.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.sum(bad).alias("n_failed"),
+    )
+
+
+def _o_utm_roundtrip() -> str:
+    zone_e, _x, _y = O.utm_fwd_sql("lon", "lat")
+    return f"""
+WITH pts AS ({_points_cte('lineitem', ('l_orderkey', 'l_linenumber'))})
+SELECT {zone_e} AS zone, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(0 AS BIGINT) AS n_failed
+FROM pts GROUP BY 1"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH ANN index vs exact brute force — the standard
     quality gauge an approximate index ships with (a fast index you can't
@@ -5811,6 +5851,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "quadkey_encode",
     "hex_bin",
     "ann_recall",
+    "utm_roundtrip",
 )
 
 
@@ -5944,6 +5985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         quadkey_encode=q_quadkey_encode,
         hex_bin=q_hex_bin,
         ann_recall=q_ann_recall,
+        utm_roundtrip=q_utm_roundtrip,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -6073,6 +6115,7 @@ def oracle_sql() -> dict[str, str]:
         quadkey_encode=_o_quadkey_encode(),
         hex_bin=_o_hex_bin(),
         ann_recall=_o_ann_recall(),
+        utm_roundtrip=_o_utm_roundtrip(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

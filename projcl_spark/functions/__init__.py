@@ -237,3 +237,39 @@ def affine2d_cols(x, y, m: tuple[float, float, float, float, float, float]) -> t
         (F.lit(m[0]) * x + F.lit(m[1]) * y + F.lit(m[2])).alias("x"),
         (F.lit(m[3]) * x + F.lit(m[4]) * y + F.lit(m[5])).alias("y"),
     )
+
+
+def utm_inverse_udf():
+    """pandas UDF (zone, easting, northing_ell) → (lon, lat) for WGS-84
+    UTM — the inverse of ``oracle.utm_stages``.  ``northing_ell`` is the
+    UNFOLDED northing (southern-hemisphere rows minus the 10 000 km
+    false northing; the caller knows the hemisphere it encoded).
+
+    One Arrow batch carries many zones: rows are inverted per distinct
+    zone (≤ 60 groups) through the same Krüger order-4 ladder + Newton
+    step as every fixed-meridian inverse (``proj.transverse_mercator.
+    inverse``), so the math is the module's, not a re-derivation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..core.params import ProjectionParams
+    from ..core.spheroid import Spheroid
+    from ..proj import transverse_mercator as _tm
+
+    @F.pandas_udf(LONLAT_SCHEMA)
+    def _utm_inv(zone: pd.Series, x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        zv = zone.to_numpy(dtype=np.int64, na_value=0)
+        xv = x.to_numpy(dtype=np.float64, na_value=np.nan)
+        yv = y.to_numpy(dtype=np.float64, na_value=np.nan)
+        lon = np.full_like(xv, np.nan)
+        lat = np.full_like(yv, np.nan)
+        for z in np.unique(zv):
+            m = zv == z
+            p = ProjectionParams(spheroid=Spheroid.WGS_84, scale=0.9996,
+                                 lon0=float(z) * 6.0 - 183.0, x0=500000.0)
+            C = _tm.prepare(p)
+            lon[m], lat[m] = _tm.inverse(xv[m], yv[m], C)
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return _utm_inv

@@ -126,7 +126,8 @@ def test_iceberg_seam(spark, tmp_path):
     if not iceberg_available(spark):
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
             Pipeline(spark, str(tmp_path), "run_ice", table_format="iceberg")
-        # jar fetch attempted 2026-08-17 (r3) and retried 2026-08-17 (r4):
+        # jar fetch attempted 2026-08-17 (r3), retried 2026-08-17 (r4)
+        # and 2026-08-18 (r5, curl: "Could not resolve host"):
         # repo1.maven.org does not resolve from this sandbox (curl exit 6,
         # DNS failure), so spark.jars.packages cannot pull
         # iceberg-spark-runtime; the seam stays verified-to-reject until
