@@ -5785,6 +5785,73 @@ FROM ex LEFT JOIN ls
 GROUP BY 1"""
 
 
+def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rhumb-line (loxodrome) navigation over user tracks
+    (``oracle.rhumb_stages`` / ``geo.geodesic.rhumb_inverse``): each hop's
+    constant-course distance next to its great-circle distance, rolled up
+    per user.  The SAME staged dialect-free text is the Spark plan
+    (``withColumns`` → whole-stage codegen, zero UDFs) and the DuckDB
+    oracle CTEs.  ``n_shorter`` counts hops where the rhumb beats the
+    great circle by > 0.5 m — mathematically impossible, so the column is
+    an embedded invariant: any formula error surfaces as a nonzero that
+    the value hash (and the oracle twin) would have to reproduce exactly.
+    One shuffle (user_id window + rollup share the partitioning); sums
+    are order-dependent doubles quantized to 10 m, ~8 orders above the
+    float-sum spread (same licensing as track_length)."""
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = (ev
+            .withColumn("plon", F.lag("lon").over(w))
+            .withColumn("plat", F.lag("lat").over(w))
+            .where(F.col("plon").isNotNull()))
+    for stage in O.rhumb_stages("plon", "plat", "lon", "lat"):
+        hops = hops.withColumns({n: F.expr(t) for n, t in stage.items()})
+    gc = F.expr(O.haversine("plon", "plat", "lon", "lat"))
+    return (hops
+            .withColumn("gc_m", gc)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hops"),
+                 _q10_col(F.sum("rhumb_m")).alias("rhumb_10m"),
+                 _q10_col(F.sum("gc_m")).alias("gc_10m"),
+                 F.sum((F.col("rhumb_m") < F.col("gc_m") - 0.5).cast("long"))
+                 .alias("n_shorter")))
+
+
+def _o_rhumb_line() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    stages = O.rhumb_stages("plon", "plat", "lon", "lat")
+    ctes, src = [], "s"
+    for i, stage in enumerate(stages):
+        cols = ", ".join(f"{t} AS {n}" for n, t in stage.items())
+        ctes.append(f"r{i} AS (SELECT *, {cols} FROM {src})")
+        src = f"r{i}"
+    gc = O.haversine("plon", "plat", "lon", "lat")
+    return f"""
+WITH pts AS (SELECT event_id, user_id, ts, {lon_e} AS lon, {lat_e} AS lat
+             FROM events),
+l AS (SELECT user_id, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT * FROM l WHERE plon IS NOT NULL),
+{", ".join(ctes)},
+h AS (SELECT user_id, rhumb_m, {gc} AS gc_m FROM {src})
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_hops,
+       {_q10('sum(rhumb_m)')} AS rhumb_10m,
+       {_q10('sum(gc_m)')} AS gc_10m,
+       CAST(sum(CASE WHEN rhumb_m < gc_m - 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shorter
+FROM h GROUP BY user_id"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -5852,6 +5919,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "hex_bin",
     "ann_recall",
     "utm_roundtrip",
+    "rhumb_line",
 )
 
 
@@ -5986,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hex_bin=q_hex_bin,
         ann_recall=q_ann_recall,
         utm_roundtrip=q_utm_roundtrip,
+        rhumb_line=q_rhumb_line,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -6116,6 +6185,7 @@ def oracle_sql() -> dict[str, str]:
         hex_bin=_o_hex_bin(),
         ann_recall=_o_ann_recall(),
         utm_roundtrip=_o_utm_roundtrip(),
+        rhumb_line=_o_rhumb_line(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

@@ -61,6 +61,30 @@ def spherical_direct(lon, lat, azimuth_deg, distance_m, radius: float | None = N
     return np.degrees(lam2), np.degrees(phi2)
 
 
+def rhumb_inverse(lon1, lat1, lon2, lat2, radius: float | None = None):
+    """Loxodrome distance (m) and constant course (deg, [0, 360)).
+
+    Engine-added navigation op (the reference's geodesic kernels,
+    ``kernel/pl_geodesic.opencl``, are great-circle only); Mercator
+    isometric-latitude formulation — the numpy twin of
+    ``oracle.rhumb_stages``, which Spark codegen and the DuckDB oracle
+    share.  A rhumb line is never shorter than the great circle; tests
+    pin that invariant against :func:`haversine`.
+    """
+    if radius is None:
+        radius = get_spheroid_info(Spheroid.SPHERE).major_axis
+    phi1, phi2 = np.radians(lat1), np.radians(lat2)
+    dphi = phi2 - phi1
+    dlon = np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64)
+    dlam = np.radians(dlon - 360.0 * np.floor((dlon + 180.0) / 360.0))
+    dpsi = np.log(np.tan(np.pi / 4 + phi2 / 2)) - np.log(np.tan(np.pi / 4 + phi1 / 2))
+    q = np.where(np.abs(dpsi) > 1e-12, dphi / np.where(dpsi == 0, 1.0, dpsi),
+                 np.cos(phi1))
+    dist = np.sqrt(dphi * dphi + q * q * dlam * dlam) * radius
+    course = (np.degrees(np.arctan2(dlam, dpsi)) + 360.0) % 360.0
+    return dist, course
+
+
 def _spheroid(spheroid: Spheroid | SpheroidInfo) -> SpheroidInfo:
     return spheroid if isinstance(spheroid, SpheroidInfo) else get_spheroid_info(spheroid)
 

@@ -1167,6 +1167,49 @@ def bearing_deg(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     )
 
 
+def rhumb_stages(lon1: str, lat1: str, lon2: str, lat2: str,
+                 radius: float = 6370997.0) -> list[dict[str, str]]:
+    """Loxodrome (rhumb-line) inverse: distance (m) + constant course
+    (deg, [0, 360)) between two points — the navigation companion to the
+    great-circle kernels (the reference's geodesics are great-circle
+    only, ``kernel/pl_geodesic.opencl``; a rhumb line is what a fixed
+    compass heading actually sails).
+
+    Standard Mercator isometric-latitude formulation (Admiralty manual /
+    Bowring 1985):
+
+        Δψ = ln tan(π/4 + φ₂/2) − ln tan(π/4 + φ₁/2)
+        q  = Δφ/Δψ   (→ cos φ₁ as Δψ → 0: the east-west limit)
+        d  = R·√(Δφ² + q²·Δλ²),   θ = atan2(Δλ, Δψ)
+
+    Δλ is wrapped to [−180°, 180°) with floor() — NEVER round(), whose
+    half-way tie-break could differ across engines.  Returned as staged
+    dicts (Spark applies them via ``withColumns``, the oracle nests them
+    as CTEs) so the shared dialect-free text stays readable; ``q`` must
+    be staged because it feeds both the distance and nothing else reuses
+    Δψ's guard.  Pole-safe for |φ| < 90 (the test envelope is ±80)."""
+    pi4 = _r(math.pi / 4.0)
+    wrap = (f"(({lon2}) - ({lon1}) "
+            f"- 360.0 * floor((({lon2}) - ({lon1}) + 180.0) / 360.0))")
+    s1 = {
+        "r_dphi": f"(radians({lat2}) - radians({lat1}))",
+        "r_dlam": f"radians({wrap})",
+        "r_dpsi": (f"(ln(tan({pi4} + radians({lat2}) / 2.0)) "
+                   f"- ln(tan({pi4} + radians({lat1}) / 2.0)))"),
+        "r_cphi1": f"cos(radians({lat1}))",
+    }
+    s2 = {
+        "r_q": ("(CASE WHEN abs(r_dpsi) > 1e-12 THEN r_dphi / r_dpsi "
+                "ELSE r_cphi1 END)"),
+    }
+    s3 = {
+        "rhumb_m": (f"(sqrt(r_dphi * r_dphi + r_q * r_q * r_dlam * r_dlam)"
+                    f" * {_r(radius)})"),
+        "rhumb_course": "((degrees(atan2(r_dlam, r_dpsi)) + 360.0) % 360.0)",
+    }
+    return [s1, s2, s3]
+
+
 def slippy_global_px(lon: str, lat: str, zoom: int,
                      tile_px: int = 256) -> tuple[str, str]:
     """Global Web-Mercator pixel indices at ``zoom`` — the slippy-map

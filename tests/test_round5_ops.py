@@ -223,3 +223,62 @@ def test_ann_recall_bounds_and_self_recall(spark):
                .groupBy("query_id")
                .agg(F.sum("hit").alias("n_hit")).collect())
     assert all(r["n_hit"] == 3 for r in perfect)
+
+
+def test_rhumb_published_vector_and_invariants(spark):
+    """The Movable-Type worked example (Dover->Calais class: here the
+    classic 50°21'50"N 4°09'25"W -> 42°21'04"N 71°02'27"W leg): rhumb
+    distance 5197.9 km and course 260°07'38" at R=6371 km; plus the
+    ordering invariant (a rhumb line never beats the great circle) and
+    east-west / meridian exactness on random points."""
+    from projcl_spark.geo.geodesic import haversine, rhumb_inverse
+
+    p1 = (-(4 + 9 / 60 + 25 / 3600), 50 + 21 / 60 + 50 / 3600)
+    p2 = (-(71 + 2 / 60 + 27 / 3600), 42 + 21 / 60 + 4 / 3600)
+    d, c = rhumb_inverse(p1[0], p1[1], p2[0], p2[1], radius=6371000.0)
+    assert abs(d - 5197900.0) < 2000.0, d
+    assert abs(c - (260 + 7 / 60 + 38 / 3600)) < 0.05, c
+
+    rng = np.random.default_rng(7)
+    lon1, lon2 = rng.uniform(-60, 60, 500), rng.uniform(-60, 60, 500)
+    lat1, lat2 = rng.uniform(-40, 80, 500), rng.uniform(-40, 80, 500)
+    dr, _ = rhumb_inverse(lon1, lat1, lon2, lat2)
+    dg = haversine(lon1, lat1, lon2, lat2)
+    assert (dr >= dg - 1e-6).all()
+    # along a meridian the rhumb IS the great circle
+    dm, cm = rhumb_inverse(lon1, lat1, lon1, lat1 + 5.0)
+    assert np.allclose(dm, haversine(lon1, lat1, lon1, lat1 + 5.0), rtol=1e-12)
+    assert np.allclose(cm, 0.0)
+    # due east at the equator: course 90, distance = R * dlam
+    de, ce = rhumb_inverse(10.0, 0.0, 20.0, 0.0)
+    assert abs(ce - 90.0) < 1e-9
+    assert abs(de - 6370997.0 * np.radians(10.0)) < 1e-6
+
+
+def test_rhumb_sql_matches_numpy(spark):
+    """The staged dialect-free SQL (oracle.rhumb_stages) IS the numpy
+    implementation: pin the Spark codegen rendering row-by-row."""
+    from projcl_spark import oracle as O
+    from projcl_spark.geo.geodesic import rhumb_inverse
+
+    rng = np.random.default_rng(11)
+    n = 300
+    pdf = {
+        "i": list(range(n)),
+        "lon1": rng.uniform(-60, 60, n).tolist(),
+        "lat1": rng.uniform(-40, 80, n).tolist(),
+        "lon2": rng.uniform(-60, 60, n).tolist(),
+        "lat2": rng.uniform(-40, 80, n).tolist(),
+    }
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(pdf))
+    for stage in O.rhumb_stages("lon1", "lat1", "lon2", "lat2"):
+        df = df.withColumns({k: F.expr(t) for k, t in stage.items()})
+    got = df.select("i", "rhumb_m", "rhumb_course").toPandas().set_index("i")
+    want_d, want_c = rhumb_inverse(
+        np.array(pdf["lon1"]), np.array(pdf["lat1"]),
+        np.array(pdf["lon2"]), np.array(pdf["lat2"]))
+    assert np.allclose(got["rhumb_m"].to_numpy(), want_d, rtol=1e-12, atol=1e-6)
+    assert np.allclose(got["rhumb_course"].to_numpy(), want_c,
+                       rtol=1e-12, atol=1e-9)
