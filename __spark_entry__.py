@@ -5852,6 +5852,51 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_hops,
 FROM h GROUP BY user_id"""
 
 
+_VOR_MOD = 7  # every 7th supplier is a facility: 2 / 15 / 143 at the 3 sfs
+
+
+def q_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility (Voronoi) allocation
+    (``operators.allocate.nearest_facility``): every order point assigned
+    to its closest facility (every {mod}th supplier) by a guarded
+    whole-stage-codegen argmin FOLD over the literal facility array —
+    the big side never shuffles for the assignment; the only exchange is
+    the map-side-combinable per-facility rollup.  Strict ``<`` over the
+    id-ascending array keeps the first minimum on ties, matching the
+    oracle's brute-force ``ORDER BY dist, id`` rank exactly.  Catchment
+    stats per facility: demand count, summed and max haul (10 m)."""
+    from projcl_spark.operators.allocate import nearest_facility
+
+    pts = _points_df(spark, sf_dir, "orders", ("o_orderkey",))
+    fac = (_points_df(spark, sf_dir, "supplier", ("s_suppkey",))
+           .where(F.col("s_suppkey") % _VOR_MOD == 0))
+    got = nearest_facility(pts, fac, fac_id="s_suppkey")
+    return got.groupBy("facility").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        _q10_col(F.sum("dist_m")).alias("dist_sum_10m"),
+        _q10_col(F.max("dist_m")).alias("dist_max_10m"),
+    )
+
+
+q_voronoi_assign.__doc__ = q_voronoi_assign.__doc__.format(mod=_VOR_MOD)
+
+
+def _o_voronoi_assign() -> str:
+    hav = O.haversine("p.lon", "p.lat", "f.lon", "f.lat")
+    return f"""
+WITH pts AS ({_points_cte('orders', ('o_orderkey',))}),
+fac AS (SELECT * FROM ({_points_cte('supplier', ('s_suppkey',))})
+        WHERE s_suppkey % {_VOR_MOD} = 0),
+d AS (SELECT p.o_orderkey, f.s_suppkey, {hav} AS dist
+      FROM pts p CROSS JOIN fac f),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY dist, s_suppkey) AS rn FROM d)
+SELECT s_suppkey AS facility, CAST(count(*) AS BIGINT) AS n_pts,
+       {_q10('sum(dist)')} AS dist_sum_10m,
+       {_q10('max(dist)')} AS dist_max_10m
+FROM r WHERE rn = 1 GROUP BY 1"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -5920,6 +5965,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "ann_recall",
     "utm_roundtrip",
     "rhumb_line",
+    "voronoi_assign",
 )
 
 
@@ -6055,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_recall=q_ann_recall,
         utm_roundtrip=q_utm_roundtrip,
         rhumb_line=q_rhumb_line,
+        voronoi_assign=q_voronoi_assign,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -6186,6 +6233,7 @@ def oracle_sql() -> dict[str, str]:
         ann_recall=_o_ann_recall(),
         utm_roundtrip=_o_utm_roundtrip(),
         rhumb_line=_o_rhumb_line(),
+        voronoi_assign=_o_voronoi_assign(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

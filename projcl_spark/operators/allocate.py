@@ -1,0 +1,84 @@
+"""Nearest-facility (Voronoi) allocation: assign every point to its
+closest facility from a SMALL facility layer.
+
+Engine-added (the reference computes point-to-point geodesic matrices,
+``src/projcl_run.c:654-656``, but has no assignment/allocation operator);
+this is the site-selection / catchment primitive: billions of demand
+points, a few hundred depots.
+
+Plan shape (the 100-TB story): the facility layer is captured ONCE into a
+LITERAL array of structs (guarded by ``layer_guard`` — the fold is O(K)
+generated code per row, so the cap here is far tighter than the broadcast
+caps) and the argmin runs as a whole-stage-codegen ``aggregate`` fold over
+that literal.  The big side never shuffles for the assignment; the only
+exchange is the per-facility rollup the caller adds, which is map-side
+combinable.  For facility sets beyond the cap, ``knn_join`` (cell-ring
+k=1) is the distributed fallback — same semantics, shuffle-based.
+
+Determinism: strict ``<`` over the id-ascending facility array keeps the
+FIRST minimum on exact ties — identical to the oracle's
+``ORDER BY dist, id`` rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import haversine_col
+from .layer_guard import check_layer_size
+
+# codegen-fold envelope: each facility adds an arm to the per-row fold, so
+# the cap is about generated-code size, not driver memory
+MAX_FOLD_FACILITIES = 4096
+
+
+def nearest_facility(
+    points: DataFrame,
+    facilities: DataFrame,
+    *,
+    fac_id: str = "fac_id",
+    fac_lon: str = "lon",
+    fac_lat: str = "lat",
+    lon: str = "lon",
+    lat: str = "lat",
+    out_id: str = "facility",
+    out_dist: str = "dist_m",
+    max_facilities: int | None = None,
+) -> DataFrame:
+    """``points`` + (``facility``, ``dist_m``): the id of the closest
+    facility (haversine) and the distance to it."""
+    check_layer_size(
+        facilities, what="nearest_facility facility layer",
+        max_rows=max_facilities or MAX_FOLD_FACILITIES,
+        fallback_hint="Use knn_join(k=1) for facility sets beyond the "
+                      "codegen-fold envelope.",
+    )
+    rows = (facilities.select(F.col(fac_id).cast("long").alias("id"),
+                              F.col(fac_lon).cast("double").alias("flon"),
+                              F.col(fac_lat).cast("double").alias("flat"))
+            .collect())
+    if not rows:
+        raise ValueError("nearest_facility: empty facility layer")
+    rows.sort(key=lambda r: r["id"])
+    facs = F.array(*[
+        F.struct(F.lit(r["id"]).cast("long").alias("id"),
+                 F.lit(float(r["flon"])).alias("flon"),
+                 F.lit(float(r["flat"])).alias("flat"))
+        for r in rows
+    ])
+
+    def _merge(acc: Column, f: Column) -> Column:
+        d = haversine_col(f["flon"], f["flat"], F.col(lon), F.col(lat))
+        return F.when(d < acc["d"],
+                      F.struct(f["id"].alias("id"), d.alias("d"))
+                      ).otherwise(acc)
+
+    init = F.struct(F.lit(-1).cast("long").alias("id"),
+                    F.lit(1e18).alias("d"))
+    best = F.aggregate(facs, init, _merge)
+    return points.withColumn("_best", best).select(
+        *points.columns,
+        F.col("_best.id").alias(out_id),
+        F.col("_best.d").alias(out_dist),
+    )

@@ -282,3 +282,54 @@ def test_rhumb_sql_matches_numpy(spark):
     assert np.allclose(got["rhumb_m"].to_numpy(), want_d, rtol=1e-12, atol=1e-6)
     assert np.allclose(got["rhumb_course"].to_numpy(), want_c,
                        rtol=1e-12, atol=1e-9)
+
+
+def test_nearest_facility_matches_bruteforce_and_plan(spark):
+    """Fold argmin == numpy brute force (incl. the first-min tie rule);
+    the assignment itself adds ZERO exchanges (only the rollup a caller
+    adds shuffles)."""
+    import re
+
+    from projcl_spark.geo.geodesic import haversine
+    from projcl_spark.operators.allocate import nearest_facility
+    from projcl_spark.sources import synth
+
+    def keyed(df):
+        return df.withColumn(
+            "k", F.concat_ws("#", "doc_id", F.col("offset").cast("string")))
+
+    pts = keyed(synth.geo_points(spark, 150))
+    fac = (keyed(synth.geo_points(spark, 11))
+           .selectExpr("abs(hash(k)) AS fid", "lon AS flon", "lat AS flat")
+           .dropDuplicates(["fid"]))
+    got = (nearest_facility(pts, fac, fac_id="fid", fac_lon="flon",
+                            fac_lat="flat")
+           .toPandas().sort_values("k").reset_index(drop=True))
+    fp = fac.toPandas().sort_values("fid").reset_index(drop=True)
+    pp = pts.toPandas().sort_values("k").reset_index(drop=True)
+    d = haversine(pp.lon.values[:, None], pp.lat.values[:, None],
+                  fp.flon.values[None, :], fp.flat.values[None, :])
+    want = fp.fid.values[d.argmin(axis=1)]  # argmin keeps the first min
+    assert (got.facility.values == want).all()
+    assert (got.dist_m.values >= 0).all() and (got.facility.values >= 0).all()
+
+    plan = (nearest_facility(pts, fac, fac_id="fid", fac_lon="flon",
+                             fac_lat="flat")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert not re.search(r"Exchange", plan), "assignment must not shuffle"
+
+
+def test_nearest_facility_guard_trips(spark):
+    from projcl_spark.operators.allocate import nearest_facility
+    from projcl_spark.operators.layer_guard import LayerTooLargeError
+    from projcl_spark.sources import synth
+
+    pts = synth.geo_points(spark, 10)
+    fac = (synth.geo_points(spark, 50)
+           .selectExpr("abs(hash(doc_id, offset)) AS fid",
+                       "lon AS flon", "lat AS flat"))
+    import pytest
+
+    with pytest.raises(LayerTooLargeError):
+        nearest_facility(pts, fac, fac_id="fid", fac_lon="flon",
+                         fac_lat="flat", max_facilities=10)
