@@ -5897,6 +5897,48 @@ SELECT s_suppkey AS facility, CAST(count(*) AS BIGINT) AS n_pts,
 FROM r WHERE rn = 1 GROUP BY 1"""
 
 
+def q_mgrs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MGRS grid-reference addressing (``index.mgrs.with_mgrs``): every
+    lineitem point encoded through the UTM auto-zone stages into its
+    1-km MGRS reference (``oracle.mgrs_stages`` — pure staged codegen,
+    zero UDFs, same text as the DuckDB oracle), rolled up per
+    (zone, band) with the distinct-100-km-square count and the lexical
+    min/max reference strings, so both the letter scheme (incl. the
+    even-zone row offset and the 3-zone column cycle) AND the digit
+    truncation are value-hashed.  CN Tower (17TPJ) and Sydney Opera
+    House (56HLH, southern false northing) published vectors pinned in
+    unit tests."""
+    from projcl_spark.index.mgrs import with_mgrs
+
+    ks = ("l_orderkey", "l_linenumber")
+    pts = _points_df(spark, sf_dir, "lineitem", ks)
+    enc = with_mgrs(pts)
+    return enc.groupBy("zone", "m_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.countDistinct("m_sq").cast("long").alias("n_sq"),
+        F.min("mgrs").alias("mgrs_min"),
+        F.max("mgrs").alias("mgrs_max"),
+    )
+
+
+def _o_mgrs_encode() -> str:
+    ks = ("l_orderkey", "l_linenumber")
+    inner = O.utm_stages_cte(_points_cte("lineitem", ks), ks, extra=("lat",))
+    stages = O.mgrs_stages("zone", "utm_x", "utm_y", "lat")
+    ctes, src = [], "u"
+    for i, stage in enumerate(stages):
+        cols = ", ".join(f"{t} AS {n}" for n, t in stage.items())
+        ctes.append(f"m{i} AS (SELECT *, {cols} FROM {src})")
+        src = f"m{i}"
+    return f"""
+WITH u AS ({inner}),
+{", ".join(ctes)}
+SELECT zone, m_band, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(count(DISTINCT m_sq) AS BIGINT) AS n_sq,
+       min(mgrs) AS mgrs_min, max(mgrs) AS mgrs_max
+FROM {src} GROUP BY 1, 2"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -5966,6 +6008,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "utm_roundtrip",
     "rhumb_line",
     "voronoi_assign",
+    "mgrs_encode",
 )
 
 
@@ -6102,6 +6145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         utm_roundtrip=q_utm_roundtrip,
         rhumb_line=q_rhumb_line,
         voronoi_assign=q_voronoi_assign,
+        mgrs_encode=q_mgrs_encode,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -6234,6 +6278,7 @@ def oracle_sql() -> dict[str, str]:
         utm_roundtrip=_o_utm_roundtrip(),
         rhumb_line=_o_rhumb_line(),
         voronoi_assign=_o_voronoi_assign(),
+        mgrs_encode=_o_mgrs_encode(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

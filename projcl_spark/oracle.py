@@ -342,11 +342,14 @@ def utm_stages(lon: str = "lon", lat: str = "lat") -> list[dict[str, str]]:
 
 
 def utm_stages_cte(table_sql: str, keys: tuple[str, ...],
-                   lon: str = "lon", lat: str = "lat") -> str:
+                   lon: str = "lon", lat: str = "lat",
+                   extra: tuple[str, ...] = ()) -> str:
     """Chain ``utm_stages`` as DuckDB CTEs over ``table_sql`` (which must
-    expose ``keys`` + lon/lat): SELECT keys, zone, utm_x, utm_y."""
+    expose ``keys`` + lon/lat): SELECT keys [, extra], zone, utm_x, utm_y
+    (``extra`` passes source columns through — e.g. ``lat`` for the MGRS
+    band stage)."""
     stages = utm_stages(lon, lat)
-    ks = ", ".join(keys)
+    ks = ", ".join(keys + extra)
     sql = f"WITH s0 AS ({table_sql})"
     prev = "s0"
     for i, st in enumerate(stages, 1):
@@ -1206,6 +1209,58 @@ def rhumb_stages(lon1: str, lat1: str, lon2: str, lat2: str,
         "rhumb_m": (f"(sqrt(r_dphi * r_dphi + r_q * r_q * r_dlam * r_dlam)"
                     f" * {_r(radius)})"),
         "rhumb_course": "((degrees(atan2(r_dlam, r_dpsi)) + 360.0) % 360.0)",
+    }
+    return [s1, s2, s3]
+
+
+MGRS_BANDS = "CDEFGHJKLMNPQRSTUVWX"          # 8° latitude bands, no I/O
+MGRS_COLS = "ABCDEFGHJKLMNPQRSTUVWXYZ".replace("I", "").replace("O", "")
+MGRS_ROWS = "ABCDEFGHJKLMNPQRSTUV"           # 20-row northing cycle, no I/O
+
+
+def mgrs_stages(zone: str, e: str, n: str, lat: str,
+                km_digits: int = 2) -> list[dict[str, str]]:
+    """MGRS (military grid reference system) string from UTM auto-zone
+    outputs — the interoperable grid ADDRESS on top of the projection the
+    reference stops at (``pl_project_transverse_mercator.opencl`` emits
+    meters; MGRS is how those meters are exchanged).  Standard MGRS-new
+    (AA) lettering scheme:
+
+    - latitude band: 8° bands C..X (I/O skipped), X clamped at 72–84°;
+    - 100-km column: 24-letter cycle, offset 8·((zone−1) mod 3) so the
+      A/J/S column origins repeat every 3 zones;
+    - 100-km row: 20-letter 2 000-km northing cycle, +5 offset (an 'F'
+      start) in even zones; southern rows use the false-northing UTM y
+      exactly as published;
+    - numeric part: ``km_digits`` digits per axis (2 → 1-km precision).
+
+    All letter picks are substr() over literal alphabets and all index
+    math is floor/% over BIGINTs — one dialect-free staged text for Spark
+    ``withColumns`` codegen AND the DuckDB oracle (DuckDB accepts the
+    STRING alias, so even the casts are shared).  Pinned against the
+    published CN Tower (17TPJ) and Sydney Opera House (56HLH — even-zone
+    row offset, southern hemisphere) vectors in unit tests."""
+    q = 10 ** (5 - km_digits)
+    s1 = {
+        "m_band": (f"substr('{MGRS_BANDS}', CAST(least(floor(({lat} + 80.0)"
+                   f" / 8.0), 19.0) AS INT) + 1, 1)"),
+        "m_e1": f"CAST(floor({e} / 100000.0) AS BIGINT)",
+        "m_n1": f"CAST(floor({n} / 100000.0) AS BIGINT)",
+    }
+    col_i = f"((({zone}) - 1) % 3 * 8 + (m_e1 - 1)) % 24"
+    row_i = (f"((m_n1 % 20) + (CASE WHEN ({zone}) % 2 = 0 THEN 5 ELSE 0 END))"
+             f" % 20")
+    s2 = {
+        "m_sq": (f"(substr('{MGRS_COLS}', CAST({col_i} AS INT) + 1, 1) || "
+                 f"substr('{MGRS_ROWS}', CAST({row_i} AS INT) + 1, 1))"),
+        "m_ed": (f"lpad(CAST(CAST(floor(({e} - m_e1 * 100000.0) / {q}.0) "
+                 f"AS BIGINT) AS STRING), {km_digits}, '0')"),
+        "m_nd": (f"lpad(CAST(CAST(floor(({n} - m_n1 * 100000.0) / {q}.0) "
+                 f"AS BIGINT) AS STRING), {km_digits}, '0')"),
+    }
+    s3 = {
+        "mgrs": (f"(lpad(CAST({zone} AS STRING), 2, '0') || m_band || m_sq"
+                 f" || m_ed || m_nd)"),
     }
     return [s1, s2, s3]
 

@@ -333,3 +333,26 @@ def test_nearest_facility_guard_trips(spark):
     with pytest.raises(LayerTooLargeError):
         nearest_facility(pts, fac, fac_id="fid", fac_lon="flon",
                          fac_lat="flat", max_facilities=10)
+
+
+def test_mgrs_published_vectors(spark):
+    """CN Tower 17TPJ (odd zone, north) and Sydney Opera House 56HLH
+    (EVEN zone row offset, southern false northing) — the two vectors
+    that pin every arm of the lettering scheme; plus 1-km digit check
+    against the pinned UTM easting/northing and the band ladder edges."""
+    from projcl_spark.index.mgrs import with_mgrs
+
+    df = spark.createDataFrame(
+        [(0, -79.387057, 43.642566),   # CN Tower -> 17T PJ 30 33 (1 km)
+         (1, 151.21527, -33.85719),    # Sydney Opera House -> 56H LH 34 52
+         (2, 9.0, 71.9), (3, 9.0, 72.1)],  # band W/X fence at 72N
+        "i long, lon double, lat double")
+    got = {r["i"]: r for r in with_mgrs(df).collect()}
+    cn, syd = got[0], got[1]
+    assert cn["zone"] == 17 and cn["m_band"] == "T" and cn["m_sq"] == "PJ"
+    # 630084E 4833438N -> km digits 30 / 33
+    assert cn["mgrs"] == "17TPJ3033", cn["mgrs"]
+    assert syd["zone"] == 56 and syd["m_band"] == "H" and syd["m_sq"] == "LH"
+    # 334786E 6252080N -> km digits 34 / 52
+    assert syd["mgrs"] == "56HLH3452", syd["mgrs"]
+    assert got[2]["m_band"] == "W" and got[3]["m_band"] == "X"
