@@ -5939,6 +5939,62 @@ SELECT zone, m_band, CAST(count(*) AS BIGINT) AS n_pts,
 FROM {src} GROUP BY 1, 2"""
 
 
+_GS_LON0, _GS_LAT0, _GS_STEP, _GS_NX, _GS_NY = -60.0, -40.0, 5.0, 25, 25
+
+
+def q_grid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NADCON/NTv2-style grid datum shift (``geo.gridshift.grid_shift``):
+    every customer point shifted by BILINEARLY interpolated arc-second
+    offsets from a correction grid — the grid-as-data complement to the
+    Helmert matrix path (``datum_shift``; reference src/projcl_datum.c).
+    The grid's four cell corners arrive through BROADCAST equi-joins
+    (zero shuffle on the point side); index/fraction/blend math is ONE
+    dialect-free staged text (``gridshift.index_stage_sql`` /
+    ``blend_sql``) shared with the DuckDB oracle, and the synthetic
+    5°-node grid itself is generated from the same hash text in both
+    engines.  Outputs quantized to µdeg."""
+    from projcl_spark.geo.gridshift import grid_shift, synthetic_grid
+
+    pts = _points_df(spark, sf_dir, "customer", ("c_custkey",))
+    grid = synthetic_grid(spark, _GS_NX, _GS_NY)
+    out = grid_shift(pts, grid, lon0=_GS_LON0, lat0=_GS_LAT0,
+                     step=_GS_STEP, nx=_GS_NX, ny=_GS_NY)
+    return out.select(
+        "c_custkey",
+        F.round(F.col("slon") * 1e6, 0).cast("long").alias("slon_e6"),
+        F.round(F.col("slat") * 1e6, 0).cast("long").alias("slat_e6"),
+    )
+
+
+def _o_grid_shift() -> str:
+    from projcl_spark.geo.gridshift import (blend_sql, index_stage_sql,
+                                            node_offset_sql)
+
+    idx = index_stage_sql("lon", "lat", _GS_LON0, _GS_LAT0, _GS_STEP,
+                          _GS_NX, _GS_NY)
+    icols = ", ".join(f"{t} AS {n}" for n, t in idx.items())
+    de = node_offset_sql("e", "i", "j", "duck")
+    dn = node_offset_sql("n", "i", "j", "duck")
+    joins, sel = [], []
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        t = f"g{dx}{dy}"
+        joins.append(f"JOIN g {t} ON {t}.i = p.gi + {dx} AND {t}.j = p.gj + {dy}")
+        sel.append(f"{t}.de_as AS e{dx}{dy}, {t}.dn_as AS n{dx}{dy}")
+    return f"""
+WITH pts AS ({_points_cte('customer', ('c_custkey',))}),
+idx AS (SELECT c_custkey, lon, lat, {icols} FROM pts),
+g AS (SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j,
+             {de} AS de_as, {dn} AS dn_as
+      FROM range(0, {_GS_NX}) t1(i), range(0, {_GS_NY}) t2(j)),
+c AS (SELECT p.*, {", ".join(sel)} FROM idx p {" ".join(joins)})
+SELECT c_custkey,
+       CAST(round((lon + {blend_sql('e')} / 3600.0) * 1e6, 0) AS BIGINT)
+         AS slon_e6,
+       CAST(round((lat + {blend_sql('n')} / 3600.0) * 1e6, 0) AS BIGINT)
+         AS slat_e6
+FROM c"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -6009,6 +6065,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "rhumb_line",
     "voronoi_assign",
     "mgrs_encode",
+    "grid_shift",
 )
 
 
@@ -6146,6 +6203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rhumb_line=q_rhumb_line,
         voronoi_assign=q_voronoi_assign,
         mgrs_encode=q_mgrs_encode,
+        grid_shift=q_grid_shift,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -6279,6 +6337,7 @@ def oracle_sql() -> dict[str, str]:
         rhumb_line=_o_rhumb_line(),
         voronoi_assign=_o_voronoi_assign(),
         mgrs_encode=_o_mgrs_encode(),
+        grid_shift=_o_grid_shift(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

@@ -356,3 +356,38 @@ def test_mgrs_published_vectors(spark):
     # 334786E 6252080N -> km digits 34 / 52
     assert syd["mgrs"] == "56HLH3452", syd["mgrs"]
     assert got[2]["m_band"] == "W" and got[3]["m_band"] == "X"
+
+
+def test_grid_shift_bilinear_exactness_and_plan(spark):
+    """At a node the interpolated offset IS the node offset; at a cell
+    center it is the 4-corner mean; out-of-grid points clamp to the edge
+    cell.  The corner fetches must be broadcast joins with no shuffle
+    exchange on the point side."""
+    import re
+
+    from projcl_spark.geo.gridshift import grid_shift, synthetic_grid
+
+    nx = ny = 25
+    kw = dict(lon0=-60.0, lat0=-40.0, step=5.0, nx=nx, ny=ny)
+    grid = synthetic_grid(spark, nx, ny)
+    gp = grid.toPandas().set_index(["i", "j"])
+
+    # node (i=2, j=3) -> lon -50, lat -25; center of cell (2,3) -> -47.5, -22.5
+    pts = spark.createDataFrame(
+        [(0, -50.0, -25.0), (1, -47.5, -22.5), (2, -999.0, 999.0)],
+        "k long, lon double, lat double")
+    out = {r["k"]: r for r in grid_shift(pts, grid, **kw).collect()}
+
+    de_node = gp.loc[(2, 3), "de_as"]
+    assert abs((out[0]["slon"] + 50.0) * 3600.0 - de_node) < 1e-9
+    corners = [gp.loc[(2 + dx, 3 + dy), "dn_as"]
+               for dx in (0, 1) for dy in (0, 1)]
+    assert abs((out[1]["slat"] + 22.5) * 3600.0 - np.mean(corners)) < 1e-9
+    # clamped: the far-out point interpolates the far corner cell and
+    # still gets a bounded (<= 1 arcsec) offset
+    assert abs(out[2]["slon"] + 999.0) <= 1.0 / 3600.0 + 1e-12
+
+    plan = (grid_shift(pts, grid, **kw)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
+    assert not re.search(r"ShuffleExchange|Exchange hashpartitioning", plan)
