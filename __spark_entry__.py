@@ -5995,6 +5995,59 @@ SELECT c_custkey,
 FROM c"""
 
 
+def q_polyline_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google encoded-polyline per user track
+    (``operators.trajectory.polyline_encode``): the standard web-map
+    interchange string (1e-5° quantize → per-point deltas → zigzag →
+    5-bit base-32 continuation chunks + 63), all-integer math from the
+    shared dialect texts, so the WHOLE string is value-hashed exactly —
+    one flipped bit anywhere in the delta chain changes the hash.  The
+    published Google dev-guide vector is pinned in unit tests.  One
+    shuffle (lag window + per-user assembly share the user_id
+    partitioning)."""
+    from projcl_spark.operators.trajectory import polyline_encode
+
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS STRING)",
+                                    "spark")
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("event_id", "user_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", "ts",
+                F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"))
+    )
+    out = polyline_encode(ev, key="user_id", ts="ts", order_id="event_id")
+    return out.select("user_id", "n_pts",
+                      F.length("polyline").cast("long").alias("len_chars"),
+                      "polyline")
+
+
+def _o_polyline_encode() -> str:
+    lon_e, lat_e = O.derived_lonlat("'events:' || CAST(event_id AS VARCHAR)",
+                                    "duck")
+    enc_lat = O.polyline_chunks_sql("vlat", "duck")
+    enc_lon = O.polyline_chunks_sql("vlon", "duck")
+    return f"""
+WITH pts AS (SELECT event_id, user_id, ts,
+                    {O.polyline_q5_sql(lat_e)} AS lat5,
+                    {O.polyline_q5_sql(lon_e)} AS lon5
+             FROM events),
+d AS (SELECT user_id, ts, event_id,
+             lat5 - coalesce(lag(lat5) OVER w, 0) AS dlat,
+             lon5 - coalesce(lag(lon5) OVER w, 0) AS dlon
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+v AS (SELECT user_id, ts, event_id,
+             {O.polyline_zigzag_sql('dlat')} AS vlat,
+             {O.polyline_zigzag_sql('dlon')} AS vlon
+      FROM d),
+e AS (SELECT user_id, ts, event_id, {enc_lat} || {enc_lon} AS enc FROM v)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(length(string_agg(enc, '' ORDER BY ts, event_id)) AS BIGINT)
+         AS len_chars,
+       string_agg(enc, '' ORDER BY ts, event_id) AS polyline
+FROM e GROUP BY user_id"""
+
+
 def _text_names() -> list[str]:
     from projcl_spark.operators.text import text_queries_sql
 
@@ -6066,6 +6119,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "voronoi_assign",
     "mgrs_encode",
     "grid_shift",
+    "polyline_encode",
 )
 
 
@@ -6204,6 +6258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         voronoi_assign=q_voronoi_assign,
         mgrs_encode=q_mgrs_encode,
         grid_shift=q_grid_shift,
+        polyline_encode=q_polyline_encode,
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _q_warp_sample(filt)
@@ -6338,6 +6393,7 @@ def oracle_sql() -> dict[str, str]:
         voronoi_assign=_o_voronoi_assign(),
         mgrs_encode=_o_mgrs_encode(),
         grid_shift=_o_grid_shift(),
+        polyline_encode=_o_polyline_encode(),
     )
     for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
         out[f"warp_{filt}"] = _o_warp_sample(filt)

@@ -433,3 +433,56 @@ def track_hausdorff(
         a.join(b, F.col("ka") < F.col("kb"))
         .select("ka", "kb", hd("xa", "ya", "xb", "yb").alias("hausdorff_m"))
     )
+
+
+def polyline_encode(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Google encoded-polyline per track — the interchange STRING format
+    web maps consume (the vector counterpart of the MVT quantization in
+    ``q_mvt_quantize``; engine-added, the reference emits raw meters).
+
+    Standard algorithm: 1e-5° quantization, per-point (lat, lon) deltas
+    against the previous point, zigzag, 5-bit base-32 continuation chunks
+    + 63 (``oracle.polyline_q5_sql`` / ``polyline_zigzag_sql`` /
+    ``polyline_chunks_sql`` — the SAME text the DuckDB oracle runs).  All
+    delta/chunk math is exact BIGINT, so the output string is
+    bit-reproducible across engines and parallelism levels.
+
+    Plan shape: ONE shuffle on the track key (lag window + groupBy share
+    it); per-point chunk emission is whole-stage codegen; assembly is an
+    ordered in-group concat (collect_list of one small string per point
+    — bounded by track length, the same envelope every per-track op
+    here carries).
+    """
+    from .. import oracle as O
+
+    pts = df.select(
+        key, ts, order_id,
+        F.expr(O.polyline_q5_sql(lat)).alias("lat5"),
+        F.expr(O.polyline_q5_sql(lon)).alias("lon5"),
+    )
+    w = Window.partitionBy(key).orderBy(ts, order_id)
+    d = (pts
+         .withColumn("dlat", F.col("lat5")
+                     - F.coalesce(F.lag("lat5").over(w), F.lit(0)))
+         .withColumn("dlon", F.col("lon5")
+                     - F.coalesce(F.lag("lon5").over(w), F.lit(0)))
+         .withColumn("vlat", F.expr(O.polyline_zigzag_sql("dlat")))
+         .withColumn("vlon", F.expr(O.polyline_zigzag_sql("dlon"))))
+    d = d.withColumn("enc", F.concat(
+        F.expr(O.polyline_chunks_sql("vlat", "spark")),
+        F.expr(O.polyline_chunks_sql("vlon", "spark"))))
+    return d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(ts, order_id, "enc"))),
+                lambda x: x["enc"]),
+            "").alias("polyline"),
+    )

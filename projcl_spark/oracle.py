@@ -1213,6 +1213,50 @@ def rhumb_stages(lon1: str, lat1: str, lon2: str, lat2: str,
     return [s1, s2, s3]
 
 
+def polyline_q5_sql(x: str) -> str:
+    """Google-polyline 1e-5° quantization: floor(x·1e5 + 0.5) — the JS
+    ``Math.round`` half-up-toward-+inf the format specifies, spelled as
+    floor so both engines share one tie-break (engine-native round()
+    modes differ; same trick as ``hexbin_stages``)."""
+    return f"CAST(floor({x} * 100000.0 + 0.5) AS BIGINT)"
+
+
+def polyline_zigzag_sql(d: str) -> str:
+    """Zigzag step of the Google encoded-polyline algorithm: left-shift
+    then invert negatives — spelled in plain integer arithmetic
+    (2d / −2d−1), which is exactly ``(d << 1) ^ (d >> 63)`` for 64-bit d
+    but needs no dialect-split shift operators."""
+    return f"(CASE WHEN {d} < 0 THEN -2 * ({d}) - 1 ELSE 2 * ({d}) END)"
+
+
+def polyline_chunks_sql(v: str, dialect: str, max_chunks: int = 7) -> str:
+    """Base-32 continuation chunks of a zigzagged value ``v`` (a STAGED
+    column name — the text references it ~3·max_chunks times, so callers
+    must materialize it as a column first): 5-bit groups, low first,
+    0x20 continuation bit, +63 printable offset.  7 chunks cover 32 bits
+    — any legal WGS-84 delta.  Shift spelling is the only dialect split
+    (Spark ``shiftright`` vs DuckDB ``>>``, the ``simhash_sql``
+    precedent); chr() and % are shared."""
+    def shr(x: str, n: int) -> str:
+        if n == 0:
+            return x
+        return (f"shiftright({x}, {n})" if dialect == "spark"
+                else f"({x} >> {n})")
+
+    parts = []
+    for i in range(max_chunks):
+        rest = shr(v, 5 * (i + 1))
+        chunk = f"({shr(v, 5 * i)} % 32)"
+        # DuckDB's chr() is INTEGER-only; the cast is shared (values < 127)
+        ch = (f"chr(CAST({chunk} + (CASE WHEN {rest} > 0 THEN 95 ELSE 63 END)"
+              f" AS INT))")
+        if i == 0:
+            parts.append(ch)  # a zero delta still emits one chunk ('?')
+        else:
+            parts.append(f"(CASE WHEN {shr(v, 5 * i)} > 0 THEN {ch} ELSE '' END)")
+    return "(" + " || ".join(parts) + ")"
+
+
 MGRS_BANDS = "CDEFGHJKLMNPQRSTUVWX"          # 8° latitude bands, no I/O
 MGRS_COLS = "ABCDEFGHJKLMNPQRSTUVWXYZ".replace("I", "").replace("O", "")
 MGRS_ROWS = "ABCDEFGHJKLMNPQRSTUV"           # 20-row northing cycle, no I/O

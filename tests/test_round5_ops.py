@@ -391,3 +391,65 @@ def test_grid_shift_bilinear_exactness_and_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
     assert not re.search(r"ShuffleExchange|Exchange hashpartitioning", plan)
+
+
+def test_polyline_published_google_vector(spark):
+    """The Google dev-guide worked example: (38.5,-120.2), (40.7,-120.95),
+    (43.252,-126.453) -> the dev-guide string; plus the
+    single-chunk zero delta ('?') and a negative-delta round trip."""
+    from projcl_spark.operators.trajectory import polyline_encode
+
+    df = spark.createDataFrame(
+        [(1, 1, -120.2, 38.5), (1, 2, -120.95, 40.7),
+         (1, 3, -126.453, 43.252),
+         (2, 1, 0.0, 0.0), (2, 2, 0.0, 0.0)],   # zero deltas
+        "user_id long, event_id long, lon double, lat double")
+    df = df.withColumn("ts", F.col("event_id").cast("timestamp"))
+    got = {r["user_id"]: r["polyline"]
+           for r in polyline_encode(df).collect()}
+    assert got[1] == "_p~iF~ps|U_ulLnnqC_mqNvxq`@", got[1]
+    assert got[2] == "????", got[2]  # 2 points x (lat,lon) zero chunks
+
+
+def test_polyline_decodes_back_exactly(spark):
+    """Decode the engine's output with an independent pure-python decoder
+    and recover every quantized coordinate exactly."""
+    from projcl_spark.operators.trajectory import polyline_encode
+    from projcl_spark.sources import synth
+
+    def decode(s):
+        vals, i = [], 0
+        while i < len(s):
+            v, shift = 0, 0
+            while True:
+                b = ord(s[i]) - 63
+                i += 1
+                v |= (b & 0x1F) << shift
+                shift += 5
+                if b < 0x20:
+                    break
+            vals.append(~(v >> 1) if v & 1 else v >> 1)
+        out, lat, lon = [], 0, 0
+        for k in range(0, len(vals), 2):
+            lat += vals[k]
+            lon += vals[k + 1]
+            out.append((lat, lon))
+        return out
+
+    pts = (synth.geo_points(spark, 60)
+           .withColumn("user_id", F.abs(F.hash("doc_id")) % 5)
+           .withColumn("event_id", F.abs(F.hash("doc_id", "offset")))
+           .withColumn("ts", (F.col("event_id") % 10_000).cast("timestamp"))
+           .dropDuplicates(["user_id", "ts", "event_id"]))
+    enc = polyline_encode(pts).collect()
+    want = {}
+    for r in pts.selectExpr(
+            "user_id", "ts", "event_id",
+            "CAST(floor(lat * 100000.0 + 0.5) AS BIGINT) AS la",
+            "CAST(floor(lon * 100000.0 + 0.5) AS BIGINT) AS lo").collect():
+        want.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["la"], r["lo"]))
+    for r in enc:
+        exp = [(la, lo) for _, _, la, lo in sorted(want[r["user_id"]])]
+        assert decode(r["polyline"]) == exp, r["user_id"]
+        assert r["n_pts"] == len(exp)
