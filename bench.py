@@ -78,6 +78,7 @@ def build_queries(spark, sf_dir):
     # precompute ALL throughput denominators — a .count() inside a timed
     # closure would bill an unrelated scan to the measured query
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     proj, params = E.PROJ_CASES["proj_albers_e"]
@@ -625,6 +626,31 @@ def build_queries(spark, sf_dir):
         _force(E.q_ann_recall(spark, sf_dir))
         return E.ANN_NQ
 
+    def q_rhumb_line():
+        # lag window + staged loxodrome codegen, one keyed shuffle
+        _force(E.q_rhumb_line(spark, sf_dir))
+        return n_events
+
+    def q_voronoi_assign():
+        # literal-fold argmin (zero-shuffle assignment) + facility rollup
+        _force(E.q_voronoi_assign(spark, sf_dir))
+        return n_orders
+
+    def q_mgrs_encode():
+        # UTM auto-zone stages + MGRS letter/digit stages, one rollup
+        _force(E.q_mgrs_encode(spark, sf_dir))
+        return n_pts
+
+    def q_grid_shift():
+        # 4 broadcast corner joins + bilinear blend, zero point shuffle
+        _force(E.q_grid_shift(spark, sf_dir))
+        return n_cust
+
+    def q_polyline_encode():
+        # integer delta/zigzag/chunk codegen + ordered in-group concat
+        _force(E.q_polyline_encode(spark, sf_dir))
+        return n_events
+
     return {
         "project_encode": q_project_encode,
         "project_encode_udf": q_project_encode_udf,
@@ -704,6 +730,11 @@ def build_queries(spark, sf_dir):
         "quadkey_encode": q_quadkey_encode,
         "hex_bin": q_hex_bin,
         "ann_recall": q_ann_recall,
+        "rhumb_line": q_rhumb_line,
+        "voronoi_assign": q_voronoi_assign,
+        "mgrs_encode": q_mgrs_encode,
+        "grid_shift": q_grid_shift,
+        "polyline_encode": q_polyline_encode,
     }
 
 
