@@ -132,6 +132,39 @@ def test_sample_priority_prefix():
     assert list(E.oracle_sql()) == [n for n in q if n in E.oracle_sql()]
 
 
+# VERDICT r4 #6: the ONLY columns allowed to reach the value hash as
+# float64 via identical nullable-BIGINT -> pandas promotion on BOTH
+# engines.  events_asof: left-outer nulls on never-viewed clicks;
+# time_gapfill: null sums on generated gap buckets.  Anything new that
+# promotes must either be coalesced to a sentinel or added here with a
+# reason.
+NULLABLE_PROMOTION_ALLOWLIST = {
+    "events_asof": {"view_id", "view_ts_us", "view_value_e6"},
+    "time_gapfill": {"sum_e6"},
+}
+
+
+def test_nullable_promotion_allowlist(spark):
+    """The two promotion-dependent queries hash green only because Spark
+    and DuckDB promote the SAME columns; pin (a) the promoted sets match
+    engine-vs-oracle exactly and (b) both stay inside the documented
+    allowlist.  A one-sided promotion is already fatal in compare();
+    this guards the both-sided set from silently growing."""
+    qs, os_ = E.queries(), E.oracle_sql()
+    con = _duck(SF_DIR)
+    for name, allowed in NULLABLE_PROMOTION_ALLOWLIST.items():
+        s = qs[name](spark, SF_DIR).toPandas()
+        d = con.execute(os_[name]).fetchdf()
+        sf = {c for c in s.columns if s[c].dtype.kind == "f"}
+        df_ = {c for c in d.columns if d[c].dtype.kind == "f"}
+        assert sf == df_, (f"{name}: promoted sets differ "
+                           f"(spark {sf} vs duck {df_}) — value hash unsafe")
+        assert sf <= allowed, (f"{name}: undocumented promoted columns "
+                               f"{sf - allowed}")
+        for c in sf:  # a promoted column must actually carry nulls
+            assert s[c].isna().any() and d[c].isna().any(), (name, c)
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
