@@ -827,18 +827,40 @@ FROM pts GROUP BY 1"""
 
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-resolution rollup (tile-pyramid stats, SURVEY.md Table B)."""
+    """Multi-resolution rollup (tile-pyramid stats, SURVEY.md Table B).
+
+    ONE corpus pass: the res-8 leaf rollup; res-6 and res-4 counts are
+    re-aggregated from their res-8 children by exact bit arithmetic
+    (cell = ix·2^res + iy, parent ix = ix >> Δ — identical to encoding
+    the coarser cell directly, since ⌊⌊x·2^8⌋/2^Δ⌋ = ⌊x·2^(8−Δ)⌋ and the
+    clamp commutes).  The former per-res union re-ran the scan +
+    repartition + md5 lon/lat derivation once per level (3 corpus passes,
+    3 exchanges); now the two coarser levels aggregate ≤ 2^16 leaf rows."""
     df = _points_df(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
-    parts = [
-        df.select(F.lit(res).alias("res"), cell_id_col(F.col("lon"), F.col("lat"), res))
+    # lazy checkpoint: the leaf rollup feeds three union branches (itself,
+    # res-6, res-6→res-4) — one shared RDD instead of three corpus passes
+    # (the adaptive_tiles discipline); materializes inside the consumer's
+    # own action, no extra job
+    leaf = (
+        df.select(F.lit(8).alias("res"),
+                  cell_id_col(F.col("lon"), F.col("lat"), 8))
         .groupBy("res", "cell_id")
         .agg(F.count("*").alias("n"))
-        for res in (4, 6, 8)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        .localCheckpoint(eager=False)
+    )
+
+    def _coarsen(child: DataFrame, res_c: int, res_p: int) -> DataFrame:
+        sh = res_c - res_p
+        ix = F.shiftright(F.col("cell_id"), res_c)
+        iy = F.col("cell_id").bitwiseAND(F.lit((1 << res_c) - 1))
+        pid = F.shiftright(ix, sh) * (1 << res_p) + F.shiftright(iy, sh)
+        return (child.groupBy(F.lit(res_p).alias("res"),
+                              pid.alias("cell_id"))
+                .agg(F.sum("n").alias("n")))
+
+    r6 = _coarsen(leaf, 8, 6)
+    r4 = _coarsen(r6, 6, 4)
+    return r4.unionAll(r6).unionAll(leaf)
 
 
 def _o_tile_pyramid() -> str:
@@ -3885,7 +3907,7 @@ def q_cell_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_df(spark, sf_dir, "lineitem", ks)
     cells = pts.groupBy(
         cell_id_col(F.col("lon"), F.col("lat"), _BFS_RES).alias("cell_id")
-    ).agg(F.count("*").alias("cnt")).localCheckpoint()
+    ).agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
     source = (cells.orderBy(F.col("cnt").desc(), F.col("cell_id").asc())
               .limit(1).select("cell_id"))
     out = cell_bfs(cells, _BFS_RES, source, max_hops=_BFS_HOPS)

@@ -66,10 +66,16 @@ def connected_components(
     of the edge list, the operator's widest table.
     """
     # persist the symmetrized edge list: the upstream pair plan (an LSH
-    # band join in the dedup case) would otherwise re-execute EVERY round
-    sym = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).union(
-        edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
-    )
+    # band join in the dedup case) would otherwise re-execute EVERY round.
+    # Symmetrize with an in-task explode, NOT a self-union: a union embeds
+    # the (expensive) pair plan twice, so the persist's first
+    # materialization would execute the band join once per branch.
+    sym = edges.select(
+        F.explode(F.array(
+            F.struct(F.col(src_col).alias("s"), F.col(dst_col).alias("d")),
+            F.struct(F.col(dst_col).alias("s"), F.col(src_col).alias("d")),
+        )).alias("_e")
+    ).select("_e.s", "_e.d")
     if dedupe_edges:
         sym = sym.distinct()
     sym = sym.persist()

@@ -147,29 +147,36 @@ def cell_bfs(
     empty result (nothing is reachable).
     """
     occ = cells.select(F.col(cell).cast("long").alias("c")).distinct() \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     src = occ.join(source.select(F.col(cell).cast("long").alias("c")), "c")
-    visited = src.select("c", F.lit(0).alias("hops")).localCheckpoint()
-    frontier = visited.select("c")
+    visited = src.select("c", F.lit(0).alias("hops")).localCheckpoint(eager=False)
+    frontier = visited
 
     # One shell per materialization round.  A two-hops-per-round variant
     # (shells h and h+1 checkpointed together) was tried and REVERTED:
     # the saved rounds were repaid in extra per-round actions and deeper
-    # union plans (measured 5.2 s vs 3.9 s at sf0.1) — the wall here is
-    # the two real shuffles per expansion (distinct + anti-join), which
-    # batching cannot remove.
-    for h in range(1, max_hops + 1):
+    # union plans (measured 5.2 s vs 3.9 s at sf0.1).  What does pay:
+    # (a) exactly ONE driver action per round — every checkpoint is LAZY
+    # and materializes inside the round's convergence ``count``; and
+    # (b) a CONSTANT per-round plan shape — the hop number travels as a
+    # data column (hops + 1 over the frontier, instead of a per-round
+    # F.lit(h) literal) and ``visited`` stays a flat two-way union of
+    # checkpointed RDDs, so from round 2 on the optimizer and codegen
+    # cache see the SAME query and recompilation (the real per-round
+    # cost at small scale) disappears.  groupBy-min over the fanned
+    # targets ≡ the former distinct: all frontier rows carry the same
+    # hop value.
+    for _ in range(max_hops):
         nxt = (
             _queen_fan(frontier, res, include_self=False)
-            .select(F.col("nc").alias("c"))
-            .distinct()
+            .select(F.col("nc").alias("c"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("c").agg(F.min("hops").alias("hops"))
             .join(occ, "c")
             .join(visited.select("c"), "c", "left_anti")
-            .select("c", F.lit(h).alias("hops"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt.select("c")
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
     return visited.select(F.col("c").alias(cell), F.col("hops").cast("int"))

@@ -49,17 +49,32 @@ def dem_hillshade(
     row_w = Window.partitionBy(gj).orderBy(F.col(gi).asc())
 
     z = F.col(elev)
-    # pass 1 (shuffle on gj): horizontal [1,2,1] smooth for dz/dy
-    rs = (F.lag(elev).over(row_w) + 2.0 * z + F.lead(elev).over(row_w))
-    d1 = dem.select(gi, gj, elev, rs.alias("_rs"))
-    # pass 2 (shuffle on gi): vertical smooth for dz/dx + central
-    # difference of the horizontal smooth = dz/dy
-    cs = (F.lag(elev).over(col_w) + 2.0 * z + F.lead(elev).over(col_w))
-    dzdy = (F.lead("_rs").over(col_w) - F.lag("_rs").over(col_w)) / (8.0 * dy_m)
-    d2 = d1.select(gi, gj, cs.alias("_cs"), dzdy.alias("_dzdy"))
-    # pass 3 (shuffle on gj): central difference of the vertical smooth
-    dzdx = (F.lead("_cs").over(row_w) - F.lag("_cs").over(row_w)) / (8.0 * dx_m)
-    d3 = d2.select(gi, gj, "_dzdy", dzdx.alias("_dzdx")).where(
+    # TWO window passes, not three (the flow_d8 discipline): pass 1 lags
+    # the row (W/E neighbors), pass 2 lags/leads pass-1's columns so all
+    # eight neighbors are in scope, and both smoothed differences fold in
+    # the same projection.  Bit-exact vs the former three-pass form: the
+    # row smooth rs = (lag(z) + 2z) + lead(z) is re-associated here as
+    # the SAME operand order over the shifted columns, so every double is
+    # identical; null (border) semantics — all 8 neighbors must exist —
+    # are unchanged.  One fewer Exchange+Sort over the full DEM.
+    p1 = dem.select(
+        gi, gj, elev,
+        F.lag(elev).over(row_w).alias("_zw"),
+        F.lead(elev).over(row_w).alias("_ze"),
+    )
+    # rs at the N/S neighbors (for dz/dy) and cs at the E/W neighbors
+    # (for dz/dx), all from one column pass
+    rs_n = (F.lead("_zw").over(col_w) + 2.0 * F.lead(elev).over(col_w)
+            + F.lead("_ze").over(col_w))
+    rs_s = (F.lag("_zw").over(col_w) + 2.0 * F.lag(elev).over(col_w)
+            + F.lag("_ze").over(col_w))
+    cs_e = (F.lag("_ze").over(col_w) + 2.0 * F.col("_ze")
+            + F.lead("_ze").over(col_w))
+    cs_w = (F.lag("_zw").over(col_w) + 2.0 * F.col("_zw")
+            + F.lead("_zw").over(col_w))
+    dzdy = (rs_n - rs_s) / (8.0 * dy_m)
+    dzdx = (cs_e - cs_w) / (8.0 * dx_m)
+    d3 = p1.select(gi, gj, dzdy.alias("_dzdy"), dzdx.alias("_dzdx")).where(
         F.col("_dzdx").isNotNull() & F.col("_dzdy").isNotNull()
     )
 
@@ -288,20 +303,25 @@ def flow_accumulation(
         d8.where(F.col("flow_dir") > 0)
         .select(F.col(gi).alias("si"), F.col(gj).alias("sj"),
                 (F.col(gi) + dxc).alias("ti"), (F.col(gj) + dyc).alias("tj"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materializes in round 1's count
     )
     tokens = edges.select(F.col("si").alias("oi"), F.col("sj").alias("oj"),
                           F.col("si").alias("ci"), F.col("sj").alias("cj"))
     arrivals = []
     for _ in range(max_steps):
+        # LAZY checkpoint: the emptiness ``count`` below is the one driver
+        # action per round and doubles as the checkpoint materialization
+        # (an eager checkpoint + isEmpty was two jobs per round; count —
+        # not isEmpty — because take(1) would materialize only part of
+        # the checkpointed RDD)
         moved = (
             tokens.join(edges, (F.col("ci") == F.col("si"))
                         & (F.col("cj") == F.col("sj")))
             .select("oi", "oj", F.col("ti").alias("ci"),
                     F.col("tj").alias("cj"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if moved.isEmpty():
+        if moved.count() == 0:
             break
         arrivals.append(moved.select(F.col("ci").alias(gi),
                                      F.col("cj").alias(gj)))
