@@ -5331,7 +5331,19 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("documents")
     d = _minhash_sig_dir(spark, sf_dir)
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        spark.sql(sig_sql).write.mode("overwrite").parquet(_fs_url(d))
+        # size the checkpoint's file count from the INPUT bytes, not the
+        # core count: the signature build still runs at full parallelism
+        # (the repartition above), but the write then lands ~file-sized
+        # outputs instead of one near-empty file per shuffle partition
+        # (64 tiny files at sf0.1; ~256 MB of source text per output file
+        # at cluster scale — guide §6 output sizing)
+        try:
+            doc_bytes = os.stat(_t(sf_dir, "documents")).st_size
+        except OSError:
+            doc_bytes = 0
+        n_out = max(1, -(-doc_bytes // (256 << 20)))
+        spark.sql(sig_sql).repartition(n_out).write.mode(
+            "overwrite").parquet(_fs_url(d))
     spark.read.parquet(_fs_url(d)).createOrReplaceTempView("minhash_sig")
     return spark.sql(pairs_sql.replace("__SIG__", "minhash_sig"))
 
@@ -5348,7 +5360,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_pairs_df(spark, sf_dir).filter(
         F.col("n_match") >= CLUSTER_MATCH_T
     )
-    docs = spark.sql(all_docs_len_sql("spark"))
+    # docs (id, n_chars) is consumed twice (CC node table + canonical
+    # weights) and computing it scans the full text column for length();
+    # lazy checkpoint → one documents scan, two cheap reads
+    docs = spark.sql(all_docs_len_sql("spark")).localCheckpoint(eager=False)
     return dedup_clusters(docs, pairs)
 
 
@@ -5935,11 +5950,22 @@ def q_mgrs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = ("l_orderkey", "l_linenumber")
     pts = _points_df(spark, sf_dir, "lineitem", ks)
     enc = with_mgrs(pts)
-    return enc.groupBy("zone", "m_band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pts"),
-        F.countDistinct("m_sq").cast("long").alias("n_sq"),
-        F.min("mgrs").alias("mgrs_min"),
-        F.max("mgrs").alias("mgrs_max"),
+    # two-level aggregation: countDistinct TOGETHER WITH string min/max
+    # forces the whole rollup onto SortAggregate (two full-table Sorts);
+    # splitting it — per-(zone, band, 100km-square) partials, then the
+    # tiny final merge — keeps both stages hash-based and is value-
+    # identical (stage-1 rows are unique per m_sq, so count(*) at stage 2
+    # IS the distinct count; counts/min/max compose)
+    lvl1 = enc.groupBy("zone", "m_band", "m_sq").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("mgrs").alias("_mn"),
+        F.max("mgrs").alias("_mx"),
+    )
+    return lvl1.groupBy("zone", "m_band").agg(
+        F.sum("_n").cast("long").alias("n_pts"),
+        F.count(F.lit(1)).cast("long").alias("n_sq"),
+        F.min("_mn").alias("mgrs_min"),
+        F.max("_mx").alias("mgrs_max"),
     )
 
 

@@ -187,6 +187,14 @@ def segment_intersect_join(
         ))
         return d.withColumn("cell", F.explode(cells))
 
+    # materialize the segment table ONCE (lazy checkpoint): it sits on
+    # both sides of the self-join, and Spark's exchange reuse does not
+    # fire across the differing per-side projections — without this the
+    # caller's upstream (scan + derive + lag window over the corpus)
+    # executes twice, one copy of it inside the broadcast build.  The
+    # checkpoint is segment-sized state, the same class of cost as the
+    # shuffle the join itself needs.
+    segs = segs.localCheckpoint(eager=False)
     a, b = cover(segs, "a"), cover(segs, "b")
     j = a.join(b, on=(a.cell == b.cell) & (a.track_a < b.track_b)).drop(b.cell)
 

@@ -222,6 +222,12 @@ def mann_kendall(series: DataFrame, key: str = "cell_id",
     a global product.  The variance needs no second scan: n_buckets
     rides the same aggregate.
     """
+    # the series table sits on BOTH sides of the pair join AND under the
+    # n_buckets aggregate — without materialization the caller's upstream
+    # (typically a corpus rollup) executes three times.  It is
+    # (key × bucket)-sized, so the checkpoint is cheap; LAZY, so it rides
+    # the consumer's own action.
+    series = series.select(key, bucket, val).localCheckpoint(eager=False)
     a = series.select(
         F.col(key).alias("k"), F.col(bucket).alias("b1"), F.col(val).alias("v1")
     )

@@ -300,13 +300,25 @@ FROM all_docs"""
     # band keys derive from the (materialized) signature — the expensive
     # shingle→minhash work happens exactly once per doc
     keys = band_keys_sql("sig", dialect)
-    pairs = f"""
-WITH keyed AS (SELECT doc_id, {keys} AS keys FROM __SIG__),
-bandrows AS (
+    if dialect == "spark":
+        # in-task posexplode: ONE scan of the signature view and ONE keys
+        # evaluation (4 md5) per doc.  The 4-branch UNION ALL the oracle
+        # keeps below scans __SIG__ once per branch and re-evaluates all
+        # 4 band keys in each (16 md5/doc); the oracle text must stay
+        # byte-identical, so only the spark rendering changes — the row
+        # set is the same (posexplode's 0-based pos == the literal
+        # band_idx).
+        bandrows = ("SELECT doc_id, band_idx, band_key FROM keyed "
+                    "LATERAL VIEW posexplode(keys) AS band_idx, band_key")
+    else:
+        bandrows = f"""
   SELECT doc_id, 0 AS band_idx, {_get('keys', 1, dialect)} AS band_key FROM keyed
   UNION ALL SELECT doc_id, 1, {_get('keys', 2, dialect)} FROM keyed
   UNION ALL SELECT doc_id, 2, {_get('keys', 3, dialect)} FROM keyed
-  UNION ALL SELECT doc_id, 3, {_get('keys', 4, dialect)} FROM keyed),
+  UNION ALL SELECT doc_id, 3, {_get('keys', 4, dialect)} FROM keyed"""
+    pairs = f"""
+WITH keyed AS (SELECT doc_id, {keys} AS keys FROM __SIG__),
+bandrows AS ({bandrows}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bandrows a JOIN bandrows b

@@ -403,9 +403,13 @@ def track_hausdorff(
     import pandas as pd
     from pyspark.sql.types import DoubleType
 
+    # materialize the per-entity arrays ONCE (lazy checkpoint): the pair
+    # join consumes `tracks` on both sides, and without this the corpus
+    # scan + coordinate derivation upstream execute twice.  The table is
+    # entity-sized (sampled), so the checkpoint is cheap.
     tracks = df.groupBy(key).agg(
         F.collect_list(lon).alias("xs"), F.collect_list(lat).alias("ys")
-    )
+    ).localCheckpoint(eager=False)
     a = tracks.select(F.col(key).alias("ka"), F.col("xs").alias("xa"),
                       F.col("ys").alias("ya"))
     b = tracks.select(F.col(key).alias("kb"), F.col("xs").alias("xb"),

@@ -177,7 +177,7 @@ def sample_tiles(
         fx = F.col("x") - base_x
         fy = F.col("y") - base_y
 
-    tap_cols = []
+    tap_tuples = []
     for dx, dy, kind in _taps(filter):
         if kind == "one":
             w: Column = F.lit(1.0)
@@ -192,7 +192,69 @@ def sample_tiles(
             py = F.least(F.greatest(base_y + dy, F.lit(0)), F.lit(h_img - 1))
         else:
             px, py = base_x + dx, base_y + dy
-        tap_cols.append(F.struct(px.alias("px"), py.alias("py"), w.alias("w")))
+        tap_tuples.append((px, py, w))
+
+    n_ch = len(channel_cols)
+    vnames = ["v"] if n_ch == 1 else [f"v_{i}" for i in range(n_ch)]
+    onames = ["value"] if n_ch == 1 else [f"value_{i}" for i in range(n_ch)]
+
+    if broadcast_tiles and filter in ("nearest", "bilinear"):
+        # ZERO-exchange gather for the small-tap filters: instead of
+        # exploding 1/4 rows per destination pixel, broadcast-joining,
+        # and re-aggregating by (gi, gj) — a full shuffle of the tap
+        # table — each tap probes its own broadcast hash join and the
+        # weighted sum folds in ONE projection.  Taps are summed in the
+        # same k-order the explode emitted them and each term is the
+        # same w·v product, so the doubles are bit-identical to the
+        # former partial-aggregate path.  A tap whose tile row is absent
+        # from a sparse mosaic contributes 0 (the former inner join
+        # dropped that tap row — same sum); only a pixel with EVERY tap
+        # missing differs (kept at 0 here, formerly dropped) — the
+        # full-mosaic contract of every gate/test.  Bicubic (16 taps =
+        # 16 broadcast builds) keeps the explode path below.
+        cur = grid
+        terms: list[list[Column]] = [[] for _ in range(n_ch)]
+        for k, (px, py, w) in enumerate(tap_tuples):
+            trow = F.floor(py / tile_height).cast("int")
+            tcol = F.floor(px / tile_width).cast("int")
+            oxk = F.least(F.greatest(px % tile_width, F.lit(0)),
+                          F.lit(tile_width - 1))
+            oyk = F.least(F.greatest(py % tile_height, F.lit(0)),
+                          F.lit(tile_height - 1))
+            idx = (oyk * tile_width + oxk + 1).cast("int")
+            tk = tiles.select(
+                F.col("tile_row").alias(f"_tr{k}"),
+                F.col("tile_col").alias(f"_tc{k}"),
+                *[F.col(ch).alias(f"_ch{k}_{i}")
+                  for i, ch in enumerate(channel_cols)],
+            )
+            cur = cur.join(
+                F.broadcast(tk),
+                (trow == F.col(f"_tr{k}")) & (tcol == F.col(f"_tc{k}")),
+                "left",
+            )
+            for i in range(n_ch):
+                g = F.element_at(F.col(f"_ch{k}_{i}"), idx)
+                if border == "zero":
+                    in_img = (
+                        (px >= 0) & (px < w_img) & (py >= 0) & (py < h_img)
+                    )
+                    v = F.when(in_img, F.coalesce(g, F.lit(0.0))) \
+                        .otherwise(F.lit(0.0))
+                    terms[i].append(w * v)
+                else:
+                    terms[i].append(F.coalesce(w * g, F.lit(0.0)))
+        outs = []
+        for i, o in enumerate(onames):
+            acc = terms[i][0]
+            for t_ in terms[i][1:]:
+                acc = acc + t_
+            outs.append(acc.alias(o))
+        out = cur.select("gi", "gj", *outs)
+        return out
+
+    tap_cols = [F.struct(px.alias("px"), py.alias("py"), w.alias("w"))
+                for px, py, w in tap_tuples]
 
     # intra-tile offsets clamped into [0, dim) so the element_at index is
     # always legal even for out-of-image taps (border="zero" gates them out)
@@ -208,9 +270,6 @@ def sample_tiles(
         ox.alias("ox"), oy.alias("oy"),
     )
     t = F.broadcast(tiles) if broadcast_tiles else tiles
-    n_ch = len(channel_cols)
-    vnames = ["v"] if n_ch == 1 else [f"v_{i}" for i in range(n_ch)]
-    onames = ["value"] if n_ch == 1 else [f"value_{i}" for i in range(n_ch)]
     idx = (F.col("oy") * tile_width + F.col("ox") + 1).cast("int")
     gathers = [F.element_at(ch, idx) for ch in channel_cols]
     if border == "zero":
