@@ -38,7 +38,7 @@ the ``dedup_clusters`` gate query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_CC_ROUNDS = 25
@@ -199,13 +199,13 @@ def dedup_clusters(
                               src_col=src_col, dst_col=dst_col,
                               dedupe_edges=False)
     member = cc.join(docs.select(id_col, weight_col), id_col)
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col(weight_col).desc(), F.col(id_col).asc()
-    )
-    return (
-        member.withColumn("_rn", F.row_number().over(w))
-        .withColumn("n_docs", F.count("*").over(Window.partitionBy("cluster_id")))
-        .filter(F.col("_rn") == 1)
-        .select("cluster_id", F.col("n_docs").cast("long").alias("n_docs"),
-                F.col(id_col).alias("canonical"))
+    # ONE map-side-combinable aggregate instead of the former sort-window
+    # pair (row_number + count over cluster_id): max_by over the
+    # (weight, -id) struct IS the keep-the-longest / ties-to-min-id rule
+    # — (weight, -id) pairs are unique because ids are — and the
+    # exchange now moves per-cluster partials, not every member row.
+    return member.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(f"max_by({id_col}, struct({weight_col}, -{id_col}))")
+        .alias("canonical"),
     )

@@ -152,31 +152,41 @@ def cell_bfs(
     visited = src.select("c", F.lit(0).alias("hops")).localCheckpoint(eager=False)
     frontier = visited
 
-    # One shell per materialization round.  A two-hops-per-round variant
-    # (shells h and h+1 checkpointed together) was tried and REVERTED:
-    # the saved rounds were repaid in extra per-round actions and deeper
-    # union plans (measured 5.2 s vs 3.9 s at sf0.1).  What does pay:
-    # (a) exactly ONE driver action per round — every checkpoint is LAZY
-    # and materializes inside the round's convergence ``count``; and
-    # (b) a CONSTANT per-round plan shape — the hop number travels as a
-    # data column (hops + 1 over the frontier, instead of a per-round
-    # F.lit(h) literal) and ``visited`` stays a flat two-way union of
-    # checkpointed RDDs, so from round 2 on the optimizer and codegen
-    # cache see the SAME query and recompilation (the real per-round
-    # cost at small scale) disappears.  groupBy-min over the fanned
-    # targets ≡ the former distinct: all frontier rows carry the same
-    # hop value.
-    for _ in range(max_hops):
-        nxt = (
-            _queen_fan(frontier, res, include_self=False)
+    # TWO shells per materialization round, ONE driver action each (the
+    # r4-era two-hop variant lost because every shell then paid an eager
+    # checkpoint + count — 3 jobs per shell; with every checkpoint LAZY
+    # and the convergence ``count`` as the round's only action, batching
+    # halves the dominant cost, the per-action scheduling wave: measured
+    # 4.5–4.8 s → ~3.4 s at sf0.1 for the same fixpoint).  The hop
+    # number travels as a data column (hops + 1 over the frontier, not a
+    # per-round literal) and ``visited`` stays a flat union of
+    # checkpointed RDDs, so every round presents the same plan shape and
+    # codegen is reused.  groupBy-min over the fanned targets ≡ the
+    # former distinct (all frontier rows carry the same hop value);
+    # shell h+1 additionally anti-joins shell h.  An odd ``max_hops``
+    # gets a final single-hop round.
+    def _expand(front, seen):
+        return (
+            _queen_fan(front, res, include_self=False)
             .select(F.col("nc").alias("c"), (F.col("hops") + 1).alias("hops"))
             .groupBy("c").agg(F.min("hops").alias("hops"))
             .join(occ, "c")
-            .join(visited.select("c"), "c", "left_anti")
+            .join(seen.select("c"), "c", "left_anti")
             .localCheckpoint(eager=False)
         )
+
+    h = 0
+    while h < max_hops:
+        nxt1 = _expand(frontier, visited)
+        if h + 1 < max_hops:
+            nxt2 = _expand(nxt1, visited.unionByName(nxt1))
+            nxt = nxt1.unionByName(nxt2).localCheckpoint(eager=False)
+            h += 2
+        else:
+            nxt = nxt1
+            h += 1
         if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt
+        frontier = nxt.where(F.col("hops") == h)
     return visited.select(F.col("c").alias(cell), F.col("hops").cast("int"))

@@ -187,14 +187,14 @@ def segment_intersect_join(
         ))
         return d.withColumn("cell", F.explode(cells))
 
-    # materialize the segment table ONCE (lazy checkpoint): it sits on
-    # both sides of the self-join, and Spark's exchange reuse does not
-    # fire across the differing per-side projections — without this the
-    # caller's upstream (scan + derive + lag window over the corpus)
-    # executes twice, one copy of it inside the broadcast build.  The
-    # checkpoint is segment-sized state, the same class of cost as the
-    # shuffle the join itself needs.
-    segs = segs.localCheckpoint(eager=False)
+    # NOTE on the tempting checkpoint-before-self-join: the two sides DO
+    # re-derive the caller's upstream (exchange reuse does not fire
+    # across the differing per-side projections), but the duplicated
+    # subtrees execute CONCURRENTLY inside one job, so the wall is
+    # max(side_a, side_b) — a lazy checkpoint of ``segs`` serializes
+    # that critical path and measured ~0.4 s SLOWER at sf0.1 (r6 A/B).
+    # On a saturated cluster the trade flips; callers can pre-checkpoint
+    # ``segs`` themselves when executor time, not wall, is the budget.
     a, b = cover(segs, "a"), cover(segs, "b")
     j = a.join(b, on=(a.cell == b.cell) & (a.track_a < b.track_b)).drop(b.cell)
 

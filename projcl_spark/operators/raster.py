@@ -307,25 +307,51 @@ def flow_accumulation(
     )
     tokens = edges.select(F.col("si").alias("oi"), F.col("sj").alias("oj"),
                           F.col("si").alias("ci"), F.col("sj").alias("cj"))
-    arrivals = []
-    for _ in range(max_steps):
-        # LAZY checkpoint: the emptiness ``count`` below is the one driver
-        # action per round and doubles as the checkpoint materialization
-        # (an eager checkpoint + isEmpty was two jobs per round; count —
+
+    def _step(toks):
+        # LAZY checkpoint: the emptiness ``count`` below is the round's
+        # one driver action and doubles as the checkpoint materialization
+        # (an eager checkpoint + isEmpty was two jobs per step; count —
         # not isEmpty — because take(1) would materialize only part of
         # the checkpointed RDD)
-        moved = (
-            tokens.join(edges, (F.col("ci") == F.col("si"))
-                        & (F.col("cj") == F.col("sj")))
+        return (
+            toks.join(edges, (F.col("ci") == F.col("si"))
+                      & (F.col("cj") == F.col("sj")))
             .select("oi", "oj", F.col("ti").alias("ci"),
                     F.col("tj").alias("cj"))
             .localCheckpoint(eager=False)
         )
-        if moved.count() == 0:
+
+    arrivals = []
+    step = 0
+    while step < max_steps:
+        # TWO walk steps per materialization wave: the per-action
+        # scheduling cost dominates at small scale; materializing the
+        # second step's lazy checkpoint transitively materializes the
+        # first (its plan reads it), so the batch costs ONE full stage
+        # wave plus one trivial cached-read count.  A token that reaches
+        # a pit mid-batch simply yields no second-hop row (the strict-
+        # downhill DAG needs no per-step bookkeeping).
+        moved = _step(tokens)
+        step += 1
+        moved2 = None
+        if step < max_steps:
+            moved2 = _step(moved)
+            step += 1
+        n_last = (moved2 if moved2 is not None else moved).count()
+        n_first = moved.count() if moved2 is not None else n_last
+        if n_first == 0:
             break
         arrivals.append(moved.select(F.col("ci").alias(gi),
                                      F.col("cj").alias(gj)))
-        tokens = moved
+        if moved2 is not None and n_last > 0:
+            arrivals.append(moved2.select(F.col("ci").alias(gi),
+                                          F.col("cj").alias(gj)))
+            tokens = moved2
+        elif moved2 is not None:
+            break  # first hop arrived, second dried up — walk is done
+        else:
+            tokens = moved
     if not arrivals:
         return d8.select(gi, gj).limit(0).withColumn(
             "acc", F.lit(0).cast("long"))

@@ -69,18 +69,22 @@ def hot_cells(df: DataFrame, cell_col: str = "cell_id",
     expectation) on the ``sample_key`` sample as on the full table —
     detection over 10^12 rows costs one cheap filtered pre-pass.
 
-    The upstream pipeline runs ONCE: the (small) histogram is persisted,
-    the mean computed over it, and only rows ABOVE threshold are
-    collected — the driver never holds the full histogram, which at a
-    fine detection resolution can be millions of cells."""
+    ONE driver action: the mean rides as a broadcast scalar subquery and
+    the threshold filter runs in the same job, so only rows ABOVE
+    threshold are collected — the driver never holds the full histogram,
+    which at a fine detection resolution can be millions of cells.  (The
+    histogram subtree appears under both the mean aggregate and the
+    filter, but the two branches execute CONCURRENTLY inside the one job
+    — cheaper than the former persist + two sequential actions; the
+    comparison is the same IEEE multiply/compare as the collected-mean
+    form, so the hot set is identical.)"""
     hist = cell_histogram(df, cell_col, fraction, sample_key, sample_mod)
-    hist.persist()
-    try:
-        mean = hist.agg(F.avg("n")).first()[0] or 0.0
-        rows = hist.filter(F.col("n") > threshold_ratio * mean).collect()
-        return [r[cell_col] for r in rows]
-    finally:
-        hist.unpersist()
+    thr = hist.agg((F.lit(threshold_ratio)
+                    * F.coalesce(F.avg("n"), F.lit(0.0))).alias("_thr"))
+    rows = (hist.crossJoin(F.broadcast(thr))
+            .where(F.col("n") > F.col("_thr"))
+            .select(cell_col).collect())
+    return [r[cell_col] for r in rows]
 
 
 def salted_repartition(
