@@ -5967,22 +5967,34 @@ def q_mgrs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = ("l_orderkey", "l_linenumber")
     pts = _points_df(spark, sf_dir, "lineitem", ks)
     enc = with_mgrs(pts)
-    # two-level aggregation: countDistinct TOGETHER WITH string min/max
-    # forces the whole rollup onto SortAggregate (two full-table Sorts);
-    # splitting it — per-(zone, band, 100km-square) partials, then the
-    # tiny final merge — keeps both stages hash-based and is value-
-    # identical (stage-1 rows are unique per m_sq, so count(*) at stage 2
-    # IS the distinct count; counts/min/max compose)
+    # two-level aggregation that keeps the CORPUS stage hash-based:
+    # HashAggregate cannot buffer string min/max (strings are not
+    # mutable fixed-width buffer fields), so any min/max(mgrs) over the
+    # corpus forces SortAggregate — a full-table Sort.  But within a
+    # (zone, band, 100-km-square) group the mgrs PREFIX
+    # (lpad(zone,2,'0') || band || sq — oracle.mgrs_stages s3) is the
+    # group key and the remaining 2×2 digits are fixed-width
+    # zero-padded, so the group min/max reduces to an INTEGER min/max
+    # over those digits (primitive buffer → HashAggregate, no sort).
+    # Stage 2 rebuilds the exact strings (lpad restores the leading
+    # zeros) and takes string min/max over the ≤ squares-per-band rows —
+    # value-identical to the former direct rollup, and stage-1 rows are
+    # unique per m_sq so count(*) at stage 2 IS the distinct count.
+    dig = F.substring("mgrs", 6, 4).cast("int")  # km_digits=2 ⇒ 4 chars
     lvl1 = enc.groupBy("zone", "m_band", "m_sq").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.min("mgrs").alias("_mn"),
-        F.max("mgrs").alias("_mx"),
+        F.min(dig).alias("_dmn"),
+        F.max(dig).alias("_dmx"),
     )
+    prefix = F.concat(F.lpad(F.col("zone").cast("string"), 2, "0"),
+                      F.col("m_band"), F.col("m_sq"))
     return lvl1.groupBy("zone", "m_band").agg(
         F.sum("_n").cast("long").alias("n_pts"),
         F.count(F.lit(1)).cast("long").alias("n_sq"),
-        F.min("_mn").alias("mgrs_min"),
-        F.max("_mx").alias("mgrs_max"),
+        F.min(F.concat(prefix, F.lpad(F.col("_dmn").cast("string"), 4, "0")))
+        .alias("mgrs_min"),
+        F.max(F.concat(prefix, F.lpad(F.col("_dmx").cast("string"), 4, "0")))
+        .alias("mgrs_max"),
     )
 
 

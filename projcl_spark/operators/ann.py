@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+# query-block cap for cosine_topk's closure-vectorized path: |Q|·dim
+# doubles ship with every task and the per-batch dot matrix is
+# batch × |Q| — beyond this the broadcast crossJoin plan takes over
+MAX_CLOSURE_QUERIES = 1024
 
 
 def with_norm(df: DataFrame, col: str = "embedding", out: str = "norm") -> DataFrame:
@@ -41,21 +45,91 @@ def cosine_topk(
     (round(sim, quantize) DESC, neighbor_id ASC) — quantized so float
     summation-order differences can't flip ranks across engines/runs.
     """
-    q = with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", "q_norm",
+    import pandas as pd
+
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("q_vec")).collect()
+    if not (0 < len(qrows) <= MAX_CLOSURE_QUERIES):
+        # degenerate or oversized query side: the former broadcast
+        # crossJoin plan (interpreted HOF dot — slower, but unbounded)
+        q = with_norm(
+            queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("q_vec")),
+            "q_vec", "q_norm",
+        )
+        c = with_norm(
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("c_vec")),
+            "c_vec", "c_norm",
+        )
+        dot = DOT.format(a="q_vec", b="c_vec")
+        cand = (
+            F.broadcast(q).crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", F.round(
+                F.expr(dot) / (F.col("q_norm") * F.col("c_norm")), quantize))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc())
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )
+
+    # Vectorized path: the query block rides in the UDF closure and every
+    # corpus batch computes all |Q| dot products in numpy — replacing the
+    # interpreted per-element zip_with/aggregate fold (a CodegenFallback
+    # expression) with native batch math, guide §4.2.  BIT-EXACT by
+    # construction: the accumulation loops over DIMENSIONS, so each
+    # (query, row) pair sums x_d·y_d in exactly the fold's sequential
+    # order (acc = acc + x_d·y_d), norms are the same self-dot + sqrt,
+    # and the quantized similarity (round(dot / (q_norm · c_norm))) is
+    # still evaluated in the JVM on those identical doubles.
+    qids = [r["query_id"] for r in qrows]
+    Q = np.array([list(r["q_vec"]) for r in qrows], dtype=np.float64)
+    nq, dim = Q.shape
+
+    def _seq_self_dot(M: np.ndarray) -> np.ndarray:
+        acc = np.zeros(M.shape[0])
+        for d in range(M.shape[1]):
+            acc = acc + M[:, d] * M[:, d]
+        return acc
+
+    q_norm = [float(v) for v in np.sqrt(_seq_self_dot(Q))]
+
+    # no type hints: pd is function-local, so hint resolution would fail
+    # under `from __future__ import annotations`; hint-less pandas_udf
+    # defaults to the scalar Arrow batch signature we want
+    @F.pandas_udf("array<double>")
+    def _norm_dots(cv):
+        C = np.array(cv.tolist(), dtype=np.float64).reshape(len(cv), dim)
+        acc = np.zeros((C.shape[0], nq))
+        for d in range(dim):
+            acc = acc + C[:, d:d + 1] * Q[None, :, d]
+        cn = np.sqrt(_seq_self_dot(C))
+        return pd.Series(list(np.concatenate([cn[:, None], acc], axis=1)))
+
+    qid_arr = F.lit(qids)
+    qn_arr = F.lit(q_norm)
+    e = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _norm_dots(F.col(vec_col)).alias("_nd"))
+        .select("neighbor_id", F.element_at("_nd", 1).alias("c_norm"),
+                F.posexplode(F.slice("_nd", 2, nq)))
     )
-    c = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "c_vec", "c_norm",
-    )
-    dot = DOT.format(a="q_vec", b="c_vec")
     cand = (
-        F.broadcast(q).crossJoin(c)
+        e.select(
+            F.element_at(qid_arr, F.col("pos").cast("int") + 1).alias("query_id"),
+            "neighbor_id",
+            F.round(F.col("col")
+                    / (F.element_at(qn_arr, F.col("pos").cast("int") + 1)
+                       * F.col("c_norm")), quantize).alias("sim"),
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(F.expr(dot) / (F.col("q_norm") * F.col("c_norm")), quantize))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -93,65 +93,88 @@ def connected_components(
         sym.groupBy(F.col("s").alias("id"))
         .agg(F.min("d").alias("_mn"))
         .select("id", F.least("id", "_mn").alias("label"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
-    def _label_sum(df):
-        # decimal(38,0): exact and overflow-proof (int64 sum of 10^12
-        # 10^12-scale ids would wrap)
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    # Convergence signal: both hooking and jumping only ever DECREASE a
-    # label, so the label sum is strictly decreasing until the fixpoint —
-    # sum unchanged ⟺ every label unchanged.  One scalar aggregate per
-    # round instead of a join + count.
-    prev_sum = _label_sum(labels)  # also materializes the fused first hook
-    for rnd in range(max_rounds):
+    def _round(lbl: DataFrame, jump: bool) -> DataFrame:
         nbr = (
-            sym.join(labels.withColumnRenamed("id", "s"), "s")
+            sym.join(lbl.withColumnRenamed("id", "s"), "s")
             .select(F.col("d").alias("id"), "label")
         )
-        new_labels = (
-            labels.unionByName(nbr)
+        new = (
+            lbl.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        if rnd >= 1:
+        if jump:
             # pointer jump: label ← label's label (every label IS a node
             # id, so the self-join resolves; coalesce guards no-match).
             # Deferred past the first post-init round: shallow near-dup
-            # graphs converge by then without it, and the extra join per
-            # round is pure overhead there; deep chains still get the
-            # O(log diameter) doubling from the second round on (the fused
-            # init already counts as one hook).
-            hooked = new_labels
-            parent = hooked.select(F.col("id").alias("_pid"),
-                                   F.col("label").alias("_plabel"))
-            new_labels = (
-                hooked.join(parent, hooked["label"] == parent["_pid"], "left")
+            # graphs converge by then without it; deep chains still get
+            # the O(log diameter) doubling from the second round on (the
+            # fused init already counts as one hook).
+            parent = new.select(F.col("id").alias("_pid"),
+                                F.col("label").alias("_plabel"))
+            new = (
+                new.join(parent, new["label"] == parent["_pid"], "left")
                 .select("id", F.coalesce("_plabel", "label").alias("label"))
             )
-        # Truncate the logical plan EVERY round by default: the jump join
-        # embeds TWO copies of the prior round's plan, so without
-        # truncation the logical tree doubles per round and optimizer time
-        # explodes (measured on a 120-node chain: 143 s at
-        # checkpoint_every=5 vs 7 s at 1).  The checkpoint is LAZY — its
-        # materialization rides the convergence-sum action below, adding
-        # zero extra jobs; the stored state is the label table, O(dup
-        # docs).  On a real cluster swap localCheckpoint for a reliable
-        # checkpoint dir (executor loss kills local checkpoints).
-        if (rnd + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
+        # Truncate the logical plan EVERY round (``checkpoint_every`` is
+        # kept in the signature for compatibility; coarser cadences
+        # measured strictly worse — the jump join embeds TWO copies of
+        # the prior round's plan, 143 s vs 7 s on a 120-node chain at
+        # cadence 5 vs 1).  The checkpoint is LAZY — it materializes
+        # inside the batched convergence action below, zero extra jobs;
+        # the stored state is the label table, O(dup docs).  On a real
+        # cluster swap localCheckpoint for a reliable checkpoint dir.
+        return new.localCheckpoint(eager=False)
+
+    def _sum_pair(a: DataFrame, b: DataFrame):
+        # decimal(38,0): exact and overflow-proof (int64 sum of 10^12
+        # 10^12-scale ids would wrap).  ONE driver action returns both
+        # rounds' sums: b's plan reads a's lazy checkpoint, so a
+        # materializes exactly once inside the same job.
+        def _s(df, k):
+            return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                          .alias("_s")).select(F.lit(k).alias("_k"), "_s")
+
+        rows = _s(a, 0).unionByName(_s(b, 1)).collect()
+        got = {r["_k"]: r["_s"] for r in rows}
+        return got[0], got[1]
+
+    # Convergence signal: both hooking and jumping only ever DECREASE a
+    # label, so the label sum is strictly decreasing until the fixpoint —
+    # equal consecutive sums ⟺ every label unchanged.  TWO label rounds
+    # materialize per driver action (the scheduling wave per action is
+    # the dominant loop cost at small scale; at cluster scale each saved
+    # action is a full pass over the label state), with both sums
+    # collected in the same union-aggregate job.
+    r0 = _round(labels, jump=False)
+    s_init, s_r0 = _sum_pair(labels, r0)
+    labels, prev_sum = r0, s_r0
+    converged = s_r0 == s_init
+    rounds = 1
+    while not converged and rounds < max_rounds:
+        a = _round(labels, jump=True)
+        rounds += 1
+        if rounds < max_rounds:
+            b = _round(a, jump=True)
+            rounds += 1
+            s_a, s_b = _sum_pair(a, b)
+            if s_a == prev_sum:
+                labels, converged = a, True
+            elif s_b == s_a:
+                labels, converged = b, True
+            else:
+                labels, prev_sum = b, s_b
         else:
-            new_labels = new_labels.persist()
-        new_sum = _label_sum(new_labels)
-        labels.unpersist(blocking=False)
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:
-        labels.unpersist(blocking=False)
+            s_a = a.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                        ).collect()[0][0]
+            if s_a == prev_sum:
+                labels, converged = a, True
+            else:
+                labels, prev_sum = a, s_a
+    if not converged:
         sym.unpersist(blocking=False)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds — "
@@ -168,7 +191,6 @@ def connected_components(
     loop_labels = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("_cc_label")
     ).localCheckpoint(eager=True)
-    labels.unpersist(blocking=False)
     sym.unpersist(blocking=False)
     # singletons (no edges) label themselves; no shuffle of the node table
     # beyond this one join against the (tiny) loop result
