@@ -129,51 +129,29 @@ def connected_components(
         # cluster swap localCheckpoint for a reliable checkpoint dir.
         return new.localCheckpoint(eager=False)
 
-    def _sum_pair(a: DataFrame, b: DataFrame):
+    def _label_sum(df: DataFrame):
         # decimal(38,0): exact and overflow-proof (int64 sum of 10^12
-        # 10^12-scale ids would wrap).  ONE driver action returns both
-        # rounds' sums: b's plan reads a's lazy checkpoint, so a
-        # materializes exactly once inside the same job.
-        def _s(df, k):
-            return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))
-                          .alias("_s")).select(F.lit(k).alias("_k"), "_s")
-
-        rows = _s(a, 0).unionByName(_s(b, 1)).collect()
-        got = {r["_k"]: r["_s"] for r in rows}
-        return got[0], got[1]
+        # 10^12-scale ids would wrap)
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                      ).collect()[0][0]
 
     # Convergence signal: both hooking and jumping only ever DECREASE a
     # label, so the label sum is strictly decreasing until the fixpoint —
-    # equal consecutive sums ⟺ every label unchanged.  TWO label rounds
-    # materialize per driver action (the scheduling wave per action is
-    # the dominant loop cost at small scale; at cluster scale each saved
-    # action is a full pass over the label state), with both sums
-    # collected in the same union-aggregate job.
-    r0 = _round(labels, jump=False)
-    s_init, s_r0 = _sum_pair(labels, r0)
-    labels, prev_sum = r0, s_r0
-    converged = s_r0 == s_init
-    rounds = 1
-    while not converged and rounds < max_rounds:
-        a = _round(labels, jump=True)
-        rounds += 1
-        if rounds < max_rounds:
-            b = _round(a, jump=True)
-            rounds += 1
-            s_a, s_b = _sum_pair(a, b)
-            if s_a == prev_sum:
-                labels, converged = a, True
-            elif s_b == s_a:
-                labels, converged = b, True
-            else:
-                labels, prev_sum = b, s_b
-        else:
-            s_a = a.agg(F.sum(F.col("label").cast("decimal(38,0)"))
-                        ).collect()[0][0]
-            if s_a == prev_sum:
-                labels, converged = a, True
-            else:
-                labels, prev_sum = a, s_a
+    # sum unchanged ⟺ every label unchanged.  One scalar-aggregate action
+    # per round, which also materializes that round's lazy checkpoint.
+    # (A two-rounds-per-action variant with both sums in one
+    # union-aggregate job was tried and REVERTED in r6: the deeper
+    # single-job stage chain measured ~0.3 s SLOWER than two shallow
+    # actions at sf0.1 — same lesson as the segment-join checkpoint.)
+    prev_sum = _label_sum(labels)  # also materializes the fused first hook
+    converged = False
+    for rnd in range(max_rounds):
+        labels = _round(labels, jump=rnd >= 1)
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
     if not converged:
         sym.unpersist(blocking=False)
         raise RuntimeError(
