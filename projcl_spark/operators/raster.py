@@ -322,36 +322,17 @@ def flow_accumulation(
             .localCheckpoint(eager=False)
         )
 
+    # One step per action; a two-steps-per-wave variant was tried and
+    # REVERTED in r6 (the deeper single-job stage chain measured no
+    # better than two shallow actions — same lesson as the CC loop).
     arrivals = []
-    step = 0
-    while step < max_steps:
-        # TWO walk steps per materialization wave: the per-action
-        # scheduling cost dominates at small scale; materializing the
-        # second step's lazy checkpoint transitively materializes the
-        # first (its plan reads it), so the batch costs ONE full stage
-        # wave plus one trivial cached-read count.  A token that reaches
-        # a pit mid-batch simply yields no second-hop row (the strict-
-        # downhill DAG needs no per-step bookkeeping).
+    for _ in range(max_steps):
         moved = _step(tokens)
-        step += 1
-        moved2 = None
-        if step < max_steps:
-            moved2 = _step(moved)
-            step += 1
-        n_last = (moved2 if moved2 is not None else moved).count()
-        n_first = moved.count() if moved2 is not None else n_last
-        if n_first == 0:
+        if moved.count() == 0:
             break
         arrivals.append(moved.select(F.col("ci").alias(gi),
                                      F.col("cj").alias(gj)))
-        if moved2 is not None and n_last > 0:
-            arrivals.append(moved2.select(F.col("ci").alias(gi),
-                                          F.col("cj").alias(gj)))
-            tokens = moved2
-        elif moved2 is not None:
-            break  # first hop arrived, second dried up — walk is done
-        else:
-            tokens = moved
+        tokens = moved
     if not arrivals:
         return d8.select(gi, gj).limit(0).withColumn(
             "acc", F.lit(0).cast("long"))
