@@ -3947,7 +3947,15 @@ def q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 1 << _HILBERT_RES
     lo, hi, blo, bhi = _HR_BOX
     ks = ("l_orderkey", "l_linenumber")
-    pts = _points_df(spark, sf_dir, "lineitem", ks).where(
+    # The box predicate is on the md5-DERIVED lon/lat, so Catalyst pushes
+    # it through the repartition down to the unsplittable single-row-group
+    # scan — the whole corpus then pays the md5 derivation in ONE scan
+    # task (and re-derives it above the exchange).  The lazy checkpoint
+    # pins the filter ABOVE the repartition: one parallel derivation,
+    # filter on the materialized columns (same expression, same values —
+    # row set identical).  Quiet A/B at sf0.1: 2.5–3.1 s → ~2.0 s.
+    pts = _points_df(spark, sf_dir, "lineitem", ks) \
+        .localCheckpoint(eager=False).where(
         (F.col("lon") >= lo) & (F.col("lon") < hi)
         & (F.col("lat") >= blo) & (F.col("lat") < bhi))
     c = cell_id_col(F.col("lon"), F.col("lat"), _HILBERT_RES)
@@ -4224,9 +4232,17 @@ def q_route_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ks = ("l_orderkey", "l_linenumber")
     blo, bhi, plo, phi = _route_bbox()
+    # Key filter first — it pushes to the parquet scan (cheap, prunes 2/3
+    # of the rows before the repartition).  The bbox predicate is on the
+    # md5-DERIVED lon/lat: left alone Catalyst pushes it below the
+    # repartition too, making the unsplittable scan derive the md5 for
+    # the whole table in ONE task — the lazy checkpoint pins it above
+    # the exchange (same expression on the same values; row set
+    # identical — see q_hilbert_ranges).
     pts = _points_df(spark, sf_dir, "lineitem", ks).where(
-        (F.col("l_orderkey") % 3 == 0)
-        & (F.col("lon") >= blo) & (F.col("lon") <= bhi)
+        F.col("l_orderkey") % 3 == 0
+    ).localCheckpoint(eager=False).where(
+        (F.col("lon") >= blo) & (F.col("lon") <= bhi)
         & (F.col("lat") >= plo) & (F.col("lat") <= phi))
     dxt, dat = O.cross_track("lon", "lat", *_ROUTE)
     R = 6370997.0

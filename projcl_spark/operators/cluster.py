@@ -44,26 +44,21 @@ from pyspark.sql import functions as F
 MAX_CC_ROUNDS = 25
 
 
-def connected_components(
-    nodes: DataFrame,
+def _cc_labels(
     edges: DataFrame,
-    id_col: str = "doc_id",
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_rounds: int = MAX_CC_ROUNDS,
-    checkpoint_every: int = 1,
     dedupe_edges: bool = True,
 ) -> DataFrame:
-    """(nodes, undirected edges) → (id_col, cluster_id) where cluster_id is
-    the component-minimum node id.
-
-    ``nodes`` must contain every vertex (isolated docs become singleton
-    clusters); ``edges`` rows are unordered pairs.  Deterministic at any
-    parallelism: the fixpoint (component min) is parallelism-independent.
-    Pass ``dedupe_edges=False`` when the pair list is already unique (an
-    aggregated band join is) — min-aggregation is idempotent under
-    duplicate edges, and skipping the ``distinct`` removes a full shuffle
-    of the edge list, the operator's widest table.
+    """The min-label/pointer-jump loop over EDGE ENDPOINTS only →
+    eagerly-checkpointed ``(id, _cc_label)`` where ``_cc_label`` is the
+    component-minimum id.  Isolated nodes are absent (they label
+    themselves); callers attach node payloads with ONE left join +
+    ``coalesce(_cc_label, id)`` — factoring the loop out lets
+    ``dedup_clusters``/``grid_dbscan`` fold the singleton fill-in and
+    their weight/payload attach into a single pass over the node table
+    instead of two back-to-back joins on the same key.
     """
     # persist the symmetrized edge list: the upstream pair plan (an LSH
     # band join in the dedup case) would otherwise re-execute EVERY round.
@@ -167,12 +162,41 @@ def connected_components(
     # job; swap in a reliable checkpoint dir / parquet stage on a cluster
     # where executor loss matters.
     loop_labels = labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("_cc_label")
+        "id", F.col("label").alias("_cc_label")
     ).localCheckpoint(eager=True)
     sym.unpersist(blocking=False)
+    return loop_labels
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_rounds: int = MAX_CC_ROUNDS,
+    checkpoint_every: int = 1,
+    dedupe_edges: bool = True,
+) -> DataFrame:
+    """(nodes, undirected edges) → (id_col, cluster_id) where cluster_id is
+    the component-minimum node id.
+
+    ``nodes`` must contain every vertex (isolated docs become singleton
+    clusters); ``edges`` rows are unordered pairs.  Deterministic at any
+    parallelism: the fixpoint (component min) is parallelism-independent.
+    Pass ``dedupe_edges=False`` when the pair list is already unique (an
+    aggregated band join is) — min-aggregation is idempotent under
+    duplicate edges, and skipping the ``distinct`` removes a full shuffle
+    of the edge list, the operator's widest table.
+    """
+    loop_labels = _cc_labels(edges, src_col=src_col, dst_col=dst_col,
+                             max_rounds=max_rounds,
+                             dedupe_edges=dedupe_edges)
     # singletons (no edges) label themselves; no shuffle of the node table
     # beyond this one join against the (tiny) loop result
-    return nodes.select(id_col).join(loop_labels, id_col, "left").select(
+    return nodes.select(id_col).join(
+        loop_labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
         id_col, F.coalesce("_cc_label", F.col(id_col)).alias("cluster_id")
     )
 
@@ -195,10 +219,19 @@ def dedup_clusters(
     """
     # the LSH band join emits each pair once (SELECT DISTINCT, doc_a <
     # doc_b — operators/text.py:272-276), so skip the edge re-dedupe
-    cc = connected_components(docs, pairs, id_col=id_col,
-                              src_col=src_col, dst_col=dst_col,
-                              dedupe_edges=False)
-    member = cc.join(docs.select(id_col, weight_col), id_col)
+    lbl = _cc_labels(pairs, src_col=src_col, dst_col=dst_col,
+                     dedupe_edges=False)
+    # ONE pass over the doc table: the singleton fill-in
+    # (coalesce(_cc_label, id)) and the weight attach ride the same left
+    # join against the tiny label table — the former shape (CC's node
+    # left-join, then a second inner join for the weights) keyed the
+    # corpus by doc_id twice for one decision.
+    member = docs.select(id_col, weight_col).join(
+        lbl.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        F.coalesce("_cc_label", F.col(id_col)).alias("cluster_id"),
+        id_col, weight_col,
+    )
     # ONE map-side-combinable aggregate instead of the former sort-window
     # pair (row_number + count over cluster_id): max_by over the
     # (weight, -id) struct IS the keep-the-longest / ties-to-min-id rule

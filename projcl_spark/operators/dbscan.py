@@ -109,16 +109,19 @@ def grid_dbscan(
         .join(core.select(F.col("c").alias("nc")), "nc")
         .select(F.col("c").alias("ca"), F.col("nc").alias("cb"))
     )
-    from .cluster import connected_components
+    from .cluster import _cc_labels
 
-    cc = connected_components(
-        core.select(F.col("c")), edges, id_col="c",
-        src_col="ca", dst_col="cb", dedupe_edges=False,
-    )
+    # ONE pass over the core-cell table: the label loop runs on edge
+    # endpoints only, and the singleton fill-in (coalesce(_cc_label, c))
+    # rides the same left join that attaches hood_n — the former shape
+    # (connected_components' node left-join, then a second inner join
+    # back onto core) keyed the core table by cell id twice.
+    lbl = _cc_labels(edges, src_col="ca", dst_col="cb", dedupe_edges=False)
     return (
-        core.join(cc, "c")
+        core.join(lbl.withColumnRenamed("id", "c"), "c", "left")
         .select(F.col("c").alias(cell), "hood_n",
-                F.col("cluster_id").cast("long").alias("cluster_id"))
+                F.coalesce("_cc_label", F.col("c"))
+                .cast("long").alias("cluster_id"))
     )
 
 

@@ -221,3 +221,69 @@ def test_hot_cells_single_action_matches_reference_threshold(spark):
     want = sorted(r["cell_id"] for r in
                   hist.filter(F.col("n") > 1.5 * mean).collect())
     assert got == want and got == [7]
+
+
+def test_cc_single_join_fold_matches_two_join_form(spark):
+    """r6 folded the node-table attach in dedup_clusters/grid_dbscan into
+    ONE left join against the _cc_labels endpoint table (the former shape
+    keyed the node table twice: connected_components' singleton left-join
+    + a second payload join).  The folded results must equal the explicit
+    two-join formulation exactly — including singleton fill-in and the
+    keep-the-longest / ties-to-min-id canonical rule."""
+    from projcl_spark.operators.cluster import (
+        _cc_labels, connected_components, dedup_clusters,
+    )
+
+    # two chains, one triangle, two singletons; weights force a non-min
+    # canonical in cluster 1 and a tie in cluster 10
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4), (20, 1), (30, 2), (40, 3)],
+        "doc_id long, n_chars long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 30)], "doc_a long, doc_b long")
+
+    got = {r["cluster_id"]: (r["n_docs"], r["canonical"])
+           for r in dedup_clusters(docs, pairs).collect()}
+
+    # reference: the pre-fold two-join formulation over the public API
+    cc = connected_components(docs, pairs, dedupe_edges=False)
+    member = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    want = {r["cluster_id"]: (r["n_docs"], r["canonical"])
+            for r in member.groupBy("cluster_id").agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.expr("max_by(doc_id, struct(n_chars, -doc_id))")
+                .alias("canonical")).collect()}
+    assert got == want
+    assert got == {1: (3, 2), 10: (2, 10), 20: (2, 30), 40: (1, 40)}
+    # label table holds edge endpoints only; singletons are absent
+    assert {r["id"] for r in
+            _cc_labels(pairs, dedupe_edges=False).collect()} \
+        == {1, 2, 3, 10, 11, 20, 30}
+
+
+def test_derived_filter_stays_above_repartition(spark):
+    """r6 pinned the md5-derived box filters of hilbert_ranges and
+    route_corridor ABOVE the repartition with a lazy checkpoint barrier:
+    on the unsplittable single-row-group test parquet, Catalyst would
+    otherwise push the derivation into the ONE scan task (and re-derive
+    it above the exchange).  The scan-level filter must carry only the
+    cheap key predicate; the derived predicate evaluates on the
+    checkpointed (already-derived) columns."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as E
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    sf = "/root/testdata/sf0.001"
+    for q in (E.q_hilbert_ranges, E.q_route_corridor):
+        p = plan_of(q(spark, sf))
+        assert "Scan ExistingRDD" in p, q.__name__
+        # every md5/conv evaluation left in the visible (post-checkpoint)
+        # plan would mean the derivation re-runs below a pushed filter
+        assert "md5(" not in p and "conv(" not in p, q.__name__
