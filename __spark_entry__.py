@@ -3910,7 +3910,10 @@ def q_cell_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
     source = (cells.orderBy(F.col("cnt").desc(), F.col("cell_id").asc())
               .limit(1).select("cell_id"))
-    out = cell_bfs(cells, _BFS_RES, source, max_hops=_BFS_HOPS)
+    # cells is a groupBy rollup — unique by construction, so the
+    # operator's de-dup shuffle would be a pure extra stage (guide §2.4)
+    out = cell_bfs(cells, _BFS_RES, source, max_hops=_BFS_HOPS,
+                   cells_unique=True)
     return out.select("cell_id", "hops")
 
 
@@ -3963,7 +3966,11 @@ def q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(c / n).cast("long").alias("ix"),
         (c % n).cast("long").alias("iy"),
     ).distinct()
-    return hilbert_ranges(hilbert_cols(cells, _HILBERT_RES))
+    # cells is distinct (ix, iy) and xy→h is a bijection, so the h set
+    # is unique by construction — skip the operator's de-dup shuffle
+    # (guide §2.4); row set identical, pinned by the parity oracle.
+    return hilbert_ranges(hilbert_cols(cells, _HILBERT_RES),
+                          assume_unique=True)
 
 
 def _o_hilbert_ranges() -> str:

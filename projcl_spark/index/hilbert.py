@@ -55,7 +55,8 @@ def hilbert_np(ix, iy, res: int):
     return d
 
 
-def hilbert_ranges(cells_h: DataFrame, h: str = "h") -> DataFrame:
+def hilbert_ranges(cells_h: DataFrame, h: str = "h",
+                   assume_unique: bool = False) -> DataFrame:
     """Collapse a set of Hilbert cell ids into maximal CONSECUTIVE id
     ranges — the scan-plan form of a spatial region: a box cover that
     compacts to a handful of (start, end) ranges is exactly what a
@@ -67,9 +68,15 @@ def hilbert_ranges(cells_h: DataFrame, h: str = "h") -> DataFrame:
     within a consecutive run), one aggregate per run.  Two window/agg
     stages over the CELL set (not the corpus).  All integer.
     """
+    # ``assume_unique=True`` skips the de-dup shuffle when the caller's
+    # id set is unique by construction (e.g. distinct (ix, iy) through
+    # the bijective xy→h curve map) — a ``distinct`` on already-unique
+    # data is a pure extra exchange (guide §2.4).
     w = Window.orderBy(F.col(h).asc())
-    runs = cells_h.select(F.col(h).cast("long").alias("h")).distinct() \
-        .withColumn("_rid", F.col("h") - F.row_number().over(w))
+    runs = cells_h.select(F.col(h).cast("long").alias("h"))
+    if not assume_unique:
+        runs = runs.distinct()
+    runs = runs.withColumn("_rid", F.col("h") - F.row_number().over(w))
     return (
         runs.groupBy("_rid")
         .agg(F.min("h").alias("range_start"), F.max("h").alias("range_end"),

@@ -131,6 +131,7 @@ def cell_bfs(
     source: DataFrame,
     max_hops: int = 10,
     cell: str = "cell_id",
+    cells_unique: bool = False,
 ) -> DataFrame:
     """Breadth-first hop distance over the occupied-cell queen-adjacency
     graph, from a ONE-ROW ``source`` DataFrame (column ``cell``) —
@@ -149,8 +150,14 @@ def cell_bfs(
     source (source itself at 0).  A source not in ``cells`` yields an
     empty result (nothing is reachable).
     """
-    occ = cells.select(F.col(cell).cast("long").alias("c")).distinct() \
-        .localCheckpoint(eager=False)
+    # ``cells_unique=True`` skips the de-dup shuffle when the caller's
+    # cell table is unique by construction (a groupBy rollup is) — a
+    # ``distinct`` on already-unique data is a pure extra exchange +
+    # stage wave on the loop's critical path (guide §2.4).
+    occ = cells.select(F.col(cell).cast("long").alias("c"))
+    if not cells_unique:
+        occ = occ.distinct()
+    occ = occ.localCheckpoint(eager=False)
     src = occ.join(source.select(F.col(cell).cast("long").alias("c")), "c")
     visited = src.select("c", F.lit(0).alias("hops")).localCheckpoint(eager=False)
     frontier = visited

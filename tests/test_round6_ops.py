@@ -287,3 +287,52 @@ def test_derived_filter_stays_above_repartition(spark):
         # every md5/conv evaluation left in the visible (post-checkpoint)
         # plan would mean the derivation re-runs below a pushed filter
         assert "md5(" not in p and "conv(" not in p, q.__name__
+
+
+def test_unique_input_flags_match_default_paths(spark):
+    """r6 lets provably-unique inputs skip the operators' de-dup
+    shuffles (guide §2.4): cell_bfs(cells_unique=True) and
+    hilbert_ranges(assume_unique=True) must return the same rows as the
+    default paths on unique inputs, and the flagged plans must drop the
+    de-dup aggregate."""
+    from projcl_spark.index.cells import _scale
+    from projcl_spark.index.hilbert import hilbert_cols, hilbert_ranges
+    from projcl_spark.operators.dbscan import cell_bfs
+
+    res, n = 4, _scale(4)
+    occupied = [(x, y) for x in range(8) for y in range(8)
+                if (x * 3 + y) % 4 != 1]
+    cells = spark.createDataFrame(
+        [(x * n + y,) for x, y in occupied], "cell_id long")
+    src = spark.createDataFrame(
+        [(occupied[0][0] * n + occupied[0][1],)], "cell_id long")
+
+    base = {(r["cell_id"], r["hops"])
+            for r in cell_bfs(cells, res, src, max_hops=5).collect()}
+    flagged = {(r["cell_id"], r["hops"])
+               for r in cell_bfs(cells, res, src, max_hops=5,
+                                 cells_unique=True).collect()}
+    assert flagged == base and base
+
+    grid = spark.createDataFrame(
+        [(x, y) for x, y in occupied], "ix long, iy long")
+    hs = hilbert_cols(grid, res)
+    r_base = {(r["range_start"], r["range_end"], r["n_cells"])
+              for r in hilbert_ranges(hs).collect()}
+    r_flag = {(r["range_start"], r["range_end"], r["n_cells"])
+              for r in hilbert_ranges(hs, assume_unique=True).collect()}
+    assert r_flag == r_base and r_base
+    # the flagged plan must not contain the de-dup HashAggregate pair
+    # (row_number's window remains; distinct would add two more
+    # aggregates below it)
+    import contextlib
+    import io
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert plan_of(hilbert_ranges(hs, assume_unique=True)).count(
+        "HashAggregate") < plan_of(hilbert_ranges(hs)).count("HashAggregate")
